@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Headline analytics queries (SURVEY.md §2.E). These exercise the engine's
+  * core scan/agg/join/window paths and double as the bench headliners.
+  *
+  * Scale posture: aggregations get automatic map-side partial combine,
+  * dimension tables (`region`, `nation`, small `customer`) are broadcast
+  * explicitly, and every filter is a pure Column expression pushed to the
+  * parquet scan.
+  *
+  * Numeric determinism (SURVEY.md §4): money columns are 2-decimal values
+  * stored as doubles; summing doubles is order-dependent, so cross-engine
+  * comparison would be flaky. We aggregate EXACTLY by casting to decimal
+  * first and cast the final aggregate back to double — bit-identical in
+  * any engine and any partitioning, with no rounding heuristics.
+  */
+object Analytics {
+
+  /** Exact sum of a 2-decimal money/ratio column, returned as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact sum of price*(1-discount) (4-decimal products), as double. */
+  private def revSum(price: Column, disc: Column): Column =
+    sum(price.cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - disc.cast("decimal(18,2)")))
+      .cast("double")
+
+  /** TPC-H Q1-style wide aggregation over the largest fact table. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  /** TPC-H Q3-style: fact-to-fact join + broadcast dim filter + agg. At
+    * 100 TB the orders⋈lineitem join shuffles on orderkey (co-partitioned
+    * via bucketing in a real deployment); customer is the broadcast side.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
+  val q3JoinSql: String = """
+    SELECT l_orderkey, o_orderdate,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate"""
+
+  /** TPC-H Q5-style star join through customer→nation→region dims. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val reg  = Tables.region(spark, dir)
+    val nat  = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val q5MultiJoinSql: String = """
+    SELECT r_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name"""
+
+  /** Top-k rows per group via window ranking; ties broken deterministically
+    * by key so the oracle agrees. At scale this is a single shuffle by the
+    * partition key with no global sort.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  val topkPerGroupSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders) WHERE rk <= 3"""
+}
