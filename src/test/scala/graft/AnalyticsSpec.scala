@@ -1,0 +1,35 @@
+package graft
+
+import graft.queries.Analytics
+
+/** Smoke + shape checks for the headline analytics queries at sf0.001. */
+class AnalyticsSpec extends SparkSpecBase {
+
+  test("q1_agg produces grouped rows with expected columns") {
+    val df = Analytics.q1Agg(spark, sfDir)
+    assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc", "count_order"))
+    val n = df.count()
+    assert(n > 0 && n < 20)
+  }
+
+  test("q3_join returns revenue per order") {
+    val df = Analytics.q3Join(spark, sfDir)
+    assert(df.count() > 0)
+  }
+
+  test("q5_multijoin groups by region/nation") {
+    val df = Analytics.q5MultiJoin(spark, sfDir)
+    assert(df.count() > 0)
+  }
+
+  test("topk_per_group keeps at most 3 rows per customer") {
+    val df = Analytics.topkPerGroup(spark, sfDir)
+    val maxPer = df.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
