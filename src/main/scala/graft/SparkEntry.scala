@@ -11,7 +11,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+    graft.capex.CapexDerive.pipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -20,13 +20,46 @@ object SparkEntry {
     "q3_join"        -> (Analytics.q3Join _),
     "q5_multijoin"   -> (Analytics.q5MultiJoin _),
     "topk_per_group" -> (Analytics.topkPerGroup _),
-  )
+    // §2.E events + streaming batch mirrors
+    "events_json"       -> (Events.eventsJson _),
+    "stream_window_agg" -> (Events.streamWindowAgg _),
+    "stream_sessionize" -> (Events.streamSessionize _),
+    // §2.D LLM-training-data operators
+    "dedup_exact"         -> (graft.llm.Dedup.dedupExact _),
+    "dedup_minhash"       -> (graft.llm.Dedup.dedupMinhash _),
+    "dedup_simhash"       -> (graft.llm.Dedup.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (graft.llm.Dedup.dedupNgramJaccard _),
+    "dedup_embedding"     -> (graft.llm.Ann.dedupEmbedding _),
+    "ann_bruteforce"      -> (graft.llm.Ann.annBruteforce _),
+    "ann_lsh"             -> (graft.llm.Ann.annLsh _),
+    "text_langid"         -> (graft.llm.TextOps.textLangid _),
+    "text_quality"        -> (graft.llm.TextOps.textQuality _),
+    "text_tokens"         -> (graft.llm.TextOps.textTokens _),
+    "text_fingerprint"    -> (graft.llm.TextOps.textFingerprint _),
+    "mm_pipeline"         -> (graft.llm.Multimodal.mmPipeline _),
+  ) ++ graft.capex.CapexQueries.queries
 
-  /** DuckDB equivalents for the driver's correctness gate. */
+  /** DuckDB equivalents for the driver's correctness gate. ann_lsh is
+    * intentionally omitted (approximate recall → rows-only check).
+    */
   def oracleSql: Map[String, String] = Map(
     "q1_agg"         -> Analytics.q1AggSql,
     "q3_join"        -> Analytics.q3JoinSql,
     "q5_multijoin"   -> Analytics.q5MultiJoinSql,
     "topk_per_group" -> Analytics.topkPerGroupSql,
-  )
+    "events_json"       -> Events.eventsJsonSql,
+    "stream_window_agg" -> Events.streamWindowAggSql,
+    "stream_sessionize" -> Events.streamSessionizeSql,
+    "dedup_exact"         -> graft.llm.Dedup.dedupExactSql,
+    "dedup_minhash"       -> graft.llm.Dedup.dedupMinhashSql,
+    "dedup_simhash"       -> graft.llm.Dedup.dedupSimhashSql,
+    "dedup_ngram_jaccard" -> graft.llm.Dedup.dedupNgramJaccardSql,
+    "dedup_embedding"     -> graft.llm.Ann.dedupEmbeddingSql,
+    "ann_bruteforce"      -> graft.llm.Ann.annBruteforceSql,
+    "text_langid"         -> graft.llm.TextOps.textLangidSql,
+    "text_quality"        -> graft.llm.TextOps.textQualitySql,
+    "text_tokens"         -> graft.llm.TextOps.textTokensSql,
+    "text_fingerprint"    -> graft.llm.TextOps.textFingerprintSql,
+    "mm_pipeline"         -> graft.llm.Multimodal.mmPipelineSql,
+  ) ++ graft.capex.CapexQueries.oracleSql
 }

@@ -1,0 +1,301 @@
+package graft.capex
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextMatch
+import CapexVocab._
+
+/** Spark-native capex engine: derives the reference's capex table shape from
+  * the driver's TPC-H-ish tables (SURVEY.md §3) and applies the 19-rule
+  * pipeline (process_capex.py:1080-1181) as ONE declarative Catalyst plan —
+  * the pandas reference materializes the frame ~19 times; here every rule is
+  * a pure Column predicate over a single scan + two broadcast dim joins, so
+  * Catalyst fuses the whole rule chain into one whole-stage-codegen'd pass.
+  *
+  * Scale posture (SURVEY.md §5): lineitem/orders shuffle-join on orderkey;
+  * customer, nation, region and the office/regioncode dims broadcast; the
+  * representative-row window partitions by RequestNo (same key family as the
+  * join), and the fail-open reinstatement is an aggregate + anti-join on the
+  * robust key — no driver-side state, unlike the reference's global dict.
+  */
+object CapexDerive {
+
+  private def pick(vocab: Seq[String], idx: Column): Column =
+    element_at(array(vocab.map(lit): _*), (idx % vocab.size).cast("int") + 1)
+
+  private def containsAny(c: Column, kws: Seq[String]): Column =
+    kws.map(k => lower(c).contains(k.toLowerCase)).reduce(_ || _)
+
+  private def caseMap(c: Column, m: Seq[(String, String)]): Column =
+    m.foldRight(c) { case ((from, to), acc) => when(c === from, to).otherwise(acc) }
+
+  /** The office-location dim (reference office_location.csv, here played by
+    * nation ⋈ region): office=n_name, zone=r_name, region=n_name (NATION_7
+    * plays 'MUM'), regioncode=r_name.
+    */
+  def offices(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_name").as("office"),
+        col("r_name").as("zone"),
+        when(col("n_name") === MumNation, "MUM").otherwise(col("n_name")).as("region"),
+        col("r_name").as("regioncode"),
+        col("n_nationkey"))
+
+  /** Regioncode fallback dim: one row per regioncode; the reference's dict
+    * build iterates office rows in order so the LAST office per regioncode
+    * wins the region value (process_capex.py:259-264) → max_by(nationkey).
+    */
+  def regionCodes(spark: SparkSession, dir: String): DataFrame =
+    offices(spark, dir).groupBy(col("regioncode"))
+      .agg(min(col("zone")).as("fb_zone"),
+           expr("max_by(region, n_nationkey)").as("fb_region"))
+
+  /** The raw capex-shaped frame: one row per lineitem, every column a pure
+    * deterministic function of the join keys (CapexVocab). Non-null by
+    * construction so pandas-NaN edge cases can't diverge between engines.
+    */
+  def raw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val ok = col("l_orderkey"); val ln = col("l_linenumber").cast("bigint")
+    val pk = col("l_partkey"); val sk = col("l_suppkey")
+    // Deterministic unique row id: the testdata's (orderkey, linenumber) is
+    // NOT unique, so hash the full natural key (money fields decimal-exact)
+    // — engine-independent and a stable tie-break for every window below.
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    val qcents = (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        md5(concat_ws("|", ok, ln, pk, sk, cents, qcents).cast("binary")).as("rid"),
+        // One "request" spans 16 orders (~64 lineitems at any scale factor)
+        // so representative down-selection and fail-open genuinely fire.
+        concat(lit("REQ-"), (ok / 16).cast("bigint").cast("string")).as("RequestNo"),
+        pick(Statuses, ok * 3 + ln).as("CurrentStatus"),
+        pick(Functions, ok + ln * 2).as("RequestFunction"),
+        pick(VendorSel, pk + ln * 7).as("IsSelectedVendor"),
+        when(sk % 7 === 0, "").otherwise(concat(lit("Vendor "), sk.cast("string"))).as("VendorName"),
+        pick(Items, pk).as("AssetItemName"),
+        pick(ItemCats, sk).as("ItemCategory"),
+        pick(AssetCats, pk + sk).as("AssetCategoryName"),
+        pick(Remarks, ok * 5 + ln * 3).as("UserRemarks"),
+        when(ok % 17 === 0, concat(lit("BR-"), (ok % 89).cast("string")))
+          .otherwise(col("n_name")).as("BranchCode"),
+        col("l_extendedprice").as("AssetItemAmount"),
+        col("o_orderdate").as("RequestDate"))
+  }
+
+  /** raw + Zone/Region (broadcast dim join w/ regex whole-word fallback from
+    * UserRemarks — reference process_capex.py:225-289) + every rule flag,
+    * normalized category, exclusion label, keys, priority and tag columns.
+    * Still a single Catalyst plan; nothing is materialized.
+    */
+  private val enrichedCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  def enriched(spark: SparkSession, dir: String): DataFrame =
+    enrichedCache.getOrElseUpdate((spark, dir), {
+      buildEnriched(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val base = raw(spark, dir)
+    val off = offices(spark, dir).select(
+      col("office"), col("zone").as("map_zone"), col("region").as("map_region"))
+    val rc = regionCodes(spark, dir)
+
+    val mapped = base
+      .join(broadcast(off), base("BranchCode") === off("office"), "left")
+      .join(broadcast(rc),
+        col("office").isNull &&
+          expr("UserRemarks RLIKE ('\\\\b' || regioncode || '\\\\b')"),
+        "left")
+      .withColumn("Zone", coalesce(col("map_zone"), col("fb_zone"), lit("Unknown")))
+      .withColumn("Region", coalesce(col("map_region"), col("fb_region"), lit("Unknown")))
+      .drop("office", "map_zone", "map_region", "regioncode", "fb_zone", "fb_region")
+
+    val item = col("AssetItemName"); val icat = col("ItemCategory")
+    val acatRaw = col("AssetCategoryName"); val rem = col("UserRemarks")
+
+    // Office/Furniture recode (rule 4): typo-mapped upper category, regex
+    // class check, allowed-item substring override (process_capex.py:742-770).
+    val catu = caseMap(upper(trim(acatRaw)), OfficeFurnitureTypoMap)
+    val isOfficeFurn = catu.rlike("\\bOFFICE\\b.*\\bEQUIP") || catu.rlike("\\bFURNIT")
+    val allowedHit = containsAny(item, OfficeFurnitureAllowedItems)
+    val acatRecode = when(isOfficeFurn && !allowedHit, "PLANT & MACHINERY").otherwise(acatRaw)
+
+    val norm = (c: Column) => caseMap(upper(trim(c)), NormalizeMap)
+
+    val withCats = mapped
+      .withColumn("acat_recode", acatRecode)
+      .withColumn("acat_norm", norm(col("acat_recode")))
+      .withColumn("acat_norm_raw", norm(acatRaw))
+      .withColumn("acat_split",
+        PmSplitItems.reverse.foldRight(col("acat_norm")) { case (kw, acc) =>
+          when(lower(item).contains(kw.toLowerCase), s"PLANT & MACHINERY - $kw").otherwise(acc)
+        })
+
+    // Remark flags (negation-aware, tokenized once — TextMatch).
+    val rtoks = TextMatch.tokens(rem)
+    val dtoks = TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem))
+    val withFlags = withCats
+      .withColumn("flag_test_demo", TextMatch.isTestDemo(rtoks))
+      .withColumn("flag_personal", TextMatch.isPersonal(rtoks))
+      .withColumn("flag_experimental", TextMatch.isExperimental(rtoks))
+      .withColumn("flag_dark_store", TextMatch.mentionsDarkStore(rtoks))
+      .withColumn("flag_counter", TextMatch.mentionsCounter(rtoks))
+      .withColumn("flag_ds", TextMatch.mentionsDsWord(rtoks))
+      .withColumn("device_hit", TextMatch.anyPhraseNonNegated(dtoks, TextMatch.PersonalDeviceWords))
+      .withColumn("nonrel",
+        col("flag_test_demo") || col("flag_personal") || col("flag_experimental"))
+
+    // Rule removal predicates in pipeline order.
+    val kwHit = (kw: String) =>
+      lower(item).contains(kw.toLowerCase) || lower(icat).contains(kw.toLowerCase) ||
+        lower(rem).contains(kw.toLowerCase)
+    val cctvHit = Seq(item, icat, rem)
+      .map(c => lower(c).contains("cctv") || lower(c).contains("camera")).reduce(_ || _)
+
+    val withRules = withFlags
+      .withColumn("rm_r1", lower(trim(col("CurrentStatus"))) === "rejected")
+      .withColumn("rm_r2", trim(col("IsSelectedVendor")) === "-")
+      .withColumn("rm_r3",
+        lower(trim(col("RequestFunction"))).isin(RemovedFunctions: _*))
+      .withColumn("rm_r3a",
+        TextMatch.isExcludedEquipment(concat_ws(" ", item, icat, acatRaw)))
+      .withColumn("rm_r5", !lower(trim(col("acat_norm"))).isin(AllowedCategories: _*))
+      .withColumn("rm_r5a", col("device_hit"))
+      .withColumn("rm_r6",
+        col("flag_ds") || col("flag_dark_store") ||
+          (col("flag_counter") && !containsAny(item, LegitimateCounterItems)))
+      .withColumn("rm_r8", col("RequestFunction") === "IT" && col("nonrel"))
+      .withColumn("rm_r9",
+        (col("CurrentStatus") === "Approval in Progress") ||
+          (col("CurrentStatus") === "Sent for Approval" && col("nonrel")))
+      .withColumn("rm_r10", col("flag_dark_store"))
+      .withColumn("rm_r11", col("RequestFunction") === "Admin" && col("nonrel"))
+      .withColumn("rm_r12", col("RequestFunction") === "Ops" && col("nonrel"))
+      .withColumn("rm_r13", col("RequestFunction") === "Ops through IT" && col("nonrel"))
+      .withColumn("rm_r18",
+        NonOpsKeywords.map(kwHit).reduce(_ || _) || cctvHit)
+
+    val r18Label = NonOpsKeywords.foldRight(lit(LabelR18Cctv): Column) { case (kw, acc) =>
+      when(kwHit(kw), labelR18(kw)).otherwise(acc)
+    }
+    val labeled = withRules
+      .withColumn("excluded_by",
+        when(col("rm_r1"), LabelR1).when(col("rm_r2"), LabelR2)
+          .when(col("rm_r3"), LabelR3).when(col("rm_r3a"), LabelR3a)
+          .when(col("rm_r5"), LabelR5).when(col("rm_r5a"), LabelR5a)
+          .when(col("rm_r6"), LabelR6).when(col("rm_r8"), LabelR8)
+          .when(col("rm_r9"), LabelR9).when(col("rm_r10"), LabelR10)
+          .when(col("rm_r11"), LabelR11).when(col("rm_r12"), LabelR12)
+          .when(col("rm_r13"), LabelR13)
+          .when(col("rm_r18"), r18Label)
+          .otherwise(lit(null).cast("string")))
+      .withColumn("survives", col("excluded_by").isNull)
+
+    labeled
+      .withColumn("key_strict",
+        concat_ws("|", trim(col("RequestNo")), trim(item), trim(col("VendorName"))))
+      .withColumn("key_robust",
+        when(trim(col("VendorName")) === "",
+          concat_ws("|", trim(col("RequestNo")), trim(item)))
+        .otherwise(concat_ws("|", trim(col("RequestNo")), trim(item), trim(col("VendorName")))))
+      .withColumn("priority",
+        when(col("CurrentStatus") === "Approved", 100).otherwise(0) +
+          when(col("CurrentStatus") === "Sent for Approval", 50).otherwise(0) +
+          when(col("IsSelectedVendor") === "Yes", 10).otherwise(0))
+      .withColumn("category_type",
+        when(containsAny(item, RentalKeywords), "Rental_Opex")
+          .when(containsAny(item, SorterKeywords), "Sorter")
+          .when(containsAny(item, AmcKeywords), "AMC")
+          .otherwise("Regular"))
+      .withColumn("remarks_final",
+        when(upper(trim(col("Region"))).isin("MUMBAI", "MUM"),
+          concat(rem, lit(MumComment))).otherwise(rem))
+  }
+
+  /** Rule survivors with the representative-row rank (reference
+    * select_representative_rows_per_requestno, process_capex.py:1006-1045):
+    * priority 100/50/10, ≤5 rows per RequestNo; tie-break by rid (documented
+    * delta from pandas' unstable sort, SURVEY.md §4).
+    */
+  def ranked(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("RequestNo"))
+      .orderBy(col("priority").desc, col("rid").asc)
+    enriched(spark, dir).filter(col("survives"))
+      .withColumn("rk", row_number().over(w))
+  }
+
+  /** Kept rows after representative down-selection, deduped by
+    * (key_strict, amount) keeping min rid (the fail-open merge dedup,
+    * process_capex.py:53, made unconditional + deterministic per SURVEY §4).
+    */
+  def kept(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy(col("key_strict"), col("AssetItemAmount"))
+      .orderBy(col("rid").asc)
+    ranked(spark, dir).filter(col("rk") <= 5)
+      .withColumn("dup_rn", row_number().over(wd))
+      .filter(col("dup_rn") === 1).drop("dup_rn")
+  }
+
+  /** Fail-open reinstatement (process_capex.py:12-56): raw rows whose robust
+    * key survived the rules but lost every row to representative
+    * down-selection — i.e. keys with no recorded exclusion reason that are
+    * missing from the processed output. Distributed as aggregate+anti-join;
+    * no EXCLUSION_REASONS dict.
+    */
+  def reinstated(spark: SparkSession, dir: String): DataFrame = {
+    val enr = enriched(spark, dir)
+    val keptDf = kept(spark, dir)
+    val survivorKeys = enr.filter(col("survives")).select("key_robust").distinct()
+    val keptKeys = keptDf.select("key_robust").distinct()
+    val failopenKeys = survivorKeys.join(keptKeys, Seq("key_robust"), "left_anti")
+    val keptPairs = keptDf.select(col("key_strict"), col("AssetItemAmount")).distinct()
+    val wd = Window.partitionBy(col("key_strict"), col("AssetItemAmount"))
+      .orderBy(col("rid").asc)
+    enr.join(failopenKeys, Seq("key_robust"), "left_semi")
+      .join(keptPairs, Seq("key_strict", "AssetItemAmount"), "left_anti")
+      .withColumn("dup_rn", row_number().over(wd))
+      .filter(col("dup_rn") === 1).drop("dup_rn")
+  }
+
+  private val pipelineCols: Seq[String] = Seq(
+    "rid", "RequestNo", "AssetItemName", "VendorName", "CompositePrimaryKey",
+    "CurrentStatus", "RequestFunction", "IsSelectedVendor", "ItemCategory",
+    "AssetCategoryName", "AssetCategoryName_2", "UserRemarks", "Zone",
+    "Region", "Category_Type", "AssetItemAmount", "RequestDate",
+    "ReincludedViaFailOpen")
+
+  /** The flagship end-to-end pipeline (rules 1-19 + fail-open), one frame. */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val keptOut = kept(spark, dir).select(
+      col("rid"), col("RequestNo"), col("AssetItemName"), col("VendorName"),
+      col("key_strict").as("CompositePrimaryKey"), col("CurrentStatus"),
+      col("RequestFunction"), col("IsSelectedVendor"), col("ItemCategory"),
+      col("acat_recode").as("AssetCategoryName"),
+      col("acat_split").as("AssetCategoryName_2"),
+      col("remarks_final").as("UserRemarks"), col("Zone"), col("Region"),
+      col("category_type").as("Category_Type"), col("AssetItemAmount"),
+      col("RequestDate"), lit(false).as("ReincludedViaFailOpen"))
+    val reinOut = reinstated(spark, dir).select(
+      col("rid"), col("RequestNo"), col("AssetItemName"), col("VendorName"),
+      col("key_strict").as("CompositePrimaryKey"), col("CurrentStatus"),
+      col("RequestFunction"), col("IsSelectedVendor"), col("ItemCategory"),
+      col("AssetCategoryName"),
+      col("acat_norm_raw").as("AssetCategoryName_2"),
+      col("UserRemarks"), col("Zone"), col("Region"),
+      lit(null).cast("string").as("Category_Type"), col("AssetItemAmount"),
+      col("RequestDate"), lit(true).as("ReincludedViaFailOpen"))
+    keptOut.unionByName(reinOut).select(pipelineCols.map(col): _*)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.capex
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query + oracle catalog for the capex engine (SURVEY.md §2 A/B/C).
+  * Spark side reads from CapexDerive (one Catalyst plan per query);
+  * oracle side prefixes CapexSqlGen.withEnriched.
+  */
+object CapexQueries {
+
+  private val W = CapexSqlGen.withEnriched
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private val dsumSql = (e: String) => s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Reference ("ground truth") predicate for the validation operators (C1-C3):
+    * categorical rules 1-5 plus a blanket non-relevant-remark cut. Chosen so
+    * precision AND recall are both non-trivial vs the full pipeline.
+    */
+  private val refPredSql =
+    "NOT (rm_r1 OR rm_r2 OR rm_r3 OR rm_r3a OR rm_r5) AND NOT nonrel"
+  private def refPred: Column =
+    !(col("rm_r1") || col("rm_r2") || col("rm_r3") || col("rm_r3a") || col("rm_r5")) && !col("nonrel")
+
+  private def robustKeyOf(df: DataFrame): DataFrame =
+    df.withColumn("key_robust",
+      when(trim(col("VendorName")) === "",
+        concat_ws("|", trim(col("RequestNo")), trim(col("AssetItemName"))))
+      .otherwise(concat_ws("|", trim(col("RequestNo")), trim(col("AssetItemName")), trim(col("VendorName")))))
+
+  private val robustKeySql =
+    "CASE WHEN trim(VendorName) = '' THEN trim(RequestNo) || '|' || trim(AssetItemName) " +
+      "ELSE trim(RequestNo) || '|' || trim(AssetItemName) || '|' || trim(VendorName) END"
+
+  // ---------------------------------------------------------------- A rules
+  private def removedBy(flag: String, outCol: String)(s: SparkSession, d: String): DataFrame =
+    CapexDerive.enriched(s, d).filter(col(flag)).select(col("rid"), col(outCol))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rule_status_filter"    -> (removedBy("rm_r1", "CurrentStatus") _),
+    "rule_dash_filter"      -> (removedBy("rm_r2", "IsSelectedVendor") _),
+    "rule_function_filter"  -> (removedBy("rm_r3", "RequestFunction") _),
+    "rule_equipment_filter" -> (removedBy("rm_r3a", "AssetItemName") _),
+    "text_negation_flags"   -> ((s, d) => CapexDerive.enriched(s, d).select(
+      col("rid"), col("flag_test_demo"), col("flag_personal"), col("flag_experimental"),
+      col("flag_dark_store"), col("flag_counter"), col("flag_ds"), col("device_hit"))),
+    "rule_remark_filter"    -> ((s, d) => CapexDerive.enriched(s, d)
+      .filter(col("rm_r8") || col("rm_r11") || col("rm_r12") || col("rm_r13"))
+      .select(col("rid"), col("RequestFunction"))),
+    "rule_ds_counter_filter" -> (removedBy("rm_r6", "UserRemarks") _),
+    "rule_personal_device"  -> (removedBy("rm_r5a", "AssetItemName") _),
+    "rule_non_ops"          -> (removedBy("rm_r18", "AssetItemName") _),
+    "exclusion_reasons"     -> ((s, d) => CapexDerive.enriched(s, d)
+      .filter(col("excluded_by").isNotNull).select(col("rid"), col("excluded_by"))),
+
+    // -------------------------------------------------------------- B ops
+    "normalize_category" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), col("acat_norm_raw").as("normalized_category"))),
+    "recode_office_furniture" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), col("acat_recode").as("recoded_category"))),
+    "map_zone_region" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), col("BranchCode"), col("Zone"), col("Region"))),
+    "split_pm_subcategory" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), col("acat_split").as("subcategory"))),
+    "tag_category_type" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), col("category_type"))),
+    "append_region_comment" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), col("remarks_final"))),
+    "pivot_amounts" -> ((s, d) => CapexDerive.enriched(s, d)
+      .filter(col("excluded_by").isNull || col("excluded_by").startsWith("18:"))
+      .groupBy(col("Zone"), col("Region"), col("acat_norm").as("AssetCategoryName_2"), col("RequestDate"))
+      .agg(dsum(col("AssetItemAmount")).as("total_amount"))),
+    "summary_report" -> ((s, d) => {
+      val p = CapexDerive.pipeline(s, d)
+      def sub(dim: String, c: Column) = p.groupBy(c.as("dim_value"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("AssetItemAmount")).as("total_amount"))
+        .withColumn("dim_type", lit(dim))
+        .withColumn("avg_amount", col("total_amount") / col("n_rows"))
+        .select(col("dim_type"), col("dim_value"), col("n_rows"), col("total_amount"), col("avg_amount"))
+      sub("zone", col("Zone"))
+        .unionByName(sub("category", col("AssetCategoryName_2")))
+        .unionByName(sub("function", col("RequestFunction")))
+    }),
+    "composite_key" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), col("key_strict").as("composite_key"), col("key_robust").as("robust_key"))),
+    "representative_rows" -> ((s, d) => CapexDerive.ranked(s, d)
+      .filter(col("rk") <= 5).select(col("rid"), col("RequestNo"), col("priority"), col("rk"))),
+    "semi_filter" -> ((s, d) => {
+      val enr = CapexDerive.enriched(s, d)
+      val keyset = enr.filter(col("CurrentStatus") === "Approved").select("RequestNo")
+      enr.join(keyset.distinct(), Seq("RequestNo"), "left_semi").select(col("rid"), col("RequestNo"))
+    }),
+    "fail_open_reinstate" -> ((s, d) => CapexDerive.reinstated(s, d)
+      .select(col("rid"), col("key_robust"), lit(true).as("reincluded"))),
+    "capex_pipeline" -> (CapexDerive.pipeline _),
+
+    // -------------------------------------------------------------- C validation
+    "validate_prf" -> ((s, d) => {
+      val enr = CapexDerive.enriched(s, d)
+      val refKeys = enr.filter(refPred).select(col("key_robust").as("k")).distinct()
+      val procKeys = robustKeyOf(CapexDerive.pipeline(s, d)).select(col("key_robust").as("k")).distinct()
+      val joined = procKeys.withColumn("in_p", lit(1))
+        .join(refKeys.withColumn("in_r", lit(1)), Seq("k"), "full_outer")
+      val counts = joined.agg(
+        sum(when(col("in_p").isNotNull && col("in_r").isNotNull, 1).otherwise(0)).as("tp"),
+        sum(when(col("in_p").isNotNull && col("in_r").isNull, 1).otherwise(0)).as("fp"),
+        sum(when(col("in_p").isNull && col("in_r").isNotNull, 1).otherwise(0)).as("fn"))
+      counts.select(col("tp"), col("fp"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"))
+        .withColumn("f1",
+          when(col("prec") + col("rec") === 0.0, 0.0)
+            .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
+    }),
+    "validate_keys" -> ((s, d) => {
+      val p = CapexDerive.pipeline(s, d)
+      val byKey = p.groupBy("CompositePrimaryKey").agg(count(lit(1)).as("cnt"))
+      val tot = p.agg(count(lit(1)).as("total_records"),
+        sum(when(trim(col("RequestNo")) === "" || trim(col("AssetItemName")) === "" ||
+          trim(col("VendorName")) === "", 1).otherwise(0)).as("missing_keys"))
+      val uniq = byKey.agg(
+        sum(when(col("cnt") === 1, 1).otherwise(0)).as("unique_keys"),
+        sum(when(col("cnt") > 1, 1).otherwise(0)).as("duplicate_keys"))
+      tot.crossJoin(uniq).select(col("total_records"), col("unique_keys"),
+        col("duplicate_keys"), col("missing_keys"))
+    }),
+    "validate_fields" -> ((s, d) => {
+      val enr = CapexDerive.enriched(s, d)
+      val ref = enr.filter(refPred).groupBy(col("key_robust").as("k")).agg(
+        dsum(col("AssetItemAmount")).as("r_amt"),
+        sort_array(collect_set(lower(trim(col("Zone"))))).as("r_zones"),
+        sort_array(collect_set(col("AssetCategoryName"))).as("r_cats"))
+      val proc = robustKeyOf(CapexDerive.pipeline(s, d)).groupBy(col("key_robust").as("k")).agg(
+        dsum(col("AssetItemAmount")).as("p_amt"),
+        sort_array(collect_set(lower(trim(col("Zone"))))).as("p_zones"),
+        sort_array(collect_set(col("AssetCategoryName"))).as("p_cats"))
+      proc.join(ref, Seq("k"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(abs(col("p_amt") - col("r_amt")) > 0.01, 1).otherwise(0)).as("amount_mismatches"),
+          sum(when(!(col("p_zones") === col("r_zones")), 1).otherwise(0)).as("zone_mismatches"),
+          sum(when(!(col("p_cats") === col("r_cats")), 1).otherwise(0)).as("category_mismatches"))
+        .select(col("n_matched"), col("amount_mismatches"), col("zone_mismatches"),
+          col("category_mismatches"),
+          ((col("n_matched") - col("amount_mismatches")).cast("double") / col("n_matched") * 100).as("amount_accuracy"),
+          ((col("n_matched") - col("zone_mismatches")).cast("double") / col("n_matched") * 100).as("zone_accuracy"),
+          ((col("n_matched") - col("category_mismatches")).cast("double") / col("n_matched") * 100).as("category_accuracy"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rule_status_filter" -> s"$W SELECT rid, CurrentStatus FROM enriched WHERE rm_r1",
+    "rule_dash_filter" -> s"$W SELECT rid, IsSelectedVendor FROM enriched WHERE rm_r2",
+    "rule_function_filter" -> s"$W SELECT rid, RequestFunction FROM enriched WHERE rm_r3",
+    "rule_equipment_filter" -> s"$W SELECT rid, AssetItemName FROM enriched WHERE rm_r3a",
+    "text_negation_flags" -> s"""$W SELECT rid, flag_test_demo, flag_personal,
+      flag_experimental, flag_dark_store, flag_counter, flag_ds, device_hit FROM enriched""",
+    "rule_remark_filter" -> s"$W SELECT rid, RequestFunction FROM enriched WHERE rm_r8 OR rm_r11 OR rm_r12 OR rm_r13",
+    "rule_ds_counter_filter" -> s"$W SELECT rid, UserRemarks FROM enriched WHERE rm_r6",
+    "rule_personal_device" -> s"$W SELECT rid, AssetItemName FROM enriched WHERE rm_r5a",
+    "rule_non_ops" -> s"$W SELECT rid, AssetItemName FROM enriched WHERE rm_r18",
+    "exclusion_reasons" -> s"$W SELECT rid, excluded_by FROM enriched WHERE excluded_by IS NOT NULL",
+    "normalize_category" -> s"$W SELECT rid, acat_norm_raw AS normalized_category FROM enriched",
+    "recode_office_furniture" -> s"$W SELECT rid, acat_recode AS recoded_category FROM enriched",
+    "map_zone_region" -> s"$W SELECT rid, BranchCode, Zone, Region FROM enriched",
+    "split_pm_subcategory" -> s"$W SELECT rid, acat_split AS subcategory FROM enriched",
+    "tag_category_type" -> s"$W SELECT rid, category_type FROM enriched",
+    "append_region_comment" -> s"$W SELECT rid, remarks_final FROM enriched",
+    "pivot_amounts" -> s"""$W SELECT Zone, Region, acat_norm AS AssetCategoryName_2, RequestDate,
+      ${dsumSql("AssetItemAmount")} AS total_amount
+      FROM enriched WHERE excluded_by IS NULL OR excluded_by LIKE '18:%'
+      GROUP BY Zone, Region, acat_norm, RequestDate""",
+    "summary_report" -> s"""$W, summ AS (
+      SELECT 'zone' AS dim_type, Zone AS dim_value, count(*) AS n_rows,
+             ${dsumSql("AssetItemAmount")} AS total_amount FROM pipe GROUP BY Zone
+      UNION ALL
+      SELECT 'category', AssetCategoryName_2, count(*), ${dsumSql("AssetItemAmount")}
+      FROM pipe GROUP BY AssetCategoryName_2
+      UNION ALL
+      SELECT 'function', RequestFunction, count(*), ${dsumSql("AssetItemAmount")}
+      FROM pipe GROUP BY RequestFunction)
+      SELECT dim_type, dim_value, n_rows, total_amount, total_amount / n_rows AS avg_amount FROM summ""",
+    "composite_key" -> s"$W SELECT rid, key_strict AS composite_key, key_robust AS robust_key FROM enriched",
+    "representative_rows" -> s"$W SELECT rid, RequestNo, priority, rk FROM ranked WHERE rk <= 5",
+    "semi_filter" -> s"""$W SELECT rid, RequestNo FROM enriched
+      WHERE RequestNo IN (SELECT RequestNo FROM enriched WHERE CurrentStatus = 'Approved')""",
+    "fail_open_reinstate" -> s"$W SELECT rid, key_robust, true AS reincluded FROM reinstated",
+    "capex_pipeline" -> s"$W SELECT * FROM pipe",
+    "validate_prf" -> s"""$W, ref_keys AS (
+        SELECT DISTINCT key_robust AS k FROM enriched WHERE $refPredSql),
+      proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe),
+      counts AS (
+        SELECT sum(CASE WHEN p.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN p.k IS NOT NULL AND r.k IS NULL THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN p.k IS NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS fn
+        FROM proc_keys p FULL OUTER JOIN ref_keys r ON p.k = r.k),
+      pr AS (SELECT tp, fp, fn, CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+                    CAST(tp AS DOUBLE) / (tp + fn) AS rec FROM counts)
+      SELECT tp, fp, fn, prec, rec,
+             CASE WHEN prec + rec = 0.0 THEN 0.0
+                  ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pr""",
+    "validate_keys" -> s"""$W, by_key AS (
+        SELECT CompositePrimaryKey, count(*) AS cnt FROM pipe GROUP BY 1),
+      tot AS (SELECT count(*) AS total_records,
+                     sum(CASE WHEN trim(RequestNo) = '' OR trim(AssetItemName) = ''
+                              OR trim(VendorName) = '' THEN 1 ELSE 0 END) AS missing_keys FROM pipe),
+      uniq AS (SELECT sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS unique_keys,
+                      sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS duplicate_keys FROM by_key)
+      SELECT total_records, unique_keys, duplicate_keys, missing_keys FROM tot, uniq""",
+    "validate_fields" -> s"""$W, ref_agg AS (
+        SELECT key_robust AS k, ${dsumSql("AssetItemAmount")} AS r_amt,
+               list_sort(list_distinct(list(lower(trim(Zone))))) AS r_zones,
+               list_sort(list_distinct(list(AssetCategoryName))) AS r_cats
+        FROM enriched WHERE $refPredSql GROUP BY key_robust),
+      proc_agg AS (
+        SELECT $robustKeySql AS k, ${dsumSql("AssetItemAmount")} AS p_amt,
+               list_sort(list_distinct(list(lower(trim(Zone))))) AS p_zones,
+               list_sort(list_distinct(list(AssetCategoryName))) AS p_cats
+        FROM pipe GROUP BY 1),
+      m AS (
+        SELECT count(*) AS n_matched,
+               sum(CASE WHEN abs(p_amt - r_amt) > 0.01 THEN 1 ELSE 0 END) AS amount_mismatches,
+               sum(CASE WHEN NOT (p_zones = r_zones) THEN 1 ELSE 0 END) AS zone_mismatches,
+               sum(CASE WHEN NOT (p_cats = r_cats) THEN 1 ELSE 0 END) AS category_mismatches
+        FROM proc_agg JOIN ref_agg USING (k))
+      SELECT n_matched, amount_mismatches, zone_mismatches, category_mismatches,
+             CAST(n_matched - amount_mismatches AS DOUBLE) / n_matched * 100 AS amount_accuracy,
+             CAST(n_matched - zone_mismatches AS DOUBLE) / n_matched * 100 AS zone_accuracy,
+             CAST(n_matched - category_mismatches AS DOUBLE) / n_matched * 100 AS category_accuracy
+      FROM m"""
+  )
+}

@@ -1,0 +1,205 @@
+package graft.capex
+
+import graft.functions.TextMatch
+import CapexVocab._
+
+/** DuckDB oracle SQL for the capex engine — mirrors CapexDerive column-for-
+  * column so the driver's DuckDB compare exercises the full rule semantics,
+  * not just row counts. Every emitter shares CapexVocab constants with the
+  * Spark side; only dialect syntax differs (list literals/indexing, regexp
+  * function names, lambda forms).
+  */
+object CapexSqlGen {
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def listLit(xs: Seq[String]): String = xs.map(sq).mkString("[", ", ", "]")
+
+  /** 1-based vocab pick — mirrors CapexDerive.pick (element_at). */
+  private def pick(vocab: Seq[String], idxExpr: String): String =
+    s"(${listLit(vocab)})[1 + CAST(($idxExpr) % ${vocab.size} AS INT)]"
+
+  private def containsAny(e: String, kws: Seq[String]): String =
+    kws.map(k => s"contains(lower($e), ${sq(k.toLowerCase)})").mkString("(", " OR ", ")")
+
+  private def caseMap(e: String, m: Seq[(String, String)]): String =
+    s"CASE $e " + m.map { case (f, t) => s"WHEN ${sq(f)} THEN ${sq(t)}" }.mkString(" ") +
+      s" ELSE $e END"
+
+  val capexRawSql: String = {
+    val statuses = pick(Statuses, "l_orderkey*3 + l_linenumber")
+    val funcs = pick(Functions, "l_orderkey + 2*l_linenumber")
+    val vsel = pick(VendorSel, "l_partkey + 7*l_linenumber")
+    val items = pick(Items, "l_partkey")
+    val icats = pick(ItemCats, "l_suppkey")
+    val acats = pick(AssetCats, "l_partkey + l_suppkey")
+    val rems = pick(Remarks, "l_orderkey*5 + l_linenumber*3")
+    s"""SELECT
+      md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+          || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)
+          || '|' || CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+          || '|' || CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)) AS rid,
+      'REQ-' || CAST(l_orderkey // 16 AS VARCHAR) AS RequestNo,
+      $statuses AS CurrentStatus,
+      $funcs AS RequestFunction,
+      $vsel AS IsSelectedVendor,
+      CASE WHEN l_suppkey % 7 = 0 THEN '' ELSE 'Vendor ' || CAST(l_suppkey AS VARCHAR) END AS VendorName,
+      $items AS AssetItemName,
+      $icats AS ItemCategory,
+      $acats AS AssetCategoryName,
+      $rems AS UserRemarks,
+      CASE WHEN l_orderkey % 17 = 0 THEN 'BR-' || CAST(l_orderkey % 89 AS VARCHAR) ELSE n_name END AS BranchCode,
+      l_extendedprice AS AssetItemAmount,
+      o_orderdate AS RequestDate
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey"""
+  }
+
+  private val kwHit = (kw: String) => {
+    val k = sq(kw.toLowerCase)
+    s"(contains(lower(AssetItemName), $k) OR contains(lower(ItemCategory), $k) OR contains(lower(UserRemarks), $k))"
+  }
+  private val cctvHit =
+    Seq("AssetItemName", "ItemCategory", "UserRemarks")
+      .map(c => s"contains(lower($c), 'cctv') OR contains(lower($c), 'camera')")
+      .mkString("(", " OR ", ")")
+
+  /** The full enriched-CTE chain (capex_raw → … → enriched/ranked/kept/
+    * reinstated/pipe). Prefixed to every capex oracle query.
+    */
+  val withEnriched: String = {
+    val catu = caseMap("upper(trim(AssetCategoryName))", OfficeFurnitureTypoMap)
+    val isOfficeFurn =
+      s"(regexp_matches($catu, '\\bOFFICE\\b.*\\bEQUIP') OR regexp_matches($catu, '\\bFURNIT'))"
+    val allowedHit = containsAny("AssetItemName", OfficeFurnitureAllowedItems)
+    val normRecode = caseMap("upper(trim(acat_recode))", NormalizeMap)
+    val normRaw = caseMap("upper(trim(AssetCategoryName))", NormalizeMap)
+    val acatSplit = PmSplitItems.reverse
+      .map(kw => s"WHEN contains(lower(AssetItemName), ${sq(kw.toLowerCase)}) THEN ${sq(s"PLANT & MACHINERY - $kw")}")
+      .mkString("CASE ", " ", " ELSE acat_norm END")
+    val S = TextMatch.Sql
+    val equip = S.isExcludedEquipment("AssetItemName || ' ' || ItemCategory || ' ' || AssetCategoryName")
+    val r18kw = NonOpsKeywords.map(kwHit).mkString("(", " OR ", ")")
+    val r18Label = "CASE " + NonOpsKeywords.map(kw =>
+      s"WHEN ${kwHit(kw)} THEN ${sq(labelR18(kw))}").mkString(" ") +
+      s" ELSE ${sq(LabelR18Cctv)} END"
+    val keyStrict = "trim(RequestNo) || '|' || trim(AssetItemName) || '|' || trim(VendorName)"
+    val keyRobust =
+      s"CASE WHEN trim(VendorName) = '' THEN trim(RequestNo) || '|' || trim(AssetItemName) ELSE $keyStrict END"
+
+    s"""WITH capex_raw AS ($capexRawSql),
+    offices AS (
+      SELECT n_name AS office, r_name AS zone,
+             CASE WHEN n_name = ${sq(MumNation)} THEN 'MUM' ELSE n_name END AS region,
+             r_name AS regioncode, n_nationkey
+      FROM nation JOIN region ON n_regionkey = r_regionkey),
+    rcodes AS (
+      SELECT regioncode, min(zone) AS fb_zone, arg_max(region, n_nationkey) AS fb_region
+      FROM offices GROUP BY regioncode),
+    mapped AS (
+      SELECT c.*, coalesce(o.zone, rc.fb_zone, 'Unknown') AS Zone,
+             coalesce(o.region, rc.fb_region, 'Unknown') AS Region
+      FROM capex_raw c
+      LEFT JOIN offices o ON c.BranchCode = o.office
+      LEFT JOIN rcodes rc
+        ON o.office IS NULL AND regexp_matches(c.UserRemarks, '\\b' || rc.regioncode || '\\b')),
+    c1 AS (
+      SELECT *,
+        CASE WHEN $isOfficeFurn AND NOT $allowedHit THEN 'PLANT & MACHINERY'
+             ELSE AssetCategoryName END AS acat_recode
+      FROM mapped),
+    c2 AS (
+      SELECT *, $normRecode AS acat_norm, $normRaw AS acat_norm_raw FROM c1),
+    c3 AS (
+      SELECT *, $acatSplit AS acat_split,
+        ${S.tokens("UserRemarks")} AS rtoks,
+        ${S.tokens("AssetItemName || ' ' || ItemCategory || ' ' || acat_recode || ' ' || UserRemarks")} AS dtoks
+      FROM c2),
+    c4 AS (
+      SELECT *,
+        ${S.isTestDemo("rtoks")} AS flag_test_demo,
+        ${S.isPersonal("rtoks")} AS flag_personal,
+        ${S.isExperimental("rtoks")} AS flag_experimental,
+        ${S.mentionsDarkStore("rtoks")} AS flag_dark_store,
+        ${S.mentionsCounter("rtoks")} AS flag_counter,
+        ${S.mentionsDsWord("rtoks")} AS flag_ds,
+        ${S.anyPhraseNonNegated("dtoks", TextMatch.PersonalDeviceWords)} AS device_hit
+      FROM c3),
+    c5 AS (
+      SELECT *, (flag_test_demo OR flag_personal OR flag_experimental) AS nonrel FROM c4),
+    c6 AS (
+      SELECT *,
+        (lower(trim(CurrentStatus)) = 'rejected') AS rm_r1,
+        (trim(IsSelectedVendor) = '-') AS rm_r2,
+        (lower(trim(RequestFunction)) IN (${RemovedFunctions.map(sq).mkString(", ")})) AS rm_r3,
+        $equip AS rm_r3a,
+        (lower(trim(acat_norm)) NOT IN (${AllowedCategories.map(sq).mkString(", ")})) AS rm_r5,
+        device_hit AS rm_r5a,
+        (flag_ds OR flag_dark_store OR (flag_counter AND NOT ${containsAny("AssetItemName", LegitimateCounterItems)})) AS rm_r6,
+        (RequestFunction = 'IT' AND nonrel) AS rm_r8,
+        (CurrentStatus = 'Approval in Progress' OR (CurrentStatus = 'Sent for Approval' AND nonrel)) AS rm_r9,
+        flag_dark_store AS rm_r10,
+        (RequestFunction = 'Admin' AND nonrel) AS rm_r11,
+        (RequestFunction = 'Ops' AND nonrel) AS rm_r12,
+        (RequestFunction = 'Ops through IT' AND nonrel) AS rm_r13,
+        ($r18kw OR $cctvHit) AS rm_r18
+      FROM c5),
+    enriched AS MATERIALIZED (
+      SELECT *,
+        CASE WHEN rm_r1 THEN ${sq(LabelR1)} WHEN rm_r2 THEN ${sq(LabelR2)}
+             WHEN rm_r3 THEN ${sq(LabelR3)} WHEN rm_r3a THEN ${sq(LabelR3a)}
+             WHEN rm_r5 THEN ${sq(LabelR5)} WHEN rm_r5a THEN ${sq(LabelR5a)}
+             WHEN rm_r6 THEN ${sq(LabelR6)} WHEN rm_r8 THEN ${sq(LabelR8)}
+             WHEN rm_r9 THEN ${sq(LabelR9)} WHEN rm_r10 THEN ${sq(LabelR10)}
+             WHEN rm_r11 THEN ${sq(LabelR11)} WHEN rm_r12 THEN ${sq(LabelR12)}
+             WHEN rm_r13 THEN ${sq(LabelR13)}
+             WHEN rm_r18 THEN $r18Label
+             ELSE NULL END AS excluded_by,
+        (NOT (rm_r1 OR rm_r2 OR rm_r3 OR rm_r3a OR rm_r5 OR rm_r5a OR rm_r6 OR rm_r8
+              OR rm_r9 OR rm_r10 OR rm_r11 OR rm_r12 OR rm_r13 OR rm_r18)) AS survives,
+        $keyStrict AS key_strict,
+        $keyRobust AS key_robust,
+        ((CASE WHEN CurrentStatus = 'Approved' THEN 100 ELSE 0 END)
+         + (CASE WHEN CurrentStatus = 'Sent for Approval' THEN 50 ELSE 0 END)
+         + (CASE WHEN IsSelectedVendor = 'Yes' THEN 10 ELSE 0 END)) AS priority,
+        (CASE WHEN ${containsAny("AssetItemName", RentalKeywords)} THEN 'Rental_Opex'
+              WHEN ${containsAny("AssetItemName", SorterKeywords)} THEN 'Sorter'
+              WHEN ${containsAny("AssetItemName", AmcKeywords)} THEN 'AMC'
+              ELSE 'Regular' END) AS category_type,
+        (CASE WHEN upper(trim(Region)) IN ('MUMBAI', 'MUM')
+              THEN UserRemarks || ${sq(MumComment)} ELSE UserRemarks END) AS remarks_final
+      FROM c6),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY RequestNo ORDER BY priority DESC, rid ASC) AS rk
+      FROM enriched WHERE survives),
+    kept AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY key_strict, AssetItemAmount ORDER BY rid ASC) AS dup_rn
+        FROM ranked WHERE rk <= 5) WHERE dup_rn = 1),
+    failopen_keys AS (
+      SELECT DISTINCT key_robust FROM enriched WHERE survives
+      EXCEPT SELECT DISTINCT key_robust FROM kept),
+    reinstated AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT e.*, row_number() OVER (PARTITION BY e.key_strict, e.AssetItemAmount ORDER BY e.rid ASC) AS dup_rn
+        FROM enriched e
+        WHERE e.key_robust IN (SELECT key_robust FROM failopen_keys)
+          AND NOT EXISTS (SELECT 1 FROM kept k
+                          WHERE k.key_strict = e.key_strict
+                            AND k.AssetItemAmount = e.AssetItemAmount)) WHERE dup_rn = 1),
+    pipe AS MATERIALIZED (
+      SELECT rid, RequestNo, AssetItemName, VendorName, key_strict AS CompositePrimaryKey,
+             CurrentStatus, RequestFunction, IsSelectedVendor, ItemCategory,
+             acat_recode AS AssetCategoryName, acat_split AS AssetCategoryName_2,
+             remarks_final AS UserRemarks, Zone, Region, category_type AS Category_Type,
+             AssetItemAmount, RequestDate, false AS ReincludedViaFailOpen
+      FROM kept
+      UNION ALL
+      SELECT rid, RequestNo, AssetItemName, VendorName, key_strict,
+             CurrentStatus, RequestFunction, IsSelectedVendor, ItemCategory,
+             AssetCategoryName, acat_norm_raw, UserRemarks, Zone, Region,
+             CAST(NULL AS VARCHAR), AssetItemAmount, RequestDate, true
+      FROM reinstated)"""
+  }
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table (SURVEY.md §2.D, D5-D7).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set over the
+  * corpus scan — one pass, no shuffle of the corpus. The LSH variant buckets
+  * by a random-hyperplane signature so the 100 TB path shuffles once by
+  * bucket; hyperplanes are md5-derived (deterministic, no RNG state).
+  * Dot products fold left-to-right in double precision in both engines.
+  */
+object Ann {
+
+  val Dim = 64
+
+  /** Left-to-right double dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.8). Exercised brute-force
+    * at test scale; the LSH bucketing below is the 100 TB candidate path.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val a = vecs(spark, dir).select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vecs(spark, dir).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+  val dedupEmbeddingSql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(${dotSql("a.embedding", "b.embedding")}
+            / (${normSql("a.embedding")} * ${normSql("b.embedding")}), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ${dotSql("a.embedding", "b.embedding")}
+          / (${normSql("a.embedding")} * ${normSql("b.embedding")}) >= 0.8"""
+
+  /** D6: brute-force cosine top-k for a query set (vec_id < 10), k=5.
+    * The query side is broadcast; ranking is one window per query id.
+    */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = vecs(spark, dir).select(col("vec_id").as("nb_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    broadcast(q).crossJoin(c).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+  val annBruteforceSql: String =
+    s"""SELECT q_id, nb_id, rank, round(cos, 4) AS cos_sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+             ${dotSql("q.embedding", "c.embedding")}
+               / (${normSql("q.embedding")} * ${normSql("c.embedding")}) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                 / (${normSql("q.embedding")} * ${normSql("c.embedding")}) DESC,
+                 c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10) WHERE rank <= 5"""
+
+  /** md5-derived ±1 hyperplane component for (plane j, dimension d). */
+  private def planeSign(j: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ((Integer.parseInt(hex.substring(0, 1), 16) & 1) == 1) 1 else -1
+  }
+
+  val NumPlanes = 8
+
+  /** Random-hyperplane LSH bucket id: bit j set iff Σ_d sign(j,d)·x_d > 0.
+    * Signs are baked in as literals (the "hyperplane matrix" is code-time
+    * deterministic), so the expression stays pure-codegen.
+    */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val proj = (0 until Dim).map { d =>
+        element_at(v, d + 1).cast("double") * planeSign(j, d)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** D7: LSH-bucketed ANN — same top-k contract as brute force but
+    * candidates are restricted to the query's bucket (rows-only oracle:
+    * recall is approximate by construction).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+    val c = all.select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    broadcast(q).join(c, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,199 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for LLM training data (SURVEY.md §2.D, D1-D5).
+  *
+  * Scale design: every near-dup variant avoids the O(n²) all-pairs join —
+  * candidate pairs come from equality joins on bounded-size buckets
+  * (minhash band hash, simhash byte-band, shared shingle hash), which at
+  * 100 TB means one shuffle keyed by bucket and pair generation only inside
+  * buckets. Hash functions are md5-based so the DuckDB oracle verifies real
+  * signatures, not just row counts (SURVEY.md §4).
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val Bands = 4 // 4 rows per band
+
+  private def docsWithToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("toks"))
+
+  /** D1: exact dedup via normalized-text hash. Map-side-combinable groupBy;
+    * keeper = min doc id per content hash.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(TextOps.normText(col("text")).cast("binary")).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+  val dedupExactSql: String =
+    s"""SELECT text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+    FROM (SELECT doc_id, md5(${TextOps.normTextSql}) AS text_hash FROM documents)
+    GROUP BY text_hash"""
+
+  /** Seeded string minhash component: lexicographic min over shingles of
+    * md5(seed:shingle) — the hex-string min equals the numeric 128-bit min,
+    * and is identical in both engines.
+    */
+  private def minhashSig(sh: Column): Column =
+    array((1 to NumHashes).map { j =>
+      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s).cast("binary"))))
+    }: _*)
+  private def minhashSigSql(shExpr: String): Seq[String] =
+    (1 to NumHashes).map(j => s"list_min(list_transform($shExpr, s -> md5('$j:' || s)))")
+
+  /** Docs with ≥3 tokens get a 16-component minhash signature + 4 band keys. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val withSig = docsWithToks(spark, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), minhashSig(TextOps.shingles(col("toks"))).as("sig"))
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (1 to NumHashes / Bands).map(r => element_at(col("sig"), b * (NumHashes / Bands) + r))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", parts: _*).cast("binary")).as("band_hash"))
+    }
+    withSig.withColumn("band", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** D2: MinHash+LSH near-dup candidate pairs: equality-join on
+    * (band_idx, band_hash) buckets; est_sim = matching signature fraction.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val b = minhashSignatures(spark, dir)
+    val a = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_hash"))
+    val c = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_hash"))
+    val est = (1 to NumHashes).map(j =>
+      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+    a.join(c, Seq("band_idx", "band_hash")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
+      .filter(col("est_sim") >= 0.5)
+      .distinct()
+  }
+  def dedupMinhashSql: String = {
+    val sigs = minhashSigSql(TextOps.shinglesSql("toks")).zipWithIndex
+      .map { case (e, i) => s"$e AS h${i + 1}" }.mkString(",\n        ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (1 to NumHashes / Bands).map(r => s"h${b * (NumHashes / Bands) + r}").mkString(" || ',' || ")
+      s"SELECT *, $b AS band_idx, md5($parts) AS band_hash FROM sigs"
+    }.mkString("\n      UNION ALL ")
+    val est = (1 to NumHashes).map(j =>
+      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sigs AS MATERIALIZED (
+      SELECT doc_id, $sigs
+      FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)
+      WHERE len(toks) >= 3),
+    bands AS MATERIALIZED ($bandRows)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST($est AS DOUBLE) / $NumHashes AS est_sim
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    WHERE CAST($est AS DOUBLE) / $NumHashes >= 0.5"""
+  }
+
+  /** 32-bit simhash from md5 hex-digit parities: bit i is set iff the
+    * weighted token vote Σ(±1) for hex position i is positive.
+    */
+  def simhash(t: Column): Column = {
+    val hexes = transform(t, x => md5(x.cast("binary")))
+    (1 to 32).map { i =>
+      val vote = aggregate(hexes, lit(0), (acc, h) =>
+        acc + when(substring(h, i, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1))
+      when(vote > 0, lit(1L << (i - 1))).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Same vote/bit formula over a pre-computed `hexes` list column. */
+  def simhashSqlOverHexes: String = {
+    val bits = (1 to 32).map { i =>
+      s"""CASE WHEN list_sum(list_transform(hexes, h ->
+        CASE WHEN substr(h, $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
+        THEN ${1L << (i - 1)} ELSE 0 END"""
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  /** D3: SimHash near-dup pairs — byte-band bucketing (4 bands of 8 bits),
+    * Hamming distance ≤ 6 via bit_count(xor).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = docsWithToks(spark, dir).filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), simhash(col("toks")).as("sh"))
+    val banded = base.withColumn("band",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          expr(s"shiftright(sh, ${b * 8}) & 255").as("band_key"))): _*)))
+      .select(col("doc_id"), col("sh"), col("band.band_idx"), col("band.band_key"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band_idx"), col("band_key"))
+    val c = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band_idx"), col("band_key"))
+    a.join(c, Seq("band_idx", "band_key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+  }
+  def dedupSimhashSql: String =
+    s"""WITH hx AS (
+      SELECT doc_id, list_transform(toks, x -> md5(x)) AS hexes
+      FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)
+      WHERE len(toks) >= 1),
+    sh AS MATERIALIZED (
+      SELECT doc_id, $simhashSqlOverHexes AS sh FROM hx),
+    banded AS MATERIALIZED (
+      SELECT doc_id, sh, b.band_idx, (sh >> (b.band_idx * 8)) & 255 AS band_key
+      FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6"""
+
+  /** D4: n-gram Jaccard pairs via a shared-shingle inverted index — pairs
+    * are generated only for docs sharing ≥1 shingle hash (the 100 TB path:
+    * shuffle by shingle hash, never all-pairs).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithToks(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val pairs = inv.select(col("doc_id").as("doc_a"), col("h"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+  def dedupNgramJaccardSql: String =
+    s"""WITH sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(${TextOps.shinglesSql("toks")}) AS shingles
+      FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh2),
+    inv AS MATERIALIZED (
+      SELECT doc_id, md5(s) AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh2)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, inter,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3"""
+}

@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.D):
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * Column expressions (codegen-friendly, no UDFs) with DuckDB twins for the
+  * oracle. At 100 TB each is a single scan — embarrassingly parallel, no
+  * shuffle except the final write.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed lowercase normal form shared by dedup/fingerprint. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " "))
+  val normTextSql: String =
+    "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+
+  def toks(text: Column): Column =
+    regexp_extract_all(lower(coalesce(text, lit(""))), lit("[a-z0-9]+"), lit(0))
+  val toksSql = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+
+  /** Word 3-gram shingles; empty array below 3 tokens (guarded: Spark's
+    * sequence(a,b) runs DESCENDING when b<a, unlike DuckDB range). */
+  def shingles(t: Column): Column =
+    when(size(t) < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  def shinglesSql(toksExpr: String): String =
+    s"list_transform(range(1, greatest(len($toksExpr) - 2, 0) + 1), " +
+      s"i -> ($toksExpr)[i] || ' ' || ($toksExpr)[i+1] || ' ' || ($toksExpr)[i+2])"
+
+  // Small per-language stopword vocabularies for the n-gram/stopword
+  // language-ID heuristic. Scores are plain token membership counts.
+  val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "auf", "ein")
+  val StopFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans")
+  val StopEs = Seq("el", "la", "los", "de", "y", "un", "una", "es", "para", "con")
+
+  private def stopCount(t: Column, stops: Seq[String]): Column = {
+    val arr = array(stops.map(lit): _*)
+    size(filter(t, x => array_contains(arr, x)))
+  }
+  private def stopCountSql(toksExpr: String, stops: Seq[String]): String = {
+    val arr = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter($toksExpr, x -> list_contains($arr, x)))"
+  }
+
+  /** D8: language ID. Argmax of stopword hits, tie order en>de>fr>es. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      stopCount(t, StopEn).as("s_en"), stopCount(t, StopDe).as("s_de"),
+      stopCount(t, StopFr).as("s_fr"), stopCount(t, StopEs).as("s_es"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+  }
+  val textLangidSql: String = {
+    val t = "toks"
+    s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+      CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+    FROM (SELECT doc_id,
+      ${stopCountSql(t, StopEn)} AS s_en, ${stopCountSql(t, StopDe)} AS s_de,
+      ${stopCountSql(t, StopFr)} AS s_fr, ${stopCountSql(t, StopEs)} AS s_es
+      FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""
+  }
+
+  /** D9: quality scoring — length/punctuation/stopword ratios combined into
+    * a [0,1] score. Ratios are double ops over exact integer counts, so the
+    * oracle matches bit-for-bit.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(t).as("n_tokens"),
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sum_tok_len"),
+      length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
+      stopCount(t, StopEn).as("n_stop"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("sum_tok_len").cast("double") / col("n_tokens")))
+      .withColumn("punct_ratio",
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("n_punct").cast("double") / col("n_chars")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.5 + (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.2)
+  }
+  val textQualitySql: String =
+    s"""SELECT doc_id, n_chars, n_tokens, sum_tok_len, n_punct, n_stop,
+      CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(sum_tok_len AS DOUBLE) / n_tokens END AS avg_token_len,
+      CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+      CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+      (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 0.5
+        + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.3
+        + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.2 AS quality_score
+    FROM (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS INT) AS sum_tok_len,
+        length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+        ${stopCountSql("toks", StopEn)} AS n_stop
+      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))"""
+
+  /** D10: token counting — whitespace runs + a BPE-ish regex segmentation. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+  val textTokensSql: String =
+    """SELECT doc_id,
+      len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+    FROM documents"""
+
+  /** D11: fingerprinting — exact md5 of the normal form plus the min-hash of
+    * word shingles (a 1-component minhash: rolling content fingerprint).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(toks(col("text")))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(normText(col("text")).cast("binary")).as("exact_fp"),
+      array_min(transform(sh, s => md5(s.cast("binary")))).as("shingle_fp"))
+  }
+  val textFingerprintSql: String =
+    s"""SELECT doc_id, md5($normTextSql) AS exact_fp,
+      list_min(list_transform(${shinglesSql(toksSql)}, s -> md5(s))) AS shingle_fp
+    FROM documents"""
+}

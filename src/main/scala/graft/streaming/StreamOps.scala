@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators (SURVEY.md §2.E7): parquet stream source →
+  * watermark → windowed aggregation, and a stateful gap sessionizer via
+  * flatMapGroupsWithState. Watermarks bound state; the sessionizer uses
+  * event-time timeout so idle users' state is evicted — both required for
+  * unbounded 100 TB/day streams.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
+                        n_events: Long, sum_value: Double)
+
+  /** Parquet stream source over a directory of event part-files (file
+    * streams require a directory); schema locked from a batch read of the
+    * same path so the stream can't drift. Same nanos→micros normalization
+    * as Tables.events.
+    */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** E7: tumbling-window count/sum with a 1-hour watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_tz", col("ts").cast("timestamp"))
+      .withWatermark("ts_tz", "1 hour")
+      .groupBy(window(col("ts_tz"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Full-precision epoch micros of a Timestamp (getTime alone drops µs). */
+  private def microsOf(ts: Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt) // full sub-second from micros
+    t
+  }
+
+  /** Stateful gap sessionizer: emits a session when a user goes quiet for
+    * longer than the gap (or on event-time timeout). State is one small
+    * struct per active user (epoch-micros bounds) — bounded by the watermark.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, tsOf(s.start), tsOf(s.last), s.n, s.sumValue))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = microsOf(e.ts)
+              cur match {
+                case Some(s) if t - s.last > SessionGapMs * 1000 =>
+                  closed += SessionOut(userId, tsOf(s.start), tsOf(s.last), s.n, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000 + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a stream to completion against a static parquet dir via the memory
+    * sink (used by specs and as the reference harness for stream correctness).
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

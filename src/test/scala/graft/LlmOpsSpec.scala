@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Dedup, Multimodal, TextOps}
+
+/** Specs for the LLM-training-data operators (SURVEY.md §2.D) at sf0.001. */
+class LlmOpsSpec extends SparkSpecBase {
+
+  test("dedup_exact groups all docs and keeps min ids") {
+    val d = Dedup.dedupExact(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(d.agg(sum("n_dups")).head.getLong(0) == docs)
+  }
+
+  test("minhash signatures have 16 components and identical docs collide") {
+    val sigs = Dedup.minhashSignatures(spark, sfDir)
+    assert(sigs.filter(size(col("sig")) =!= 16).count() == 0)
+    // 4 band rows per doc
+    val perDoc = sigs.groupBy("doc_id").count().agg(min("count"), max("count")).head
+    assert(perDoc.getLong(0) == 4 && perDoc.getLong(1) == 4)
+  }
+
+  test("dedup pairs are ordered and unique") {
+    for (df <- Seq(Dedup.dedupMinhash(spark, sfDir), Dedup.dedupSimhash(spark, sfDir),
+      Dedup.dedupNgramJaccard(spark, sfDir))) {
+      assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+      assert(df.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).count() == 0)
+    }
+  }
+
+  test("simhash of identical token lists is equal, different lists differ") {
+    import spark.implicits._
+    val df = Seq("spark joins the table", "spark joins the table", "totally different words here")
+      .toDF("text").select(Dedup.simhash(TextOps.toks(col("text"))).as("sh"))
+    val vals = df.collect().map(_.getLong(0))
+    assert(vals(0) == vals(1) && vals(0) != vals(2))
+  }
+
+  test("ann_bruteforce returns exactly k=5 ranked neighbors per query") {
+    val r = Ann.annBruteforce(spark, sfDir)
+    val per = r.groupBy("q_id").count().collect()
+    assert(per.length == 10 && per.forall(_.getLong(1) == 5))
+    // rank 1 neighbor has the max cosine
+    val top = r.filter(col("rank") === 1).select(min("cos_sim")).head.getDouble(0)
+    val bottom = r.filter(col("rank") === 5).select(max("cos_sim")).head.getDouble(0)
+    assert(top >= bottom - 1e-9)
+  }
+
+  test("ann_lsh results are a subset-quality approximation of brute force") {
+    val lsh = Ann.annLsh(spark, sfDir)
+    assert(lsh.count() > 0)
+    assert(lsh.filter(col("rank") > 5).count() == 0)
+  }
+
+  test("text quality/tokens/langid/fingerprint produce full coverage") {
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(TextOps.textQuality(spark, sfDir).count() == docs)
+    assert(TextOps.textTokens(spark, sfDir).count() == docs)
+    val lang = TextOps.textLangid(spark, sfDir)
+    assert(lang.filter(col("lang_pred").isin("en", "de", "fr", "es")).count() == docs)
+    val fp = TextOps.textFingerprint(spark, sfDir)
+    assert(fp.filter(col("exact_fp").isNull).count() == 0)
+  }
+
+  test("mm_pipeline decodes payload bytes deterministically") {
+    val mm = Multimodal.mmPipeline(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val joined = mm.join(docs, mm("media_id") === docs("doc_id"))
+    assert(joined.filter(col("n_bytes") =!= col("len")).count() == 0)
+    assert(mm.filter(col("first_byte") < -1 || col("first_byte") > 255).count() == 0)
+  }
+}

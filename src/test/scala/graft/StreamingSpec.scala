@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Events
+import graft.streaming.StreamOps
+
+/** Structured Streaming specs (SURVEY.md §2.E7): the streaming windowed agg
+  * must agree with its batch mirror, and the stateful sessionizer must agree
+  * with the window-function sessionization on a bounded input.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming windowed agg matches the batch mirror") {
+    // file streams need a directory of part files — stage one
+    val sdir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      sdir.resolve("part-00000.parquet"))
+    val stream = StreamOps.readEventStream(spark, sdir.toString)
+    // Complete mode so the bounded-input totals are comparable.
+    val got = StreamOps.runToMemory(spark, StreamOps.windowedAgg(stream),
+      "win_agg_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+    val want = Events.streamWindowAgg(spark, sfDir)
+      .select(col("window_start").cast("timestamp").cast("string"),
+        col("event_type"), col("n_events"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("stateful sessionizer matches window-function sessionization") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    // Batch-mode flatMapGroupsWithState (no watermark timeouts in batch):
+    // sessions close on gap; the trailing open session per user stays in
+    // state, so compare closed sessions only.
+    // n_events + timestamps compare exactly; sum_value is float-order
+    // sensitive between the decimal batch path and running double sum.
+    val got = StreamOps.sessionize(ev).toDF()
+      .select(col("user_id"), col("n_events"), col("t_start").cast("string"))
+    val batch = Events.streamSessionize(spark, sfDir)
+    // drop each user's last session (still "open" in the streaming view)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val closedBatch = batch
+      .withColumn("max_sid", max("session_id").over(w))
+      .filter(col("session_id") < col("max_sid"))
+      .select(col("user_id"), col("n_events"), col("t_start").cast("timestamp").cast("string"))
+    assert(got.count() == closedBatch.count())
+    assert(got.exceptAll(closedBatch).count() == 0)
+  }
+}
