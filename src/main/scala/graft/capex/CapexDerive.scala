@@ -143,19 +143,26 @@ object CapexDerive {
           when(lower(item).contains(kw.toLowerCase), s"PLANT & MACHINERY - $kw").otherwise(acc)
         })
 
-    // Remark flags (negation-aware, tokenized once — TextMatch).
-    val rtoks = TextMatch.tokens(rem)
-    val dtoks = TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem))
-    val withFlags = withCats
-      .withColumn("flag_test_demo", TextMatch.isTestDemo(rtoks))
-      .withColumn("flag_personal", TextMatch.isPersonal(rtoks))
-      .withColumn("flag_experimental", TextMatch.isExperimental(rtoks))
-      .withColumn("flag_dark_store", TextMatch.mentionsDarkStore(rtoks))
-      .withColumn("flag_counter", TextMatch.mentionsCounter(rtoks))
+    // Remark flags (negation-aware): tokenize once, compute the non-negated
+    // position pass once, then every flag is a cheap membership/scan.
+    val withToks = withCats
+      .withColumn("rtoks", TextMatch.tokens(rem))
+      .withColumn("dtoks", TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem)))
+      .withColumn("nn_rtoks", TextMatch.nonNegatedTokens(col("rtoks")))
+      .withColumn("nn_dtoks", TextMatch.nonNegatedTokens(col("dtoks")))
+    val rtoks = col("rtoks"); val nnR = col("nn_rtoks")
+    val withFlags = withToks
+      .withColumn("flag_test_demo", TextMatch.isTestDemo(rtoks, nnR))
+      .withColumn("flag_personal", TextMatch.isPersonal(rtoks, nnR))
+      .withColumn("flag_experimental", TextMatch.isExperimental(rtoks, nnR))
+      .withColumn("flag_dark_store", TextMatch.mentionsDarkStore(rtoks, nnR))
+      .withColumn("flag_counter", TextMatch.mentionsCounter(rtoks, nnR))
       .withColumn("flag_ds", TextMatch.mentionsDsWord(rtoks))
-      .withColumn("device_hit", TextMatch.anyPhraseNonNegated(dtoks, TextMatch.PersonalDeviceWords))
+      .withColumn("device_hit", TextMatch.anyPhraseNonNegated(
+        col("dtoks"), col("nn_dtoks"), TextMatch.PersonalDeviceWords))
       .withColumn("nonrel",
         col("flag_test_demo") || col("flag_personal") || col("flag_experimental"))
+      .drop("rtoks", "dtoks", "nn_rtoks", "nn_dtoks")
 
     // Rule removal predicates in pipeline order.
     val kwHit = (kw: String) =>

@@ -181,12 +181,12 @@ object CapexQueries {
       SELECT dim_type, dim_value, n_rows, total_amount, total_amount / n_rows AS avg_amount FROM summ""",
     "composite_key" -> s"$W SELECT rid, key_strict AS composite_key, key_robust AS robust_key FROM enriched",
     "representative_rows" -> s"$W SELECT rid, RequestNo, priority, rk FROM ranked WHERE rk <= 5",
-    "semi_filter" -> s"""$W SELECT rid, RequestNo FROM enriched
-      WHERE RequestNo IN (SELECT RequestNo FROM enriched WHERE CurrentStatus = 'Approved')""",
+    "semi_filter" -> s"""$W SELECT rid, RequestNo FROM enriched_m
+      WHERE RequestNo IN (SELECT RequestNo FROM enriched_m WHERE CurrentStatus = 'Approved')""",
     "fail_open_reinstate" -> s"$W SELECT rid, key_robust, true AS reincluded FROM reinstated",
     "capex_pipeline" -> s"$W SELECT * FROM pipe",
     "validate_prf" -> s"""$W, ref_keys AS (
-        SELECT DISTINCT key_robust AS k FROM enriched WHERE $refPredSql),
+        SELECT DISTINCT key_robust AS k FROM enriched_m WHERE $refPredSql),
       proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe),
       counts AS (
         SELECT sum(CASE WHEN p.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS tp,
@@ -210,7 +210,7 @@ object CapexQueries {
         SELECT key_robust AS k, ${dsumSql("AssetItemAmount")} AS r_amt,
                list_sort(list_distinct(list(lower(trim(Zone))))) AS r_zones,
                list_sort(list_distinct(list(AssetCategoryName))) AS r_cats
-        FROM enriched WHERE $refPredSql GROUP BY key_robust),
+        FROM enriched_m WHERE $refPredSql GROUP BY key_robust),
       proc_agg AS (
         SELECT $robustKeySql AS k, ${dsumSql("AssetItemAmount")} AS p_amt,
                list_sort(list_distinct(list(lower(trim(Zone))))) AS p_zones,

@@ -45,45 +45,64 @@ object TextMatch {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(coalesce(text, lit(""))), lit("[a-z0-9']+"), lit(0))
 
-  /** True iff `phrase` occurs in the token array non-negated. `toks` should
-    * be a pre-computed `tokens(...)` column so one tokenization feeds all
-    * phrase checks.
+  /** Tokens whose position is NOT negation-guarded (no negation word within
+    * the 3 preceding tokens). Computed ONCE per row, this turns every
+    * single-token phrase check into a cheap membership test — the positional
+    * scan only remains for multi-token phrases.
     */
-  def phraseNonNegated(toks: Column, phrase: String): Column = {
+  def nonNegatedTokens(toks: Column): Column = {
+    val negarr = array(NegationWords.map(lit): _*)
+    filter(toks, (_, i) => {
+      val pos = i + lit(1)
+      val wstart = greatest(pos - lit(3), lit(1))
+      !arrays_overlap(slice(toks, wstart, pos - wstart), negarr)
+    })
+  }
+
+  /** True iff `phrase` occurs in the token array non-negated. `toks` should
+    * be a pre-computed `tokens(...)` column and `nnToks` a pre-computed
+    * `nonNegatedTokens(toks)` so one pass feeds all phrase checks.
+    */
+  def phraseNonNegated(toks: Column, nnToks: Column, phrase: String): Column = {
     val p = phraseTokens(phrase)
     val k = p.length
     require(k > 0, s"empty phrase: '$phrase'")
-    val parr = array(p.map(lit): _*)
-    val negarr = array(NegationWords.map(lit): _*)
-    val hits = filter(toks, (_, i) => {
-      val pos = i + lit(1) // 1-based position of candidate occurrence start
-      val isOcc = (i + lit(k) <= size(toks)) && (slice(toks, pos, lit(k)) === parr)
-      val wstart = greatest(pos - lit(3), lit(1))
-      val negated = arrays_overlap(slice(toks, wstart, pos - wstart), negarr)
-      isOcc && !negated
-    })
-    size(hits) > 0
+    if (k == 1) {
+      array_contains(nnToks, p.head)
+    } else {
+      val parr = array(p.map(lit): _*)
+      val negarr = array(NegationWords.map(lit): _*)
+      val hits = filter(toks, (_, i) => {
+        val pos = i + lit(1) // 1-based position of candidate occurrence start
+        val isOcc = (i + lit(k) <= size(toks)) && (slice(toks, pos, lit(k)) === parr)
+        val wstart = greatest(pos - lit(3), lit(1))
+        val negated = arrays_overlap(slice(toks, wstart, pos - wstart), negarr)
+        isOcc && !negated
+      })
+      size(hits) > 0
+    }
   }
 
   /** Any of `phrases` non-negated (reference `_any_phrase_with_negation_awareness`). */
+  def anyPhraseNonNegated(toks: Column, nnToks: Column, phrases: Seq[String]): Column =
+    phrases.map(phraseNonNegated(toks, nnToks, _)).reduce(_ || _)
+
+  /** Convenience overload computing the non-negated pass inline (specs). */
   def anyPhraseNonNegated(toks: Column, phrases: Seq[String]): Column =
-    phrases.map(phraseNonNegated(toks, _)).reduce(_ || _)
+    anyPhraseNonNegated(toks, nonNegatedTokens(toks), phrases)
 
   /** Plain whole-word containment, no negation check (reference `\bds\b` etc). */
   def hasToken(toks: Column, word: String): Column =
     array_contains(toks, word.toLowerCase)
 
-  /** Reference `remark_flags` (process_capex.py:130-145) as named flag columns. */
-  def isTestDemo(toks: Column): Column    = anyPhraseNonNegated(toks, TestDemoPhrases)
-  def isPersonal(toks: Column): Column    = anyPhraseNonNegated(toks, PersonalNonBusinessPhrases)
-  def isExperimental(toks: Column): Column = anyPhraseNonNegated(toks, ExperimentalPhrases)
-  def mentionsDarkStore(toks: Column): Column = anyPhraseNonNegated(toks, DarkStorePhrases)
-  def mentionsCounter(toks: Column): Column   = anyPhraseNonNegated(toks, CounterPhrases)
-  def mentionsDsWord(toks: Column): Column    = hasToken(toks, "ds")
-
-  /** "Non-relevant" remark per reference rules 8/11/12/13. */
-  def nonRelevantRemark(toks: Column): Column =
-    isTestDemo(toks) || isPersonal(toks) || isExperimental(toks)
+  /** Reference `remark_flags` (process_capex.py:130-145) as named flag
+    * columns. All take the pre-computed (toks, nonNegatedTokens) pair. */
+  def isTestDemo(toks: Column, nn: Column): Column = anyPhraseNonNegated(toks, nn, TestDemoPhrases)
+  def isPersonal(toks: Column, nn: Column): Column = anyPhraseNonNegated(toks, nn, PersonalNonBusinessPhrases)
+  def isExperimental(toks: Column, nn: Column): Column = anyPhraseNonNegated(toks, nn, ExperimentalPhrases)
+  def mentionsDarkStore(toks: Column, nn: Column): Column = anyPhraseNonNegated(toks, nn, DarkStorePhrases)
+  def mentionsCounter(toks: Column, nn: Column): Column = anyPhraseNonNegated(toks, nn, CounterPhrases)
+  def mentionsDsWord(toks: Column): Column = hasToken(toks, "ds")
 
   /** Equipment-exclusion regexes (process_capex.py:353-373). Identical
     * pattern strings evaluate the same under Java regex (Spark rlike) and
@@ -108,6 +127,30 @@ object TextMatch {
       c.rlike(Cctv) || c.rlike(StoolOps)
   }
 
+  /** Plain-Scala reference implementation of the same token semantics —
+    * used to constant-fold flags over closed vocabularies at SQL-generation
+    * time (CapexSqlGen) and to cross-check the Spark HOF matcher in specs.
+    */
+  object Ref {
+    private val TokenRe = "[a-z0-9']+".r
+    def tokens(s: String): Vector[String] = TokenRe.findAllIn(s.toLowerCase).toVector
+
+    def phraseNonNegated(toks: Vector[String], phrase: String): Boolean = {
+      val p = phraseTokens(phrase)
+      val k = p.length
+      (0 to toks.length - k).exists { i =>
+        toks.slice(i, i + k) == p &&
+          !toks.slice(math.max(i - 3, 0), i).exists(NegationWords.contains)
+      }
+    }
+
+    def anyPhraseNonNegated(toks: Vector[String], phrases: Seq[String]): Boolean =
+      phrases.exists(phraseNonNegated(toks, _))
+
+    def hasToken(toks: Vector[String], word: String): Boolean =
+      toks.contains(word.toLowerCase)
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB SQL emitters — same semantics, for the driver's oracle.
   // ---------------------------------------------------------------------
@@ -119,31 +162,40 @@ object TextMatch {
     def tokens(textExpr: String): String =
       s"regexp_extract_all(lower(coalesce($textExpr, '')), '[a-z0-9'']+')"
 
-    /** Non-negated phrase match over a (named) token-array expression. */
-    def phraseNonNegated(toksExpr: String, phrase: String): String = {
-      val p = phraseTokens(phrase)
-      val k = p.length
-      val parr = strList(p)
+    /** Tokens at non-negated positions — mirror of nonNegatedTokens. */
+    def nonNegatedTokens(toksExpr: String): String = {
       val negarr = strList(NegationWords)
-      s"len(list_filter(range(1, greatest(len($toksExpr) - ${k - 1}, 0) + 1), " +
-        s"i -> ($toksExpr)[i:i+${k - 1}] = $parr AND NOT " +
-        s"list_has_any(($toksExpr)[greatest(i-3,1):i-1], $negarr))) > 0"
+      s"list_filter($toksExpr, (t, i) -> NOT " +
+        s"list_has_any(($toksExpr)[greatest(i-3,1):i-1], $negarr))"
     }
 
-    def anyPhraseNonNegated(toksExpr: String, phrases: Seq[String]): String =
-      phrases.map(phraseNonNegated(toksExpr, _)).mkString("(", " OR ", ")")
+    /** Non-negated phrase match over pre-computed (toks, nnToks) exprs. */
+    def phraseNonNegated(toksExpr: String, nnExpr: String, phrase: String): String = {
+      val p = phraseTokens(phrase)
+      val k = p.length
+      if (k == 1) {
+        s"list_contains($nnExpr, ${q(p.head)})"
+      } else {
+        val parr = strList(p)
+        val negarr = strList(NegationWords)
+        s"len(list_filter(range(1, greatest(len($toksExpr) - ${k - 1}, 0) + 1), " +
+          s"i -> ($toksExpr)[i:i+${k - 1}] = $parr AND NOT " +
+          s"list_has_any(($toksExpr)[greatest(i-3,1):i-1], $negarr))) > 0"
+      }
+    }
+
+    def anyPhraseNonNegated(toksExpr: String, nnExpr: String, phrases: Seq[String]): String =
+      phrases.map(phraseNonNegated(toksExpr, nnExpr, _)).mkString("(", " OR ", ")")
 
     def hasToken(toksExpr: String, word: String): String =
       s"list_contains($toksExpr, ${q(word.toLowerCase)})"
 
-    def isTestDemo(t: String): String    = anyPhraseNonNegated(t, TestDemoPhrases)
-    def isPersonal(t: String): String    = anyPhraseNonNegated(t, PersonalNonBusinessPhrases)
-    def isExperimental(t: String): String = anyPhraseNonNegated(t, ExperimentalPhrases)
-    def mentionsDarkStore(t: String): String = anyPhraseNonNegated(t, DarkStorePhrases)
-    def mentionsCounter(t: String): String   = anyPhraseNonNegated(t, CounterPhrases)
-    def mentionsDsWord(t: String): String    = hasToken(t, "ds")
-    def nonRelevantRemark(t: String): String =
-      s"(${isTestDemo(t)} OR ${isPersonal(t)} OR ${isExperimental(t)})"
+    def isTestDemo(t: String, nn: String): String = anyPhraseNonNegated(t, nn, TestDemoPhrases)
+    def isPersonal(t: String, nn: String): String = anyPhraseNonNegated(t, nn, PersonalNonBusinessPhrases)
+    def isExperimental(t: String, nn: String): String = anyPhraseNonNegated(t, nn, ExperimentalPhrases)
+    def mentionsDarkStore(t: String, nn: String): String = anyPhraseNonNegated(t, nn, DarkStorePhrases)
+    def mentionsCounter(t: String, nn: String): String = anyPhraseNonNegated(t, nn, CounterPhrases)
+    def mentionsDsWord(t: String): String = hasToken(t, "ds")
 
     private def rl(expr: String, pattern: String): String =
       s"regexp_matches($expr, ${q(pattern)})"

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.Charset
+import graft.sources.CsvSource
+
+/** CSV encoding-fallback specs (reference app.py:11-60). */
+class CsvSourceSpec extends SparkSpecBase {
+
+  private def write(bytes: Array[Byte]): String = {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.write(dir.resolve("data.csv"), bytes)
+    dir.toString
+  }
+
+  test("plain utf-8 csv detected and read") {
+    val path = write("id,name\n1,café\n2,plain\n".getBytes("UTF-8"))
+    assert(CsvSource.detectEncoding(spark, path) == "UTF-8")
+    val df = CsvSource.readWithFallback(spark, path)
+    assert(df.count() == 2)
+    assert(df.filter(df("name") === "café").count() == 1)
+  }
+
+  test("cp1252 bytes fall back past utf-8") {
+    // 0xE9 = é in cp1252/latin1; invalid as a standalone UTF-8 byte
+    val content = "id,name\n1,café\n".getBytes(Charset.forName("windows-1252"))
+    val path = write(content)
+    assert(CsvSource.detectEncoding(spark, path) != "UTF-8")
+    val df = CsvSource.readWithFallback(spark, path)
+    assert(df.count() == 1)
+    assert(df.filter(df("name") === "café").count() == 1)
+  }
+
+  test("strict decode probe rejects invalid utf-8 and accepts latin1") {
+    val bad = Array[Byte]('a', 0xE9.toByte, 'b')
+    assert(!CsvSource.strictlyDecodes(bad, "UTF-8"))
+    assert(CsvSource.strictlyDecodes(bad, "ISO-8859-1"))
+  }
+}

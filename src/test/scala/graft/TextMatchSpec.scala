@@ -13,12 +13,13 @@ class TextMatchSpec extends SparkSpecBase {
   private def flags(texts: String*): Map[String, Map[String, Boolean]] = {
     val df = texts.toSeq.toDF("t")
       .withColumn("toks", TextMatch.tokens(col("t")))
+      .withColumn("nn", TextMatch.nonNegatedTokens(col("toks")))
       .select(
         col("t"),
-        TextMatch.isTestDemo(col("toks")).as("test_demo"),
-        TextMatch.isPersonal(col("toks")).as("personal"),
-        TextMatch.mentionsDarkStore(col("toks")).as("dark_store"),
-        TextMatch.mentionsCounter(col("toks")).as("counter"),
+        TextMatch.isTestDemo(col("toks"), col("nn")).as("test_demo"),
+        TextMatch.isPersonal(col("toks"), col("nn")).as("personal"),
+        TextMatch.mentionsDarkStore(col("toks"), col("nn")).as("dark_store"),
+        TextMatch.mentionsCounter(col("toks"), col("nn")).as("counter"),
         TextMatch.mentionsDsWord(col("toks")).as("ds"),
         TextMatch.anyPhraseNonNegated(col("toks"), TextMatch.PersonalDeviceWords).as("device"))
     df.collect().map { r =>
@@ -79,6 +80,25 @@ class TextMatchSpec extends SparkSpecBase {
       "no x y z test")    // neg 4 back -> not negated
     assert(!f("no x y test")("test_demo"))
     assert(f("no x y z test")("test_demo"))
+  }
+
+  test("Spark HOF matcher agrees with the plain-Scala reference matcher") {
+    import graft.capex.CapexVocab
+    val texts = (CapexVocab.Remarks ++ CapexVocab.Items ++ CapexVocab.ItemCats ++
+      Seq("no laptop here", "not a macbook pro", "skip trial run", "plain text"))
+    val phraseSets = Seq(TextMatch.TestDemoPhrases, TextMatch.PersonalNonBusinessPhrases,
+      TextMatch.DarkStorePhrases, TextMatch.CounterPhrases, TextMatch.PersonalDeviceWords)
+    val df = texts.toDF("t").withColumn("toks", TextMatch.tokens(col("t")))
+    val cols = phraseSets.zipWithIndex.map { case (ps, i) =>
+      TextMatch.anyPhraseNonNegated(col("toks"), ps).as(s"f$i")
+    }
+    val got = df.select(col("t") +: cols: _*).collect()
+      .map(r => r.getString(0) -> phraseSets.indices.map(i => r.getBoolean(i + 1))).toMap
+    texts.foreach { t =>
+      val toks = TextMatch.Ref.tokens(t)
+      val want = phraseSets.map(ps => TextMatch.Ref.anyPhraseNonNegated(toks, ps))
+      assert(got(t) == want, s"mismatch for '$t': got ${got(t)}, ref $want")
+    }
   }
 
   test("equipment regexes") {
