@@ -98,13 +98,22 @@ object CapexDerive {
     * Still a single Catalyst plan; nothing is materialized.
     */
   private val enrichedCache =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    enrichedCache.getOrElseUpdate((spark, dir, key), {
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    })
 
   def enriched(spark: SparkSession, dir: String): DataFrame =
-    enrichedCache.getOrElseUpdate((spark, dir), {
-      buildEnriched(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    cached(spark, dir, "enriched")(buildEnriched(spark, dir))
+
+  /** Drop cached frames (bench hygiene between unrelated queries). */
+  def clearCache(): Unit = {
+    enrichedCache.values.foreach(_.unpersist(blocking = false))
+    enrichedCache.clear()
+  }
 
   private def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
     val base = raw(spark, dir)
@@ -112,15 +121,22 @@ object CapexDerive {
       col("office"), col("zone").as("map_zone"), col("region").as("map_region"))
     val rc = regionCodes(spark, dir)
 
+    // Whole-word regioncode search without a per-row regex compile: the
+    // remark is normalized to space-separated uppercase words once, then
+    // the join probes padded containment — identical semantics to the
+    // oracle's \b regex for alphanumeric(+space) codes.
     val mapped = base
+      .withColumn("rem_norm",
+        concat(lit(" "),
+          regexp_replace(upper(col("UserRemarks")), "[^A-Z0-9]+", " "), lit(" ")))
       .join(broadcast(off), base("BranchCode") === off("office"), "left")
       .join(broadcast(rc),
         col("office").isNull &&
-          expr("UserRemarks RLIKE ('\\\\b' || regioncode || '\\\\b')"),
+          col("rem_norm").contains(concat(lit(" "), col("regioncode"), lit(" "))),
         "left")
       .withColumn("Zone", coalesce(col("map_zone"), col("fb_zone"), lit("Unknown")))
       .withColumn("Region", coalesce(col("map_region"), col("fb_region"), lit("Unknown")))
-      .drop("office", "map_zone", "map_region", "regioncode", "fb_zone", "fb_region")
+      .drop("office", "map_zone", "map_region", "regioncode", "fb_zone", "fb_region", "rem_norm")
 
     val item = col("AssetItemName"); val icat = col("ItemCategory")
     val acatRaw = col("AssetCategoryName"); val rem = col("UserRemarks")
@@ -143,26 +159,38 @@ object CapexDerive {
           when(lower(item).contains(kw.toLowerCase), s"PLANT & MACHINERY - $kw").otherwise(acc)
         })
 
-    // Remark flags (negation-aware): tokenize once, compute the non-negated
-    // position pass once, then every flag is a cheap membership/scan.
-    val withToks = withCats
-      .withColumn("rtoks", TextMatch.tokens(rem))
-      .withColumn("dtoks", TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem)))
-      .withColumn("nn_rtoks", TextMatch.nonNegatedTokens(col("rtoks")))
-      .withColumn("nn_dtoks", TextMatch.nonNegatedTokens(col("dtoks")))
-    val rtoks = col("rtoks"); val nnR = col("nn_rtoks")
-    val withFlags = withToks
-      .withColumn("flag_test_demo", TextMatch.isTestDemo(rtoks, nnR))
-      .withColumn("flag_personal", TextMatch.isPersonal(rtoks, nnR))
-      .withColumn("flag_experimental", TextMatch.isExperimental(rtoks, nnR))
-      .withColumn("flag_dark_store", TextMatch.mentionsDarkStore(rtoks, nnR))
-      .withColumn("flag_counter", TextMatch.mentionsCounter(rtoks, nnR))
-      .withColumn("flag_ds", TextMatch.mentionsDsWord(rtoks))
-      .withColumn("device_hit", TextMatch.anyPhraseNonNegated(
-        col("dtoks"), col("nn_dtoks"), TextMatch.PersonalDeviceWords))
+    // Remark flags (negation-aware): the matcher is a pure function of the
+    // text, so run it over the DISTINCT remark dictionary / device-text
+    // tuples and join the verdicts back (broadcast — bounded by dictionary
+    // cardinality, not row count). Same results as inline evaluation, but
+    // compute scales with distinct texts: at 100 TB the per-row HOF work
+    // collapses onto the (shuffled-distinct) dictionary.
+    val remFlags = {
+      val d = withCats.select(rem.as("UserRemarks")).distinct()
+        .withColumn("rtoks", TextMatch.tokens(col("UserRemarks")))
+        .withColumn("nn", TextMatch.nonNegatedTokens(col("rtoks")))
+      d.select(col("UserRemarks"),
+        TextMatch.isTestDemo(col("rtoks"), col("nn")).as("flag_test_demo"),
+        TextMatch.isPersonal(col("rtoks"), col("nn")).as("flag_personal"),
+        TextMatch.isExperimental(col("rtoks"), col("nn")).as("flag_experimental"),
+        TextMatch.mentionsDarkStore(col("rtoks"), col("nn")).as("flag_dark_store"),
+        TextMatch.mentionsCounter(col("rtoks"), col("nn")).as("flag_counter"),
+        TextMatch.mentionsDsWord(col("rtoks")).as("flag_ds"))
+    }
+    val devDim = {
+      val d = withCats.select(item, icat, col("acat_recode"), rem).distinct()
+        .withColumn("dtoks", TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem)))
+        .withColumn("nn_d", TextMatch.nonNegatedTokens(col("dtoks")))
+      d.select(col("AssetItemName"), col("ItemCategory"), col("acat_recode"), col("UserRemarks"),
+        TextMatch.anyPhraseNonNegated(col("dtoks"), col("nn_d"),
+          TextMatch.PersonalDeviceWords).as("device_hit"))
+    }
+    val withFlags = withCats
+      .join(broadcast(remFlags), Seq("UserRemarks"))
+      .join(broadcast(devDim),
+        Seq("AssetItemName", "ItemCategory", "acat_recode", "UserRemarks"))
       .withColumn("nonrel",
         col("flag_test_demo") || col("flag_personal") || col("flag_experimental"))
-      .drop("rtoks", "dtoks", "nn_rtoks", "nn_dtoks")
 
     // Rule removal predicates in pipeline order.
     val kwHit = (kw: String) =>
@@ -247,13 +275,14 @@ object CapexDerive {
     * (key_strict, amount) keeping min rid (the fail-open merge dedup,
     * process_capex.py:53, made unconditional + deterministic per SURVEY §4).
     */
-  def kept(spark: SparkSession, dir: String): DataFrame = {
-    val wd = Window.partitionBy(col("key_strict"), col("AssetItemAmount"))
-      .orderBy(col("rid").asc)
-    ranked(spark, dir).filter(col("rk") <= 5)
-      .withColumn("dup_rn", row_number().over(wd))
-      .filter(col("dup_rn") === 1).drop("dup_rn")
-  }
+  def kept(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "kept") {
+      val wd = Window.partitionBy(col("key_strict"), col("AssetItemAmount"))
+        .orderBy(col("rid").asc)
+      ranked(spark, dir).filter(col("rk") <= 5)
+        .withColumn("dup_rn", row_number().over(wd))
+        .filter(col("dup_rn") === 1).drop("dup_rn")
+    }
 
   /** Fail-open reinstatement (process_capex.py:12-56): raw rows whose robust
     * key survived the rules but lost every row to representative

@@ -18,9 +18,27 @@ object Dedup {
   val NumHashes = 16
   val Bands = 4 // 4 rows per band
 
+  /** Tokenized docs, spread across all cores: the corpus often arrives as
+    * few large files, but signature computation is CPU-bound per row — an
+    * explicit repartition keyed by doc_id keeps every core busy (on a
+    * cluster: every executor).
+    */
   private def docsWithToks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextOps.toks(col("text")).as("toks"))
+      // Load-bearing barrier: Catalyst's project collapsing would inline the
+      // tokenizer expression into every element_at of the downstream
+      // shingle/signature lambdas, re-running the regexp once per ELEMENT
+      // access (observed ~2000× per row). Materializing the token arrays
+      // makes the lambdas see bound references.
+      .localCheckpoint(true)
+
+  /** Docs + materialized word-3-gram shingles (same barrier rationale). */
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    docsWithToks(spark, dir)
+      .withColumn("shingles", TextOps.shingles(col("toks")))
+      .localCheckpoint(true)
 
   /** D1: exact dedup via normalized-text hash. Map-side-combinable groupBy;
     * keeper = min doc id per content hash.
@@ -48,9 +66,9 @@ object Dedup {
 
   /** Docs with ≥3 tokens get a 16-component minhash signature + 4 band keys. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val withSig = docsWithToks(spark, dir)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), minhashSig(TextOps.shingles(col("toks"))).as("sig"))
+    val withSig = docsWithShingles(spark, dir)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), minhashSig(col("shingles")).as("sig"))
     val bandCols = (0 until Bands).map { b =>
       val parts = (1 to NumHashes / Bands).map(r => element_at(col("sig"), b * (NumHashes / Bands) + r))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", parts: _*).cast("binary")).as("band_hash"))
@@ -63,7 +81,10 @@ object Dedup {
     * (band_idx, band_hash) buckets; est_sim = matching signature fraction.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val b = minhashSignatures(spark, dir)
+    // materialize signatures once: both sides of the bucket self-join (and
+    // AQE's broadcast probes) reuse the computed partitions instead of
+    // re-deriving the hash pipeline per reference
+    val b = minhashSignatures(spark, dir).localCheckpoint(true)
     val a = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_hash"))
     val c = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -122,9 +143,22 @@ object Dedup {
   /** D3: SimHash near-dup pairs — byte-band bucketing (4 bands of 8 bits),
     * Hamming distance ≤ 6 via bit_count(xor).
     */
+  /** simhash bit votes over a pre-materialized md5-hex list column. */
+  def simhashFromHexes(hexes: Column): Column =
+    (1 to 32).map { i =>
+      val vote = aggregate(hexes, lit(0), (acc, h) =>
+        acc + when(substring(h, i, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1))
+      when(vote > 0, lit(1L << (i - 1))).otherwise(0L)
+    }.reduce(_ + _)
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val base = docsWithToks(spark, dir).filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), simhash(col("toks")).as("sh"))
+      // hexes materialized first: the 32 bit-vote aggregates each reference
+      // the list; keeping it a bound column avoids 32 re-tokenizations
+      .withColumn("hexes", transform(col("toks"), x => md5(x.cast("binary"))))
+      .localCheckpoint(true)
+      .select(col("doc_id"), simhashFromHexes(col("hexes")).as("sh"))
+      .localCheckpoint(true)
     val banded = base.withColumn("band",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_idx"),
@@ -159,10 +193,10 @@ object Dedup {
     * shuffle by shingle hash, never all-pairs).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docsWithToks(spark, dir)
-      .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("toks"))).as("shingles"))
+    val sh = docsWithShingles(spark, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint(true)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
