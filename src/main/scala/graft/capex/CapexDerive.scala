@@ -168,7 +168,10 @@ object CapexDerive {
     val remFlags = {
       val d = withCats.select(rem.as("UserRemarks")).distinct()
         .withColumn("rtoks", TextMatch.tokens(col("UserRemarks")))
+        // barrier: keep the tokenizer out of the flag lambdas (see Dedup)
+        .localCheckpoint(true)
         .withColumn("nn", TextMatch.nonNegatedTokens(col("rtoks")))
+        .localCheckpoint(true)
       d.select(col("UserRemarks"),
         TextMatch.isTestDemo(col("rtoks"), col("nn")).as("flag_test_demo"),
         TextMatch.isPersonal(col("rtoks"), col("nn")).as("flag_personal"),
@@ -180,7 +183,9 @@ object CapexDerive {
     val devDim = {
       val d = withCats.select(item, icat, col("acat_recode"), rem).distinct()
         .withColumn("dtoks", TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem)))
+        .localCheckpoint(true)
         .withColumn("nn_d", TextMatch.nonNegatedTokens(col("dtoks")))
+        .localCheckpoint(true)
       d.select(col("AssetItemName"), col("ItemCategory"), col("acat_recode"), col("UserRemarks"),
         TextMatch.anyPhraseNonNegated(col("dtoks"), col("nn_d"),
           TextMatch.PersonalDeviceWords).as("device_hit"))
