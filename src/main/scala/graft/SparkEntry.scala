@@ -19,6 +19,7 @@ object SparkEntry {
     "q1_agg"         -> (Analytics.q1Agg _),
     "q3_join"        -> (Analytics.q3Join _),
     "q5_multijoin"   -> (Analytics.q5MultiJoin _),
+    "q6_filter"      -> (Analytics.q6Filter _),
     "topk_per_group" -> (Analytics.topkPerGroup _),
     // §2.E events + streaming batch mirrors
     "events_json"       -> (Events.eventsJson _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "q1_agg"         -> Analytics.q1AggSql,
     "q3_join"        -> Analytics.q3JoinSql,
     "q5_multijoin"   -> Analytics.q5MultiJoinSql,
+    "q6_filter"      -> Analytics.q6FilterSql,
     "topk_per_group" -> Analytics.topkPerGroupSql,
     "events_json"       -> Events.eventsJsonSql,
     "stream_window_agg" -> Events.streamWindowAggSql,

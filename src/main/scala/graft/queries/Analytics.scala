@@ -102,6 +102,24 @@ object Analytics {
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name"""
 
+  /** TPC-H Q6-style selective aggregation — the filter must reach the scan
+    * (`PushedFilters` on shipdate/discount/quantity), making this a
+    * fraction-of-a-scan query at any size.
+    */
+  def q6Filter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01" &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6FilterSql: String = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"""
+
   /** Top-k rows per group via window ranking; ties broken deterministically
     * by key so the oracle agrees. At scale this is a single shuffle by the
     * partition key with no global sort.

@@ -23,6 +23,13 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("q6_filter pushes its predicates into the parquet scan") {
+    val df = Analytics.q6Filter(spark, sfDir)
+    assert(df.count() == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+  }
+
   test("topk_per_group keeps at most 3 rows per customer") {
     val df = Analytics.topkPerGroup(spark, sfDir)
     val maxPer = df.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
