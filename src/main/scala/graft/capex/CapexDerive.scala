@@ -109,9 +109,10 @@ object CapexDerive {
   def enriched(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "enriched")(buildEnriched(spark, dir))
 
-  /** Drop cached frames (bench hygiene between unrelated queries). */
+  /** Drop cached frames (bench hygiene between unrelated queries; blocking
+    * so the release doesn't GC-churn the next query's timing). */
   def clearCache(): Unit = {
-    enrichedCache.values.foreach(_.unpersist(blocking = false))
+    enrichedCache.values.foreach(_.unpersist(blocking = true))
     enrichedCache.clear()
   }
 
