@@ -189,9 +189,9 @@ object CapexQueries {
         SELECT DISTINCT key_robust AS k FROM enriched_m WHERE $refPredSql),
       proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe),
       counts AS (
-        SELECT sum(CASE WHEN p.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-               sum(CASE WHEN p.k IS NOT NULL AND r.k IS NULL THEN 1 ELSE 0 END) AS fp,
-               sum(CASE WHEN p.k IS NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS fn
+        SELECT CAST(sum(CASE WHEN p.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.k IS NOT NULL AND r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p.k IS NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
         FROM proc_keys p FULL OUTER JOIN ref_keys r ON p.k = r.k),
       pr AS (SELECT tp, fp, fn, CAST(tp AS DOUBLE) / (tp + fp) AS prec,
                     CAST(tp AS DOUBLE) / (tp + fn) AS rec FROM counts)
@@ -201,10 +201,10 @@ object CapexQueries {
     "validate_keys" -> s"""$W, by_key AS (
         SELECT CompositePrimaryKey, count(*) AS cnt FROM pipe GROUP BY 1),
       tot AS (SELECT count(*) AS total_records,
-                     sum(CASE WHEN trim(RequestNo) = '' OR trim(AssetItemName) = ''
-                              OR trim(VendorName) = '' THEN 1 ELSE 0 END) AS missing_keys FROM pipe),
-      uniq AS (SELECT sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS unique_keys,
-                      sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS duplicate_keys FROM by_key)
+                     CAST(sum(CASE WHEN trim(RequestNo) = '' OR trim(AssetItemName) = ''
+                              OR trim(VendorName) = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_keys FROM pipe),
+      uniq AS (SELECT CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_keys,
+                      CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_keys FROM by_key)
       SELECT total_records, unique_keys, duplicate_keys, missing_keys FROM tot, uniq""",
     "validate_fields" -> s"""$W, ref_agg AS (
         SELECT key_robust AS k, ${dsumSql("AssetItemAmount")} AS r_amt,
@@ -218,9 +218,9 @@ object CapexQueries {
         FROM pipe GROUP BY 1),
       m AS (
         SELECT count(*) AS n_matched,
-               sum(CASE WHEN abs(p_amt - r_amt) > 0.01 THEN 1 ELSE 0 END) AS amount_mismatches,
-               sum(CASE WHEN NOT (p_zones = r_zones) THEN 1 ELSE 0 END) AS zone_mismatches,
-               sum(CASE WHEN NOT (p_cats = r_cats) THEN 1 ELSE 0 END) AS category_mismatches
+               CAST(sum(CASE WHEN abs(p_amt - r_amt) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS amount_mismatches,
+               CAST(sum(CASE WHEN NOT (p_zones = r_zones) THEN 1 ELSE 0 END) AS BIGINT) AS zone_mismatches,
+               CAST(sum(CASE WHEN NOT (p_cats = r_cats) THEN 1 ELSE 0 END) AS BIGINT) AS category_mismatches
         FROM proc_agg JOIN ref_agg USING (k))
       SELECT n_matched, amount_mismatches, zone_mismatches, category_mismatches,
              CAST(n_matched - amount_mismatches AS DOUBLE) / n_matched * 100 AS amount_accuracy,

@@ -140,7 +140,9 @@ object CapexSqlGen {
       FROM capex_raw c
       LEFT JOIN offices o ON c.BranchCode = o.office
       LEFT JOIN rcodes rc
-        ON o.office IS NULL AND regexp_matches(c.UserRemarks, '\\b' || rc.regioncode || '\\b')),
+        ON o.office IS NULL AND contains(
+          ' ' || regexp_replace(upper(c.UserRemarks), '[^A-Z0-9]+', ' ', 'g') || ' ',
+          ' ' || rc.regioncode || ' ')),
     c1 AS (
       SELECT *,
         CASE WHEN $isOfficeFurn AND NOT $allowedHit THEN 'PLANT & MACHINERY'

@@ -30,7 +30,7 @@ object Multimodal {
   def mediaFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
-      col("text").cast("binary").as("payload"),
+      coalesce(col("text"), lit("")).cast("binary").as("payload"),
       (col("n_chars") % 640).cast("int").as("width"),
       ((col("n_chars") * 7) % 480).cast("int").as("height"))
 
@@ -66,13 +66,15 @@ object Multimodal {
   }
 
   /** The decode stub is deterministic over the payload, so the oracle can
-    * recompute it relationally (ASCII text: first byte = first char code).
+    * recompute it relationally. first_byte is byte-derived on both sides
+    * (hex of the UTF-8 encoding, not the Unicode codepoint) so parity holds
+    * for non-ASCII leading characters too.
     */
   val mmPipelineSql: String =
     """SELECT doc_id AS media_id,
-      octet_length(encode(text)) AS n_bytes,
-      CASE WHEN octet_length(encode(text)) > 0
-           THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
+      octet_length(encode(coalesce(text, ''))) AS n_bytes,
+      CASE WHEN octet_length(encode(coalesce(text, ''))) > 0
+           THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) ELSE -1 END AS first_byte,
       CAST(n_chars % 640 AS BIGINT) * CAST((n_chars * 7) % 480 AS BIGINT) AS area
     FROM documents"""
 }

@@ -25,7 +25,7 @@ object Events {
   val eventsJsonSql: String =
     """SELECT event_type, count(*) AS n_events,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-      sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type"""
 
   /** E5: tumbling 1-hour window aggregation (batch mirror of the streaming
@@ -68,8 +68,8 @@ object Events {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
     sess AS (
-      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start,
            max(ts) AS t_end,

@@ -42,12 +42,22 @@ object CsvSource {
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath).sortBy(_.getName).headOption.getOrElse(p)
       else p
+    val fileLen = fs.getFileStatus(file).getLen
     val in = fs.open(file)
     val buf = new Array[Byte](ProbeBytes)
-    val n = try in.read(buf, 0, ProbeBytes) finally in.close()
-    // a full probe may cut a multi-byte sequence mid-way — trim the tail
-    // only in that case (a short read means we saw the whole file)
-    val head = buf.take(if (n == ProbeBytes) n - 4 else math.max(0, n))
+    // read() may legally return short of EOF — loop to readFully semantics
+    val n = try {
+      var off = 0
+      var r = 0
+      while (off < ProbeBytes && r >= 0) {
+        r = in.read(buf, off, ProbeBytes - off)
+        if (r > 0) off += r
+      }
+      off
+    } finally in.close()
+    // a probe that stops before EOF may cut a multi-byte sequence mid-way —
+    // trim the tail only then (probe >= file length means we saw it whole)
+    val head = buf.take(if (n.toLong < fileLen) math.max(0, n - 4) else n)
     Encodings.find(strictlyDecodes(head, _)).getOrElse("ISO-8859-1")
   }
 

@@ -32,7 +32,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return f"{v:.6g}"
+        # dtype-faithful: repr keeps full precision AND the trailing '.0',
+        # so an int64 Spark column vs a HUGEINT->float64 oracle column
+        # mismatches here exactly like it does in the driver's gate.
+        return repr(float(v))
     # pandas timestamps etc
     return str(v)
 
