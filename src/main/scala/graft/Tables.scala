@@ -38,4 +38,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread a frame across every core before CPU-bound per-row compute.
+    * The testdata ships one small parquet file per table → one scan
+    * partition → one busy core, so expression-heavy operators must
+    * explicitly repartition. Keyed (not round-robin) so the spread can
+    * satisfy a downstream clustering on the same key. At cluster scale a
+    * big table arrives multi-partition and this is one row-light shuffle.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+  }
 }

@@ -59,7 +59,12 @@ object CapexDerive {
     * construction so pandas-NaN edge cases can't diverge between engines.
     */
   def raw(spark: SparkSession, dir: String): DataFrame = {
+    // Spread the scan FIRST (single-file testdata = one partition), keyed by
+    // the request grouping (orderkey div 16 = the future RequestNo) so the
+    // md5/vocab projection below runs on every core.
     val li = Tables.lineitem(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism,
+        expr("l_orderkey div 16"))
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
@@ -103,7 +108,16 @@ object CapexDerive {
   private def cached(spark: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame =
     enrichedCache.getOrElseUpdate((spark, dir, key), {
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // localCheckpoint rather than persist: it CUTS THE LINEAGE, so the
+      // many downstream queries (ranked/kept/reinstated/pipeline and every
+      // rule query) analyze a one-node LogicalRDD instead of re-walking the
+      // ~60-expression enriched tree. Measured: the capex pipeline's cost is
+      // ~1s of data compute and tens of seconds of repeated Catalyst
+      // analysis/codegen without the cut. On a multi-executor cluster the
+      // blocks live on executors (MEMORY_AND_DISK); the trade is losing
+      // recompute-on-failure for this cached stage, the standard trade for
+      // iterative pipelines.
+      build.localCheckpoint(true)
     })
 
   def enriched(spark: SparkSession, dir: String): DataFrame =
@@ -112,12 +126,29 @@ object CapexDerive {
   /** Drop cached frames (bench hygiene between unrelated queries; blocking
     * so the release doesn't GC-churn the next query's timing). */
   def clearCache(): Unit = {
-    enrichedCache.values.foreach(_.unpersist(blocking = true))
+    enrichedCache.values.foreach { df =>
+      // localCheckpoint blocks belong to the underlying RDD, not the
+      // Dataset's CacheManager entry — release them explicitly
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = true)
+        case _ =>
+      }
+      df.unpersist(blocking = true)
+    }
     enrichedCache.clear()
   }
 
   private def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
+    // The testdata arrives as ONE small parquet file per table and the
+    // li⋈ord join broadcasts, so without an explicit spread the entire
+    // enrichment (60+ string/regex expressions per row) runs in a single
+    // task. Repartition by RequestNo: distributes the CPU-bound projection
+    // across every core AND pre-clusters for the ranked() window, which
+    // partitions by the same key (no second shuffle). At cluster scale the
+    // scan would arrive multi-partition anyway; one row-light shuffle up
+    // front is the standard price for core-saturated compute.
     val base = raw(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("RequestNo"))
     val off = offices(spark, dir).select(
       col("office"), col("zone").as("map_zone"), col("region").as("map_region"))
     val rc = regionCodes(spark, dir)

@@ -28,7 +28,7 @@ object Multimodal {
     * metadata from deterministic fields.
     */
   def mediaFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.spread(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id").as("media_id"),
       coalesce(col("text"), lit("")).cast("binary").as("payload"),
       (col("n_chars") % 640).cast("int").as("width"),

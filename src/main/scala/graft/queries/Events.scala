@@ -17,7 +17,7 @@ object Events {
 
   /** E4: JSON property extraction + aggregation per event type. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.spread(Tables.events(spark, dir), "event_id")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
@@ -32,7 +32,7 @@ object Events {
     * windowed agg — same plan shape Structured Streaming incrementalizes).
     */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.spread(Tables.events(spark, dir), "event_id")
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
   val streamWindowAggSql: String =
@@ -47,7 +47,9 @@ object Events {
     */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, dir)
+    // spread by the window's partition key: parallel parse AND the window
+    // reuses the clustering instead of shuffling again
+    Tables.spread(Tables.events(spark, dir), "user_id")
       .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("is_new",
