@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the 11 headline queries + warmup generate far more than the default
+      // 100 cached codegen classes; eviction forces Janino recompile + fresh
+      // JIT of identical code (measured as progressive slowdown)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: drives every query's codegen + JIT

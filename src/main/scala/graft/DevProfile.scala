@@ -31,28 +31,30 @@ object DevProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
     if (args.contains("pipe")) {
-      var t1 = System.nanoTime()
-      val enr = CapexDerive.enriched(spark, dir)
-      println(f"[prof] p-enriched-build ${(System.nanoTime() - t1) / 1e9}%.2f s")
-      t1 = System.nanoTime()
-      val rk = CapexDerive.ranked(spark, dir)
-      t("p-ranked-mat")(noop(rk))
-      t1 = System.nanoTime()
-      val kp = CapexDerive.kept(spark, dir)
-      println(f"[prof] p-kept-build ${(System.nanoTime() - t1) / 1e9}%.2f s")
-      t1 = System.nanoTime()
-      val re = CapexDerive.reinstated(spark, dir)
-      println(f"[prof] p-reinstated-build ${(System.nanoTime() - t1) / 1e9}%.2f s")
-      t("p-reinstated-mat")(noop(re))
-      val p = CapexDerive.pipeline(spark, dir)
-      t("p-pipeline-mat")(noop(p))
-      t("p-pipeline-mat2")(noop(p))
+      import scala.jdk.CollectionConverters._
+      def gcMs: Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      def jitMs: Long = java.lang.management.ManagementFactory
+        .getCompilationMXBean.getTotalCompilationTime
+      for (i <- 1 to 3) {
+        CapexDerive.clearCache()
+        val (g0, j0) = (gcMs, jitMs)
+        var t1 = System.nanoTime()
+        val enr = CapexDerive.enriched(spark, dir)
+        println(f"[prof] i$i p-enriched-build ${(System.nanoTime() - t1) / 1e9}%.2f s" +
+          s" (gc+${gcMs - g0}ms jit+${jitMs - j0}ms)")
+        t1 = System.nanoTime()
+        val p = CapexDerive.pipeline(spark, dir)
+        println(f"[prof] i$i p-pipeline-build ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        t(s"i$i p-pipeline-mat")(noop(p))
+      }
       spark.stop()
       return
     }

@@ -182,6 +182,11 @@ object CapexDerive {
 
     val norm = (c: Column) => caseMap(upper(trim(c)), NormalizeMap)
 
+    // Materialize here: (a) the two dictionary builds below and the main
+    // flag/rule projection all consume withCats — without a barrier each
+    // re-executes the scan+joins+category chain; (b) the barrier halves the
+    // size of each whole-stage-codegen'd stage, whose Janino+JIT cost —
+    // not row compute — dominates this build.
     val withCats = mapped
       .withColumn("acat_recode", acatRecode)
       .withColumn("acat_norm", norm(col("acat_recode")))
@@ -190,6 +195,7 @@ object CapexDerive {
         PmSplitItems.reverse.foldRight(col("acat_norm")) { case (kw, acc) =>
           when(lower(item).contains(kw.toLowerCase), s"PLANT & MACHINERY - $kw").otherwise(acc)
         })
+      .localCheckpoint(true)
 
     // Remark flags (negation-aware): the matcher is a pure function of the
     // text, so run it over the DISTINCT remark dictionary / device-text
@@ -200,10 +206,12 @@ object CapexDerive {
     val remFlags = {
       val d = withCats.select(rem.as("UserRemarks")).distinct()
         .withColumn("rtoks", TextMatch.tokens(col("UserRemarks")))
-        // barrier: keep the tokenizer out of the flag lambdas (see Dedup)
+        // barrier: keep the tokenizer out of the flag lambdas (see Dedup).
+        // nn is NOT barriered: inlining it into the 6 flag lambdas re-runs
+        // the window scan 6× per dict row — bounded by dict cardinality,
+        // cheaper than another eager checkpoint job.
         .localCheckpoint(true)
         .withColumn("nn", TextMatch.nonNegatedTokens(col("rtoks")))
-        .localCheckpoint(true)
       d.select(col("UserRemarks"),
         TextMatch.isTestDemo(col("rtoks"), col("nn")).as("flag_test_demo"),
         TextMatch.isPersonal(col("rtoks"), col("nn")).as("flag_personal"),
@@ -217,7 +225,6 @@ object CapexDerive {
         .withColumn("dtoks", TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem)))
         .localCheckpoint(true)
         .withColumn("nn_d", TextMatch.nonNegatedTokens(col("dtoks")))
-        .localCheckpoint(true)
       d.select(col("AssetItemName"), col("ItemCategory"), col("acat_recode"), col("UserRemarks"),
         TextMatch.anyPhraseNonNegated(col("dtoks"), col("nn_d"),
           TextMatch.PersonalDeviceWords).as("device_hit"))
