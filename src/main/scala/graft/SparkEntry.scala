@@ -40,10 +40,12 @@ object SparkEntry {
     "mm_pipeline"         -> (graft.llm.Multimodal.mmPipeline _),
   ) ++ graft.capex.CapexQueries.queries
 
-  /** DuckDB equivalents for the driver's correctness gate. ann_lsh is
-    * intentionally omitted (approximate recall → rows-only check).
+  /** DuckDB equivalents for the driver's correctness gate — every query,
+    * including ann_lsh (its hyperplanes are code-time deterministic, so the
+    * oracle recomputes the same buckets).
     */
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh"        -> graft.llm.Ann.annLshSql,
     "q1_agg"         -> Analytics.q1AggSql,
     "q3_join"        -> Analytics.q3JoinSql,
     "q5_multijoin"   -> Analytics.q5MultiJoinSql,

@@ -16,10 +16,13 @@ object Ann {
 
   val Dim = 64
 
-  /** Left-to-right double dot product of two float-array columns. */
+  /** Left-to-right double dot product of two float-array columns — the
+    * native codegen'd expression (graft.functions.FloatVecDot); the HOF
+    * route (zip_with + aggregate) computes the identical fold but allocates
+    * a zipped array per row.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.fdot(a, b)
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
@@ -112,5 +115,36 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** The hyperplane matrix is code-time deterministic, so the "approximate"
+    * bucketing is exactly reproducible relationally: the oracle bakes the
+    * same ±1 signs and the same left-to-right double fold, making D7 fully
+    * hash-checked rather than rows-only. IEEE notes: x*(-1.0) ≡ -x and
+    * a + (-x) ≡ a - x bit-exactly, so emitting `- x` for negative signs
+    * matches Spark's multiply-then-add fold.
+    */
+  val annLshSql: String = {
+    val bucketExpr = (0 until NumPlanes).map { j =>
+      val proj = (0 until Dim).map { d =>
+        val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
+        val s = planeSign(j, d)
+        if (d == 0) { if (s > 0) term else s"(- $term)" }
+        else { if (s > 0) s"+ $term" else s"- $term" }
+      }.mkString(" ")
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings)
+    SELECT q_id, nb_id, rank, round(cos, 4) AS cos_sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+             ${dotSql("q.embedding", "c.embedding")}
+               / (${normSql("q.embedding")} * ${normSql("c.embedding")}) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                 / (${normSql("q.embedding")} * ${normSql("c.embedding")}) DESC,
+                 c.vec_id ASC) AS rank
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 10) WHERE rank <= 5"""
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftExtensions, VectorOps}
+
+/** FloatVecDot: the native codegen'd dot product must be bit-identical to
+  * the composable HOF formulation it replaces (left-to-right double fold).
+  */
+class VectorOpsSpec extends SparkSpecBase {
+
+  private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("FloatVecDot matches the zip_with/aggregate fold bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)(
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      VectorOps.fdot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("FloatVecDot interpreted eval matches codegen path") {
+    import spark.implicits._
+    val df = Seq((Array(1.5f, -2.25f, 3.0f), Array(0.5f, 4.0f, -1.0f))).toDF("a", "b")
+    val expected = 1.5 * 0.5 + (-2.25) * 4.0 + 3.0 * (-1.0)
+    // codegen on (default)
+    val v1 = df.select(VectorOps.fdot(col("a"), col("b"))).head.getDouble(0)
+    assert(v1 == expected)
+    // force interpreted expression evaluation
+    withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val v2 = df.select(VectorOps.fdot(col("a"), col("b"))).head.getDouble(0)
+      assert(v2 == expected)
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("null array yields null, mismatched lengths use the shorter prefix") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f, 5f))),
+      (None: Option[Array[Float]], Some(Array(1f)))).toDF("a", "b")
+    val got = df.select(VectorOps.fdot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 1.0 * 3.0 + 2.0 * 4.0)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("GraftExtensions registers graft_fdot in a fresh session") {
+    val s2 = spark.newSession()
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
+    // registry-level registration path (the one library code uses)
+    VectorOps.ensureRegistered(s2)
+    import s2.implicits._
+    val v = Seq((Array(2f, 3f), Array(4f, 5f))).toDF("a", "b")
+      .selectExpr("graft_fdot(a, b)").head.getDouble(0)
+    assert(v == 2.0 * 4.0 + 3.0 * 5.0)
+  }
+}
