@@ -39,7 +39,10 @@ object Bench {
     // once on tiny data so the measured runs see steady-state compiled code
     // (standard JVM benchmarking; nothing computed here is reused — the
     // cache keys include the data dir, and we clear them anyway).
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    val warmDir = Seq("sf0.01", "sf0.001")
+      .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
+      .filter(d => d.isDirectory && d.getPath != sfDir)
+      .headOption.getOrElse(new java.io.File("/nonexistent"))
     if (warmDir.isDirectory && warmDir.getPath != sfDir) {
       Headliners.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir.getPath)
