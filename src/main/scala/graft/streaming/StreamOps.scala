@@ -95,6 +95,31 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same content hash
+    * while the watermark allows a duplicate to still arrive. State is one
+    * (hash, ts) entry per distinct doc inside the watermark horizon —
+    * bounded, unlike a plain dropDuplicates on an unbounded stream. The
+    * 100 TB/day ingest shape: dedup at the door, before any downstream
+    * compute fans out.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(trim(regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " ")).cast("binary")))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-static enrichment join: the static dim side is read per
+    * micro-batch and broadcast; no stream state. The standard shape for
+    * attaching slowly-changing metadata (user→nation here) to an event
+    * stream.
+    */
+  def enrichWithUserDim(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_nationkey").as("user_nationkey"))),
+      Seq("user_id"), "left")
+
   /** Run a stream to completion against a static parquet dir via the memory
     * sink (used by specs and as the reference harness for stream correctness).
     */

@@ -28,6 +28,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming dedup drops watermark-window duplicates, keeps distinct docs") {
+    // stage a docs-as-stream dir: duplicate every doc text under two ids
+    val sdir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        // synthetic event time inside one watermark window
+        to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+    val dups = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    docs.unionByName(dups).coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+    val schema = spark.read.parquet(sdir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.dedupStream(stream, "text", "arrived"), "dedup_stream_test")
+    val nDistinct = docs.select(
+      md5(trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " ")).cast("binary")))
+      .distinct().count()
+    assert(got.count() == nDistinct)
+  }
+
+  test("stream-static join enriches events with the customer dim") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-enrich-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      sdir.resolve("part-00000.parquet"))
+    val stream = StreamOps.readEventStream(spark, sdir.toString)
+    val cust = Tables.customer(spark, sfDir)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.enrichWithUserDim(stream, cust), "enrich_stream_test")
+    val want = StreamOps.enrichWithUserDim(Tables.events(spark, sfDir), cust)
+    assert(got.count() == want.count())
+    assert(got.filter(col("user_nationkey").isNotNull).count() ==
+      want.filter(col("user_nationkey").isNotNull).count())
+  }
+
   test("stateful sessionizer matches window-function sessionization") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
