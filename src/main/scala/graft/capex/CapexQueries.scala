@@ -112,6 +112,33 @@ object CapexQueries {
           when(col("prec") + col("rec") === 0.0, 0.0)
             .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
     }),
+    // C1 detail records (process_capex.py:1598-1640): one row per FP/FN key
+    // with the key parsed back into its components and the reference's
+    // description string.
+    "validate_mismatches" -> ((s, d) => {
+      val enr = CapexDerive.enriched(s, d)
+      val refKeys = enr.filter(refPred).select(col("key_robust").as("k")).distinct()
+      val procKeys = robustKeyOf(CapexDerive.pipeline(s, d)).select(col("key_robust").as("k")).distinct()
+      val joined = procKeys.withColumn("in_p", lit(1))
+        .join(refKeys.withColumn("in_r", lit(1)), Seq("k"), "full_outer")
+        .filter(col("in_p").isNull || col("in_r").isNull)
+      val parts = split(col("k"), "\\|")
+      // ANSI mode: element_at past the end throws, so guard on size
+      def part(i: Int) =
+        coalesce(when(size(parts) >= i, element_at(parts, i)), lit(""))
+      joined.select(
+        when(col("in_r").isNull, "False Positive").otherwise("False Negative").as("type"),
+        col("k").as("CompositeKey"),
+        part(1).as("RequestNo"),
+        part(2).as("AssetItemName"),
+        part(3).as("VendorName"),
+        when(col("in_r").isNull,
+          concat(lit("Record "), col("k"),
+            lit(" incorrectly included in processed data (not in reference)")))
+          .otherwise(concat(lit("Record "), col("k"),
+            lit(" incorrectly excluded from processed data (should be included)")))
+          .as("description"))
+    }),
     "validate_keys" -> ((s, d) => {
       val p = CapexDerive.pipeline(s, d)
       val byKey = p.groupBy("CompositePrimaryKey").agg(count(lit(1)).as("cnt"))
@@ -198,6 +225,23 @@ object CapexQueries {
       SELECT tp, fp, fn, prec, rec,
              CASE WHEN prec + rec = 0.0 THEN 0.0
                   ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pr""",
+    "validate_mismatches" -> s"""$W, ref_keys AS (
+        SELECT DISTINCT key_robust AS k FROM enriched_m WHERE $refPredSql),
+      proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe),
+      outer_keys AS (
+        SELECT coalesce(p.k, r.k) AS k, p.k IS NOT NULL AS in_p, r.k IS NOT NULL AS in_r
+        FROM proc_keys p FULL OUTER JOIN ref_keys r ON p.k = r.k
+        WHERE p.k IS NULL OR r.k IS NULL)
+      SELECT CASE WHEN NOT in_r THEN 'False Positive' ELSE 'False Negative' END AS type,
+             k AS CompositeKey,
+             coalesce(string_split(k, '|')[1], '') AS RequestNo,
+             coalesce(string_split(k, '|')[2], '') AS AssetItemName,
+             coalesce(string_split(k, '|')[3], '') AS VendorName,
+             CASE WHEN NOT in_r
+                  THEN 'Record ' || k || ' incorrectly included in processed data (not in reference)'
+                  ELSE 'Record ' || k || ' incorrectly excluded from processed data (should be included)'
+             END AS description
+      FROM outer_keys""",
     "validate_keys" -> s"""$W, by_key AS (
         SELECT CompositePrimaryKey, count(*) AS cnt FROM pipe GROUP BY 1),
       tot AS (SELECT count(*) AS total_records,

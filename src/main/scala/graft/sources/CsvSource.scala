@@ -61,6 +61,16 @@ object CsvSource {
     Encodings.find(strictlyDecodes(head, _)).getOrElse("ISO-8859-1")
   }
 
+  /** CSV export matching the reference's download path (app.py:117-123,
+    * `df.to_csv(index=False)`): header row, UTF-8, no index column.
+    * `singleFile = true` coalesces to one part (the reference emits one
+    * downloadable file); leave false at scale for a distributed write.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   /** Read a CSV with the reference's encoding-fallback chain: detect on a
     * bounded head probe, then one lazy distributed scan. BOM ("utf-8-sig")
     * is handled by Spark's UTF-8 CSV path.

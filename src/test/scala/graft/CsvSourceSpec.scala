@@ -36,4 +36,20 @@ class CsvSourceSpec extends SparkSpecBase {
     assert(!CsvSource.strictlyDecodes(bad, "UTF-8"))
     assert(CsvSource.strictlyDecodes(bad, "ISO-8859-1"))
   }
+
+  test("csv export round-trips the capex pipeline output (app.py download path)") {
+    import org.apache.spark.sql.functions._
+    val p = graft.capex.CapexDerive.pipeline(spark, sfDir)
+      // CSV has no types: compare over a stable string projection
+      .select(col("rid"), col("RequestNo"), col("CompositePrimaryKey"),
+        col("AssetItemAmount").cast("string").as("amount"))
+    val dir = Files.createTempDirectory("graft-csv-out").resolve("out").toString
+    CsvSource.writeCsv(p, dir, singleFile = true)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1) // single downloadable file, like to_csv
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == p.count())
+    assert(back.exceptAll(p).count() == 0)
+    graft.capex.CapexDerive.clearCache()
+  }
 }
