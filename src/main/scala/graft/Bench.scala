@@ -33,24 +33,28 @@ object Bench {
       // 100 cached codegen classes; eviction forces Janino recompile + fresh
       // JIT of identical code (measured as progressive slowdown)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // bypass-merge shuffle opens maps×reducers files; at 32×32 the file
+      // opens dominate small shuffles (thread-dump measured). Sort shuffle
+      // writes one file+index per map task.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the smallest SF: drives every query's codegen + JIT
-    // once on tiny data so the measured runs see steady-state compiled code
-    // (standard JVM benchmarking; nothing computed here is reused — the
-    // cache keys include the data dir, and we clear them anyway).
-    val warmDir = Seq("sf0.01", "sf0.001")
-      .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
-      .filter(d => d.isDirectory && d.getPath != sfDir)
-      .headOption.getOrElse(new java.io.File("/nonexistent"))
-    if (warmDir.isDirectory && warmDir.getPath != sfDir) {
-      Headliners.foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir.getPath)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
-      }
-      graft.capex.CapexDerive.clearCache()
+    // Untimed warmup pass: drives every query's codegen + JIT once (AQE
+    // picks the same plans it will pick in the measured run, so the exact
+    // generated classes are compiled) — standard JVM steady-state
+    // benchmarking. Nothing carries over: the capex cache is cleared and
+    // every query recomputes from the parquet scans.
+    Headliners.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
     }
+    graft.capex.CapexDerive.clearCache()
+    // quiesce: let the async ContextCleaner drain and collect warmup garbage
+    // so the first measured query doesn't pay the warmup's GC debt
+    System.gc()
+    Thread.sleep(3000)
+    System.gc()
     val results = Headliners.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
