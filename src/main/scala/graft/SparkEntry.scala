@@ -33,6 +33,7 @@ object SparkEntry {
     "dedup_embedding"     -> (graft.llm.Ann.dedupEmbedding _),
     "ann_bruteforce"      -> (graft.llm.Ann.annBruteforce _),
     "ann_lsh"             -> (graft.llm.Ann.annLsh _),
+    "ann_ivf"             -> (graft.llm.Ann.annIvf _),
     "text_langid"         -> (graft.llm.TextOps.textLangid _),
     "text_quality"        -> (graft.llm.TextOps.textQuality _),
     "text_tokens"         -> (graft.llm.TextOps.textTokens _),
@@ -46,6 +47,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "ann_lsh"        -> graft.llm.Ann.annLshSql,
+    "ann_ivf"        -> graft.llm.Ann.annIvfSql,
     "q1_agg"         -> Analytics.q1AggSql,
     "q3_join"        -> Analytics.q3JoinSql,
     "q5_multijoin"   -> Analytics.q5MultiJoinSql,

@@ -117,6 +117,78 @@ object Ann {
       .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  val NumCells = 16
+  val NProbe = 2
+
+  /** Per-vector centroid ranking for the IVF index: centroids are the
+    * first NumCells vectors (deterministic seeds — a spherical-k-means
+    * refinement would keep the same plan shape), ranked per vector by
+    * cosine (ties → lowest centroid id). rn=1 is the cell assignment;
+    * rn ≤ NProbe is the query-time probe list.
+    *
+    * Scale shape: centroids broadcast, one pass over the corpus for
+    * assignment, one shuffle by cell for search — the standard IVF
+    * partition-pruning layout (probe 2 of 16 cells ⇒ ~1/8 of the corpus
+    * scanned per query).
+    */
+  def ivfRanked(spark: SparkSession, dir: String): DataFrame = {
+    val cents = vecs(spark, dir).filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    vecs(spark, dir).crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("cv")) / (norm(col("embedding")) * norm(col("cv"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("rn"))
+  }
+
+  /** D7b: IVF ANN — same top-k contract as brute force, but candidates come
+    * only from the query's NProbe nearest cells. Fully deterministic, so
+    * the oracle hash-checks it like the LSH variant.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfRanked(spark, dir)
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    broadcast(probes).join(members, Seq("cell")).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  val annIvfSql: String = {
+    val ccos = s"${dotSql("v.embedding", "c.embedding")}" +
+      s" / (${normSql("v.embedding")} * ${normSql("c.embedding")})"
+    s"""WITH ranked AS MATERIALIZED (
+      SELECT v.vec_id, v.embedding, c.vec_id AS cell, rn FROM (
+        SELECT v.vec_id AS vid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY $ccos DESC, c.vec_id ASC) AS rn
+        FROM embeddings v, embeddings c WHERE c.vec_id < $NumCells) r
+      JOIN embeddings v ON v.vec_id = r.vid
+      JOIN embeddings c ON c.vec_id = r.cid
+      WHERE rn <= $NProbe),
+    members AS (SELECT vec_id AS nb_id, embedding, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, embedding, cell FROM ranked WHERE vec_id < 10)
+    SELECT q_id, nb_id, rank, round(cos, 4) AS cos_sim FROM (
+      SELECT p.q_id, m.nb_id,
+             ${dotSql("p.embedding", "m.embedding")}
+               / (${normSql("p.embedding")} * ${normSql("m.embedding")}) AS cos,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY ${dotSql("p.embedding", "m.embedding")}
+                 / (${normSql("p.embedding")} * ${normSql("m.embedding")}) DESC,
+                 m.nb_id ASC) AS rank
+      FROM probes p JOIN members m ON p.cell = m.cell AND p.q_id != m.nb_id)
+    WHERE rank <= 5"""
+  }
+
   /** The hyperplane matrix is code-time deterministic, so the "approximate"
     * bucketing is exactly reproducible relationally: the oracle bakes the
     * same ±1 signs and the same left-to-right double fold, making D7 fully
