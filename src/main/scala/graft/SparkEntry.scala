@@ -39,6 +39,8 @@ object SparkEntry {
     "text_tokens"         -> (graft.llm.TextOps.textTokens _),
     "text_fingerprint"    -> (graft.llm.TextOps.textFingerprint _),
     "mm_pipeline"         -> (graft.llm.Multimodal.mmPipeline _),
+    "mm_resize"           -> (graft.llm.Multimodal.mmResize _),
+    "mm_frame_sample"     -> (graft.llm.Multimodal.mmFrameSample _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -67,5 +69,7 @@ object SparkEntry {
     "text_tokens"         -> graft.llm.TextOps.textTokensSql,
     "text_fingerprint"    -> graft.llm.TextOps.textFingerprintSql,
     "mm_pipeline"         -> graft.llm.Multimodal.mmPipelineSql,
+    "mm_resize"           -> graft.llm.Multimodal.mmResizeSql,
+    "mm_frame_sample"     -> graft.llm.Multimodal.mmFrameSampleSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

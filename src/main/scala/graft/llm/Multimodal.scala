@@ -65,11 +65,73 @@ object Multimodal {
       .select(col("media_id"), col("n_bytes"), col("first_byte"), col("area"))
   }
 
-  /** The decode stub is deterministic over the payload, so the oracle can
-    * recompute it relationally. first_byte is byte-derived on both sides
-    * (hex of the UTF-8 encoding, not the Unicode codepoint) so parity holds
-    * for non-ASCII leading characters too.
+  val ResizeBox = 224
+
+  /** D12b: metadata-side resize — fit (width, height) into a 224-box
+    * preserving aspect (the real image op would also transform the payload;
+    * the dimension math IS the schema contract a resize stage exports).
+    * Pure integer-exact Column math, mirrored in the oracle.
     */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val m = greatest(col("width"), col("height"), lit(1))
+    // floor division on both sides: DuckDB CAST(double AS INT) rounds
+    // half-to-even while Spark truncates, so the int cast must land on an
+    // integral double
+    mediaFrame(spark, dir).select(
+      col("media_id"), col("width"), col("height"),
+      greatest(lit(1), floor(col("width") * ResizeBox / m).cast("int")).as("out_w"),
+      greatest(lit(1), floor(col("height") * ResizeBox / m).cast("int")).as("out_h"))
+  }
+  val mmResizeSql: String =
+    s"""SELECT media_id, width, height,
+      greatest(1, CAST(floor(width * $ResizeBox / m) AS INT)) AS out_w,
+      greatest(1, CAST(floor(height * $ResizeBox / m) AS INT)) AS out_h
+    FROM (SELECT doc_id AS media_id,
+        CAST(n_chars % 640 AS INT) AS width, CAST((n_chars * 7) % 480 AS INT) AS height,
+        greatest(CAST(n_chars % 640 AS INT), CAST((n_chars * 7) % 480 AS INT), 1) AS m
+      FROM documents)"""
+
+  val FrameBytes = 100
+  val MaxFrames = 4
+
+  /** D12c: frame sampling — treat the payload as a "video" of
+    * ceil-ish n_bytes/100 frames and sample ≤4 evenly-spaced frame indices,
+    * one output row per sampled frame with the frame's leading byte as the
+    * stub feature. The explode shape (media row → frame rows) is exactly
+    * what a real frame extractor feeds downstream.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = mediaFrame(spark, dir)
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+      .withColumn("n_frames", floor(col("n_bytes") / FrameBytes).cast("int") + 1)
+      .withColumn("hx", hex(col("payload")))
+    base
+      .withColumn("frame_idx", explode(array_distinct(
+        transform(sequence(lit(0), lit(MaxFrames - 1)),
+          i => floor(i * (col("n_frames") - 1) / (MaxFrames - 1)).cast("int")))))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        when(col("frame_idx") * FrameBytes < col("n_bytes"),
+          conv(substring(col("hx"), col("frame_idx") * FrameBytes * 2 + 1, lit(2)), 16, 10)
+            .cast("int"))
+          .otherwise(-1).as("frame_byte"))
+  }
+  val mmFrameSampleSql: String =
+    s"""WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes,
+             CAST(floor(octet_length(encode(coalesce(text, ''))) / $FrameBytes) AS INT) + 1 AS n_frames,
+             hex(encode(coalesce(text, ''))) AS hx
+      FROM documents),
+    fr AS (
+      SELECT media_id, n_bytes, n_frames, hx,
+             unnest(list_distinct(list_transform(range(0, $MaxFrames),
+               i -> CAST(floor(i * (n_frames - 1) / ${MaxFrames - 1}) AS INT)))) AS frame_idx
+      FROM m)
+    SELECT media_id, n_frames, frame_idx,
+           CASE WHEN frame_idx * $FrameBytes < n_bytes
+                THEN CAST('0x' || substr(hx, frame_idx * $FrameBytes * 2 + 1, 2) AS INT)
+                ELSE -1 END AS frame_byte
+    FROM fr"""
   val mmPipelineSql: String =
     """SELECT doc_id AS media_id,
       octet_length(encode(coalesce(text, ''))) AS n_bytes,
