@@ -281,6 +281,26 @@ object CapexDerive {
           .when(col("rm_r18"), r18Label)
           .otherwise(lit(null).cast("string")))
       .withColumn("survives", col("excluded_by").isNull)
+      // reference _record_exclusions column_name per rule
+      // (process_capex.py:298-875): which column triggered the exclusion
+      .withColumn("trigger_column",
+        when(col("rm_r1"), "CurrentStatus").when(col("rm_r2"), "IsSelectedVendor")
+          .when(col("rm_r3"), "RequestFunction").when(col("rm_r3a"), "AssetItemName")
+          .when(col("rm_r5"), "AssetCategoryName_2").when(col("rm_r5a"), "AssetItemName")
+          .when(col("rm_r6"), "UserRemarks").when(col("rm_r8"), "UserRemarks")
+          .when(col("rm_r9"), "CurrentStatus").when(col("rm_r10"), "UserRemarks")
+          .when(col("rm_r11"), "UserRemarks").when(col("rm_r12"), "UserRemarks")
+          .when(col("rm_r13"), "UserRemarks").when(col("rm_r18"), "AssetItemName")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("trigger_value",
+        when(col("rm_r1"), col("CurrentStatus")).when(col("rm_r2"), col("IsSelectedVendor"))
+          .when(col("rm_r3"), col("RequestFunction")).when(col("rm_r3a"), item)
+          .when(col("rm_r5"), col("acat_norm")).when(col("rm_r5a"), item)
+          .when(col("rm_r6"), rem).when(col("rm_r8"), rem)
+          .when(col("rm_r9"), col("CurrentStatus")).when(col("rm_r10"), rem)
+          .when(col("rm_r11"), rem).when(col("rm_r12"), rem)
+          .when(col("rm_r13"), rem).when(col("rm_r18"), item)
+          .otherwise(lit(null).cast("string")))
 
     labeled
       .withColumn("key_strict",

@@ -52,6 +52,12 @@ object CapexQueries {
     "rule_non_ops"          -> (removedBy("rm_r18", "AssetItemName") _),
     "exclusion_reasons"     -> ((s, d) => CapexDerive.enriched(s, d)
       .filter(col("excluded_by").isNotNull).select(col("rid"), col("excluded_by"))),
+    // A10 detail: structured exclusion reason (label + trigger column/value),
+    // mirroring the reference's _record_exclusions entries + FN display
+    // (process_capex.py:181-223, app.py:458-476)
+    "exclusion_detail"      -> ((s, d) => CapexDerive.enriched(s, d)
+      .filter(col("excluded_by").isNotNull)
+      .select(col("rid"), col("excluded_by"), col("trigger_column"), col("trigger_value"))),
 
     // -------------------------------------------------------------- B ops
     "normalize_category" -> ((s, d) => CapexDerive.enriched(s, d)
@@ -186,6 +192,8 @@ object CapexQueries {
     "rule_personal_device" -> s"$W SELECT rid, AssetItemName FROM enriched WHERE rm_r5a",
     "rule_non_ops" -> s"$W SELECT rid, AssetItemName FROM enriched WHERE rm_r18",
     "exclusion_reasons" -> s"$W SELECT rid, excluded_by FROM enriched WHERE excluded_by IS NOT NULL",
+    "exclusion_detail" -> s"""$W SELECT rid, excluded_by, trigger_column, trigger_value
+      FROM enriched WHERE excluded_by IS NOT NULL""",
     "normalize_category" -> s"$W SELECT rid, acat_norm_raw AS normalized_category FROM enriched",
     "recode_office_furniture" -> s"$W SELECT rid, acat_recode AS recoded_category FROM enriched",
     "map_zone_region" -> s"$W SELECT rid, BranchCode, Zone, Region FROM enriched",

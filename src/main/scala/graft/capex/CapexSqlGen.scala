@@ -197,6 +197,22 @@ object CapexSqlGen {
              ELSE NULL END AS excluded_by,
         (NOT (rm_r1 OR rm_r2 OR rm_r3 OR rm_r3a OR rm_r5 OR rm_r5a OR rm_r6 OR rm_r8
               OR rm_r9 OR rm_r10 OR rm_r11 OR rm_r12 OR rm_r13 OR rm_r18)) AS survives,
+        CASE WHEN rm_r1 THEN 'CurrentStatus' WHEN rm_r2 THEN 'IsSelectedVendor'
+             WHEN rm_r3 THEN 'RequestFunction' WHEN rm_r3a THEN 'AssetItemName'
+             WHEN rm_r5 THEN 'AssetCategoryName_2' WHEN rm_r5a THEN 'AssetItemName'
+             WHEN rm_r6 THEN 'UserRemarks' WHEN rm_r8 THEN 'UserRemarks'
+             WHEN rm_r9 THEN 'CurrentStatus' WHEN rm_r10 THEN 'UserRemarks'
+             WHEN rm_r11 THEN 'UserRemarks' WHEN rm_r12 THEN 'UserRemarks'
+             WHEN rm_r13 THEN 'UserRemarks' WHEN rm_r18 THEN 'AssetItemName'
+             ELSE NULL END AS trigger_column,
+        CASE WHEN rm_r1 THEN CurrentStatus WHEN rm_r2 THEN IsSelectedVendor
+             WHEN rm_r3 THEN RequestFunction WHEN rm_r3a THEN AssetItemName
+             WHEN rm_r5 THEN acat_norm WHEN rm_r5a THEN AssetItemName
+             WHEN rm_r6 THEN UserRemarks WHEN rm_r8 THEN UserRemarks
+             WHEN rm_r9 THEN CurrentStatus WHEN rm_r10 THEN UserRemarks
+             WHEN rm_r11 THEN UserRemarks WHEN rm_r12 THEN UserRemarks
+             WHEN rm_r13 THEN UserRemarks WHEN rm_r18 THEN AssetItemName
+             ELSE NULL END AS trigger_value,
         $keyStrict AS key_strict,
         $keyRobust AS key_robust,
         ((CASE WHEN CurrentStatus = 'Approved' THEN 100 ELSE 0 END)

@@ -15,10 +15,15 @@ class CapexSpec extends SparkSpecBase {
     val n = enr.count()
     assert(n == 6000)
     assert(enr.select("rid").distinct().count() == n)
+    // nullable by design: the exclusion attribution trio is null on survivors
+    val nullableOk = Set("excluded_by", "trigger_column", "trigger_value")
     val nullCounts = enr.select(
-      enr.columns.filterNot(_ == "excluded_by").map(c =>
+      enr.columns.filterNot(nullableOk).map(c =>
         sum(when(col(c).isNull, 1).otherwise(0)).as(c)): _*).head()
     assert(nullCounts.toSeq.forall(_ == 0L), s"nulls found: $nullCounts")
+    // and the trio is always set together
+    assert(enr.filter(col("excluded_by").isNotNull &&
+      (col("trigger_column").isNull || col("trigger_value").isNull)).count() == 0)
   }
 
   test("status rule trims and casefolds") {
