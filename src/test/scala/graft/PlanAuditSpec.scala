@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression guard: the scale properties SURVEY §5 claims —
+  * broadcast dim joins, scan-level filter pushdown, column pruning — are
+  * asserted against the actual physical plans so a refactor can't silently
+  * trade them away.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q3/q5: dim edges broadcast, no sort-merge join") {
+    for (df <- Seq(queries.Analytics.q3Join(spark, sfDir),
+                   queries.Analytics.q5MultiJoin(spark, sfDir))) {
+      val p = planOf(df)
+      assert(p.contains("BroadcastHashJoin"), "expected broadcast dim join")
+      assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+    }
+  }
+
+  test("q6: selective filters reach the parquet scan") {
+    val p = planOf(queries.Analytics.q6Filter(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("text_tokens: scan prunes to the two needed columns") {
+    val p = planOf(llm.TextOps.textTokens(spark, sfDir))
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("n_chars") && !read.contains("lang"), read)
+  }
+
+  test("capex enriched: dims broadcast and no cartesian fact join") {
+    val p = planOf(capex.CapexDerive.raw(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "fact-side cartesian join")
+  }
+
+  test("ann_bruteforce: query side broadcast, corpus never shuffled wide") {
+    val p = planOf(llm.Ann.annBruteforce(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
+    assert(p.contains("float_vec_dot"), "native dot expression must be in the plan")
+  }
+}

@@ -101,6 +101,35 @@ class TextMatchSpec extends SparkSpecBase {
     }
   }
 
+  test("property: Spark matcher == reference matcher on random negation-laced texts") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.rng.Seed
+    // random texts over a vocabulary that mixes phrase words, negations,
+    // multi-token phrase fragments, and noise — adversarial for window and
+    // boundary logic
+    val vocab = Seq("test", "demo", "macbook", "pro", "dark", "store", "no",
+      "not", "without", "skip", "hub", "ops", "x", "laptop", "counter",
+      "personal", "a", "the")
+    val genText = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = Gen.listOfN(300, genText)
+      .apply(Gen.Parameters.default, Seed(20260812L)).get.distinct
+    val phraseSets = Seq(TextMatch.TestDemoPhrases,
+      TextMatch.PersonalNonBusinessPhrases, TextMatch.DarkStorePhrases,
+      TextMatch.CounterPhrases, TextMatch.PersonalDeviceWords)
+    val df = texts.toDF("t").withColumn("toks", TextMatch.tokens(col("t")))
+    val cols = phraseSets.zipWithIndex.map { case (ps, i) =>
+      TextMatch.anyPhraseNonNegated(col("toks"), ps).as(s"f$i")
+    }
+    val got = df.select(col("t") +: cols: _*).collect()
+      .map(r => r.getString(0) -> phraseSets.indices.map(i => r.getBoolean(i + 1))).toMap
+    texts.foreach { t =>
+      val toks = TextMatch.Ref.tokens(t)
+      val want = phraseSets.map(ps => TextMatch.Ref.anyPhraseNonNegated(toks, ps))
+      assert(got(t) == want, s"mismatch for '$t': got ${got(t)}, ref $want")
+    }
+  }
+
   test("equipment regexes") {
     val rows = Seq(
       "Fire Extinguisher ABC",   // fire
