@@ -60,11 +60,15 @@ object CapexDerive {
     */
   def raw(spark: SparkSession, dir: String): DataFrame = {
     // Spread the scan FIRST (single-file testdata = one partition), keyed by
-    // the request grouping (orderkey div 16 = the future RequestNo) so the
-    // md5/vocab projection below runs on every core.
+    // the EXACT RequestNo string expression the projection aliases below:
+    // the hash partitioning then propagates through the Project as
+    // hashpartitioning(RequestNo), so the representative-row window and the
+    // request-grouped enrichment reuse this one shuffle (keying by the
+    // bigint `orderkey div 16` instead would hash differently and force a
+    // second full exchange of the wide frame).
     val li = Tables.lineitem(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism,
-        expr("l_orderkey div 16"))
+        concat(lit("REQ-"), (col("l_orderkey") / 16).cast("bigint").cast("string")))
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
@@ -104,6 +108,25 @@ object CapexDerive {
     */
   private val enrichedCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+  // intermediate localCheckpoint frames created inside builds — tracked so
+  // clearCache releases their blocks instead of waiting on GC + ContextCleaner
+  private val intermediates =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]
+
+  /** localCheckpoint + register for explicit release on clearCache. */
+  private def cp(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    intermediates.synchronized { intermediates += out }
+    out
+  }
+
+  private def releaseCheckpoint(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = true)
+      case _ =>
+    }
+    df.unpersist(blocking = true)
+  }
 
   private def cached(spark: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame =
@@ -126,29 +149,22 @@ object CapexDerive {
   /** Drop cached frames (bench hygiene between unrelated queries; blocking
     * so the release doesn't GC-churn the next query's timing). */
   def clearCache(): Unit = {
-    enrichedCache.values.foreach { df =>
-      // localCheckpoint blocks belong to the underlying RDD, not the
-      // Dataset's CacheManager entry — release them explicitly
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = true)
-        case _ =>
-      }
-      df.unpersist(blocking = true)
-    }
+    // localCheckpoint blocks belong to the underlying RDDs, not the
+    // Dataset's CacheManager entry — release them explicitly, including
+    // the intermediate build-stage checkpoints
+    enrichedCache.values.foreach(releaseCheckpoint)
     enrichedCache.clear()
+    intermediates.synchronized {
+      intermediates.foreach(releaseCheckpoint)
+      intermediates.clear()
+    }
   }
 
   private def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
-    // The testdata arrives as ONE small parquet file per table and the
-    // li⋈ord join broadcasts, so without an explicit spread the entire
-    // enrichment (60+ string/regex expressions per row) runs in a single
-    // task. Repartition by RequestNo: distributes the CPU-bound projection
-    // across every core AND pre-clusters for the ranked() window, which
-    // partitions by the same key (no second shuffle). At cluster scale the
-    // scan would arrive multi-partition anyway; one row-light shuffle up
-    // front is the standard price for core-saturated compute.
+    // raw() already spread the scan by the RequestNo expression, so the
+    // whole enrichment runs core-parallel AND stays clustered for the
+    // ranked() window — no further exchange here.
     val base = raw(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("RequestNo"))
     val off = offices(spark, dir).select(
       col("office"), col("zone").as("map_zone"), col("region").as("map_region"))
     val rc = regionCodes(spark, dir)
@@ -187,15 +203,14 @@ object CapexDerive {
     // re-executes the scan+joins+category chain; (b) the barrier halves the
     // size of each whole-stage-codegen'd stage, whose Janino+JIT cost —
     // not row compute — dominates this build.
-    val withCats = mapped
+    val withCats = cp(mapped
       .withColumn("acat_recode", acatRecode)
       .withColumn("acat_norm", norm(col("acat_recode")))
       .withColumn("acat_norm_raw", norm(acatRaw))
       .withColumn("acat_split",
         PmSplitItems.reverse.foldRight(col("acat_norm")) { case (kw, acc) =>
           when(lower(item).contains(kw.toLowerCase), s"PLANT & MACHINERY - $kw").otherwise(acc)
-        })
-      .localCheckpoint(true)
+        }))
 
     // Remark flags (negation-aware): the matcher is a pure function of the
     // text, so run it over the DISTINCT remark dictionary / device-text
@@ -204,13 +219,12 @@ object CapexDerive {
     // compute scales with distinct texts: at 100 TB the per-row HOF work
     // collapses onto the (shuffled-distinct) dictionary.
     val remFlags = {
-      val d = withCats.select(rem.as("UserRemarks")).distinct()
-        .withColumn("rtoks", TextMatch.tokens(col("UserRemarks")))
-        // barrier: keep the tokenizer out of the flag lambdas (see Dedup).
-        // nn is NOT barriered: inlining it into the 6 flag lambdas re-runs
-        // the window scan 6× per dict row — bounded by dict cardinality,
-        // cheaper than another eager checkpoint job.
-        .localCheckpoint(true)
+      val d = cp(withCats.select(rem.as("UserRemarks")).distinct()
+        .withColumn("rtoks", TextMatch.tokens(col("UserRemarks"))))
+        // barrier above keeps the tokenizer out of the flag lambdas (see
+        // Dedup). nn is NOT barriered: inlining it into the 6 flag lambdas
+        // re-runs the window scan 6× per dict row — bounded by dict
+        // cardinality, cheaper than another eager checkpoint job.
         .withColumn("nn", TextMatch.nonNegatedTokens(col("rtoks")))
       d.select(col("UserRemarks"),
         TextMatch.isTestDemo(col("rtoks"), col("nn")).as("flag_test_demo"),
@@ -221,9 +235,8 @@ object CapexDerive {
         TextMatch.mentionsDsWord(col("rtoks")).as("flag_ds"))
     }
     val devDim = {
-      val d = withCats.select(item, icat, col("acat_recode"), rem).distinct()
-        .withColumn("dtoks", TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem)))
-        .localCheckpoint(true)
+      val d = cp(withCats.select(item, icat, col("acat_recode"), rem).distinct()
+        .withColumn("dtoks", TextMatch.tokens(concat_ws(" ", item, icat, col("acat_recode"), rem))))
         .withColumn("nn_d", TextMatch.nonNegatedTokens(col("dtoks")))
       d.select(col("AssetItemName"), col("ItemCategory"), col("acat_recode"), col("UserRemarks"),
         TextMatch.anyPhraseNonNegated(col("dtoks"), col("nn_d"),
@@ -269,38 +282,21 @@ object CapexDerive {
     val r18Label = NonOpsKeywords.foldRight(lit(LabelR18Cctv): Column) { case (kw, acc) =>
       when(kwHit(kw), labelR18(kw)).otherwise(acc)
     }
+    // Attribution chains generated from the ONE rule table
+    // (CapexVocab.RuleAttribution); r18 appended with its keyword-dependent
+    // label. Reference: _record_exclusions (process_capex.py:181-223) and
+    // its per-rule call sites.
+    def attrib(pick: ((String, String, String, String)) => Column,
+               r18: Column): Column =
+      RuleAttribution.foldRight(
+        when(col("rm_r18"), r18).otherwise(lit(null).cast("string"))) {
+        case (entry, acc) => when(col(entry._1), pick(entry)).otherwise(acc)
+      }
     val labeled = withRules
-      .withColumn("excluded_by",
-        when(col("rm_r1"), LabelR1).when(col("rm_r2"), LabelR2)
-          .when(col("rm_r3"), LabelR3).when(col("rm_r3a"), LabelR3a)
-          .when(col("rm_r5"), LabelR5).when(col("rm_r5a"), LabelR5a)
-          .when(col("rm_r6"), LabelR6).when(col("rm_r8"), LabelR8)
-          .when(col("rm_r9"), LabelR9).when(col("rm_r10"), LabelR10)
-          .when(col("rm_r11"), LabelR11).when(col("rm_r12"), LabelR12)
-          .when(col("rm_r13"), LabelR13)
-          .when(col("rm_r18"), r18Label)
-          .otherwise(lit(null).cast("string")))
+      .withColumn("excluded_by", attrib(e => lit(e._2), r18Label))
       .withColumn("survives", col("excluded_by").isNull)
-      // reference _record_exclusions column_name per rule
-      // (process_capex.py:298-875): which column triggered the exclusion
-      .withColumn("trigger_column",
-        when(col("rm_r1"), "CurrentStatus").when(col("rm_r2"), "IsSelectedVendor")
-          .when(col("rm_r3"), "RequestFunction").when(col("rm_r3a"), "AssetItemName")
-          .when(col("rm_r5"), "AssetCategoryName_2").when(col("rm_r5a"), "AssetItemName")
-          .when(col("rm_r6"), "UserRemarks").when(col("rm_r8"), "UserRemarks")
-          .when(col("rm_r9"), "CurrentStatus").when(col("rm_r10"), "UserRemarks")
-          .when(col("rm_r11"), "UserRemarks").when(col("rm_r12"), "UserRemarks")
-          .when(col("rm_r13"), "UserRemarks").when(col("rm_r18"), "AssetItemName")
-          .otherwise(lit(null).cast("string")))
-      .withColumn("trigger_value",
-        when(col("rm_r1"), col("CurrentStatus")).when(col("rm_r2"), col("IsSelectedVendor"))
-          .when(col("rm_r3"), col("RequestFunction")).when(col("rm_r3a"), item)
-          .when(col("rm_r5"), col("acat_norm")).when(col("rm_r5a"), item)
-          .when(col("rm_r6"), rem).when(col("rm_r8"), rem)
-          .when(col("rm_r9"), col("CurrentStatus")).when(col("rm_r10"), rem)
-          .when(col("rm_r11"), rem).when(col("rm_r12"), rem)
-          .when(col("rm_r13"), rem).when(col("rm_r18"), item)
-          .otherwise(lit(null).cast("string")))
+      .withColumn("trigger_column", attrib(e => lit(e._3), lit("AssetItemName")))
+      .withColumn("trigger_value", attrib(e => col(e._4), item))
 
     labeled
       .withColumn("key_strict",

@@ -32,6 +32,24 @@ object CapexQueries {
     "CASE WHEN trim(VendorName) = '' THEN trim(RequestNo) || '|' || trim(AssetItemName) " +
       "ELSE trim(RequestNo) || '|' || trim(AssetItemName) || '|' || trim(VendorName) END"
 
+  /** Full-outer join of processed vs reference robust-key sets — the one
+    * definition of TP/FP/FN shared by validate_prf and validate_mismatches
+    * (columns: k, in_p, in_r with null marking absence).
+    */
+  private def keySetJoin(s: SparkSession, d: String): DataFrame = {
+    val enr = CapexDerive.enriched(s, d)
+    val refKeys = enr.filter(refPred).select(col("key_robust").as("k")).distinct()
+    val procKeys = robustKeyOf(CapexDerive.pipeline(s, d)).select(col("key_robust").as("k")).distinct()
+    procKeys.withColumn("in_p", lit(1))
+      .join(refKeys.withColumn("in_r", lit(1)), Seq("k"), "full_outer")
+  }
+
+  /** The matching oracle CTE fragment (defines proc_keys/ref_keys). */
+  private val keySetCtes =
+    s"""ref_keys AS (
+        SELECT DISTINCT key_robust AS k FROM enriched_m WHERE $refPredSql),
+      proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe)"""
+
   // ---------------------------------------------------------------- A rules
   private def removedBy(flag: String, outCol: String)(s: SparkSession, d: String): DataFrame =
     CapexDerive.enriched(s, d).filter(col(flag)).select(col("rid"), col(outCol))
@@ -102,11 +120,7 @@ object CapexQueries {
 
     // -------------------------------------------------------------- C validation
     "validate_prf" -> ((s, d) => {
-      val enr = CapexDerive.enriched(s, d)
-      val refKeys = enr.filter(refPred).select(col("key_robust").as("k")).distinct()
-      val procKeys = robustKeyOf(CapexDerive.pipeline(s, d)).select(col("key_robust").as("k")).distinct()
-      val joined = procKeys.withColumn("in_p", lit(1))
-        .join(refKeys.withColumn("in_r", lit(1)), Seq("k"), "full_outer")
+      val joined = keySetJoin(s, d)
       val counts = joined.agg(
         sum(when(col("in_p").isNotNull && col("in_r").isNotNull, 1).otherwise(0)).as("tp"),
         sum(when(col("in_p").isNotNull && col("in_r").isNull, 1).otherwise(0)).as("fp"),
@@ -122,11 +136,7 @@ object CapexQueries {
     // with the key parsed back into its components and the reference's
     // description string.
     "validate_mismatches" -> ((s, d) => {
-      val enr = CapexDerive.enriched(s, d)
-      val refKeys = enr.filter(refPred).select(col("key_robust").as("k")).distinct()
-      val procKeys = robustKeyOf(CapexDerive.pipeline(s, d)).select(col("key_robust").as("k")).distinct()
-      val joined = procKeys.withColumn("in_p", lit(1))
-        .join(refKeys.withColumn("in_r", lit(1)), Seq("k"), "full_outer")
+      val joined = keySetJoin(s, d)
         .filter(col("in_p").isNull || col("in_r").isNull)
       val parts = split(col("k"), "\\|")
       // ANSI mode: element_at past the end throws, so guard on size
@@ -220,9 +230,7 @@ object CapexQueries {
       WHERE RequestNo IN (SELECT RequestNo FROM enriched_m WHERE CurrentStatus = 'Approved')""",
     "fail_open_reinstate" -> s"$W SELECT rid, key_robust, true AS reincluded FROM reinstated",
     "capex_pipeline" -> s"$W SELECT * FROM pipe",
-    "validate_prf" -> s"""$W, ref_keys AS (
-        SELECT DISTINCT key_robust AS k FROM enriched_m WHERE $refPredSql),
-      proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe),
+    "validate_prf" -> s"""$W, $keySetCtes,
       counts AS (
         SELECT CAST(sum(CASE WHEN p.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
                CAST(sum(CASE WHEN p.k IS NOT NULL AND r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -233,9 +241,7 @@ object CapexQueries {
       SELECT tp, fp, fn, prec, rec,
              CASE WHEN prec + rec = 0.0 THEN 0.0
                   ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pr""",
-    "validate_mismatches" -> s"""$W, ref_keys AS (
-        SELECT DISTINCT key_robust AS k FROM enriched_m WHERE $refPredSql),
-      proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe),
+    "validate_mismatches" -> s"""$W, $keySetCtes,
       outer_keys AS (
         SELECT coalesce(p.k, r.k) AS k, p.k IS NOT NULL AS in_p, r.k IS NOT NULL AS in_r
         FROM proc_keys p FULL OUTER JOIN ref_keys r ON p.k = r.k

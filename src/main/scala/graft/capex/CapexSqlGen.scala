@@ -93,6 +93,17 @@ object CapexSqlGen {
     JOIN nation ON c_nationkey = n_nationkey"""
   }
 
+  /** Attribution CASE generated from CapexVocab.RuleAttribution — the same
+    * table CapexDerive's chains fold over; `pick` selects which field the
+    * branch returns (quoted label / quoted column name / raw value column),
+    * `r18Expr` is the keyword-dependent rule-18 branch.
+    */
+  private def attribCase(pick: ((String, String, String, String)) => String,
+                         r18Expr: String): String =
+    "CASE " +
+      RuleAttribution.map(e => s"WHEN ${e._1} THEN ${pick(e)}").mkString(" ") +
+      s" WHEN rm_r18 THEN $r18Expr ELSE NULL END"
+
   private val kwHit = (kw: String) => {
     val k = sq(kw.toLowerCase)
     s"(contains(lower(AssetItemName), $k) OR contains(lower(ItemCategory), $k) OR contains(lower(UserRemarks), $k))"
@@ -186,33 +197,10 @@ object CapexSqlGen {
       FROM c5),
     enriched AS (
       SELECT *,
-        CASE WHEN rm_r1 THEN ${sq(LabelR1)} WHEN rm_r2 THEN ${sq(LabelR2)}
-             WHEN rm_r3 THEN ${sq(LabelR3)} WHEN rm_r3a THEN ${sq(LabelR3a)}
-             WHEN rm_r5 THEN ${sq(LabelR5)} WHEN rm_r5a THEN ${sq(LabelR5a)}
-             WHEN rm_r6 THEN ${sq(LabelR6)} WHEN rm_r8 THEN ${sq(LabelR8)}
-             WHEN rm_r9 THEN ${sq(LabelR9)} WHEN rm_r10 THEN ${sq(LabelR10)}
-             WHEN rm_r11 THEN ${sq(LabelR11)} WHEN rm_r12 THEN ${sq(LabelR12)}
-             WHEN rm_r13 THEN ${sq(LabelR13)}
-             WHEN rm_r18 THEN $r18Label
-             ELSE NULL END AS excluded_by,
-        (NOT (rm_r1 OR rm_r2 OR rm_r3 OR rm_r3a OR rm_r5 OR rm_r5a OR rm_r6 OR rm_r8
-              OR rm_r9 OR rm_r10 OR rm_r11 OR rm_r12 OR rm_r13 OR rm_r18)) AS survives,
-        CASE WHEN rm_r1 THEN 'CurrentStatus' WHEN rm_r2 THEN 'IsSelectedVendor'
-             WHEN rm_r3 THEN 'RequestFunction' WHEN rm_r3a THEN 'AssetItemName'
-             WHEN rm_r5 THEN 'AssetCategoryName_2' WHEN rm_r5a THEN 'AssetItemName'
-             WHEN rm_r6 THEN 'UserRemarks' WHEN rm_r8 THEN 'UserRemarks'
-             WHEN rm_r9 THEN 'CurrentStatus' WHEN rm_r10 THEN 'UserRemarks'
-             WHEN rm_r11 THEN 'UserRemarks' WHEN rm_r12 THEN 'UserRemarks'
-             WHEN rm_r13 THEN 'UserRemarks' WHEN rm_r18 THEN 'AssetItemName'
-             ELSE NULL END AS trigger_column,
-        CASE WHEN rm_r1 THEN CurrentStatus WHEN rm_r2 THEN IsSelectedVendor
-             WHEN rm_r3 THEN RequestFunction WHEN rm_r3a THEN AssetItemName
-             WHEN rm_r5 THEN acat_norm WHEN rm_r5a THEN AssetItemName
-             WHEN rm_r6 THEN UserRemarks WHEN rm_r8 THEN UserRemarks
-             WHEN rm_r9 THEN CurrentStatus WHEN rm_r10 THEN UserRemarks
-             WHEN rm_r11 THEN UserRemarks WHEN rm_r12 THEN UserRemarks
-             WHEN rm_r13 THEN UserRemarks WHEN rm_r18 THEN AssetItemName
-             ELSE NULL END AS trigger_value,
+        ${attribCase(e => sq(e._2), r18Label)} AS excluded_by,
+        (NOT (${AllRuleFlags.mkString(" OR ")})) AS survives,
+        ${attribCase(e => sq(e._3), sq("AssetItemName"))} AS trigger_column,
+        ${attribCase(e => e._4, "AssetItemName")} AS trigger_value,
         $keyStrict AS key_strict,
         $keyRobust AS key_robust,
         ((CASE WHEN CurrentStatus = 'Approved' THEN 100 ELSE 0 END)

@@ -161,4 +161,30 @@ object CapexVocab {
   val LabelR13 = "13: Ops through IT non-relevant by UserRemarks"
   def labelR18(kw: String) = s"18: Non-Ops equipment keyword ('$kw')"
   val LabelR18Cctv = "18: Non-Ops equipment keyword ('CCTV/camera')"
+
+  /** Single source of truth for exclusion attribution, in pipeline order:
+    * (rule flag column, label, trigger column NAME as the reference's
+    * `_record_exclusions` stores it, enriched column holding the trigger
+    * VALUE). Both the Spark chains (CapexDerive) and the oracle CASEs
+    * (CapexSqlGen) are generated from this table; rule 18 is appended
+    * separately because its label is keyword-dependent (trigger column
+    * AssetItemName, process_capex.py:865-875).
+    */
+  val RuleAttribution: Seq[(String, String, String, String)] = Seq(
+    ("rm_r1",  LabelR1,  "CurrentStatus",       "CurrentStatus"),
+    ("rm_r2",  LabelR2,  "IsSelectedVendor",    "IsSelectedVendor"),
+    ("rm_r3",  LabelR3,  "RequestFunction",     "RequestFunction"),
+    ("rm_r3a", LabelR3a, "AssetItemName",       "AssetItemName"),
+    ("rm_r5",  LabelR5,  "AssetCategoryName_2", "acat_norm"),
+    ("rm_r5a", LabelR5a, "AssetItemName",       "AssetItemName"),
+    ("rm_r6",  LabelR6,  "UserRemarks",         "UserRemarks"),
+    ("rm_r8",  LabelR8,  "UserRemarks",         "UserRemarks"),
+    ("rm_r9",  LabelR9,  "CurrentStatus",       "CurrentStatus"),
+    ("rm_r10", LabelR10, "UserRemarks",         "UserRemarks"),
+    ("rm_r11", LabelR11, "UserRemarks",         "UserRemarks"),
+    ("rm_r12", LabelR12, "UserRemarks",         "UserRemarks"),
+    ("rm_r13", LabelR13, "UserRemarks",         "UserRemarks"))
+
+  /** Every rule flag including r18 — the `survives` predicate's domain. */
+  val AllRuleFlags: Seq[String] = RuleAttribution.map(_._1) :+ "rm_r18"
 }

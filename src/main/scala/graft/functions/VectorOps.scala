@@ -34,14 +34,25 @@ case class FloatVecDot(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
+  // a null ELEMENT or length mismatch yields NULL even when both array
+  // inputs are non-null, so this must not inherit input nullability —
+  // with nullable=false Spark's codegen would constant-fold isNull away
+  // and emit garbage for those rows
+  override def nullable: Boolean = true
 
+  // Null semantics mirror the HOF fold this replaces (zip_with pads the
+  // shorter array with null and aggregate propagates it): a length
+  // mismatch or any null element yields NULL, never a silently truncated
+  // or zero-filled product.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -54,12 +65,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -71,11 +87,18 @@ case class FloatVecDot(left: Expression, right: Expression)
 object VectorOps {
   val DotName = "graft_fdot"
 
+  /** The single registration entry shared by the extensions hook and the
+    * per-session registry path — one source of truth for identifier, info,
+    * and builder (and the thing the spec exercises directly).
+    */
+  val DotEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(DotName),
+    new ExpressionInfo(classOf[FloatVecDot].getName, DotName),
+    (args: Seq[Expression]) => FloatVecDot(args(0), args(1)))
+
   private def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(DotName),
-      new ExpressionInfo(classOf[FloatVecDot].getName, DotName),
-      (args: Seq[Expression]) => FloatVecDot(args(0), args(1)))
+      DotEntry._1, DotEntry._2, DotEntry._3)
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions hook).
@@ -100,8 +123,5 @@ object VectorOps {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier(VectorOps.DotName),
-      new ExpressionInfo(classOf[FloatVecDot].getName, VectorOps.DotName),
-      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    ext.injectFunction(VectorOps.DotEntry)
 }

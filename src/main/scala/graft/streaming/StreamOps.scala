@@ -104,8 +104,10 @@ object StreamOps {
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String): DataFrame =
     docs
+      // same normal form as batch dedup_exact (TextOps.normText) so the
+      // streaming and batch dedup agree on what "identical" means
       .withColumn("content_hash",
-        md5(trim(regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " ")).cast("binary")))
+        md5(graft.llm.TextOps.normText(col(textCol)).cast("binary")))
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 

@@ -41,8 +41,9 @@ class StreamingSpec extends SparkSpecBase {
     val stream = spark.readStream.schema(schema).parquet(sdir.toString)
     val got = StreamOps.runToMemory(spark,
       StreamOps.dedupStream(stream, "text", "arrived"), "dedup_stream_test")
+    // expectation via the SAME normal form batch dedup_exact uses
     val nDistinct = docs.select(
-      md5(trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " ")).cast("binary")))
+      md5(graft.llm.TextOps.normText(col("text")).cast("binary")))
       .distinct().count()
     assert(got.count() == nDistinct)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftExtensions, VectorOps}
+import graft.functions.VectorOps
 
 /** FloatVecDot: the native codegen'd dot product must be bit-identical to
   * the composable HOF formulation it replaces (left-to-right double fold).
@@ -50,24 +50,40 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
-  test("null array yields null, mismatched lengths use the shorter prefix") {
+  test("null array, null element, or length mismatch yields NULL like the HOF fold") {
     import spark.implicits._
     val df = Seq(
-      (Some(Array(1f, 2f)), Some(Array(3f, 4f, 5f))),
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f, 5f))),          // length mismatch
       (None: Option[Array[Float]], Some(Array(1f)))).toDF("a", "b")
     val got = df.select(VectorOps.fdot(col("a"), col("b"))).collect()
-    assert(got(0).getDouble(0) == 1.0 * 3.0 + 2.0 * 4.0)
+    assert(got(0).isNullAt(0)) // zip_with pads with null -> fold is NULL
     assert(got(1).isNullAt(0))
+    // null ELEMENT: compare native vs HOF on the same rows
+    val withNullElem = spark.sql(
+      "SELECT CAST(array(1.0, NULL, 2.0) AS array<float>) AS a, " +
+        "CAST(array(1.0, 1.0, 1.0) AS array<float>) AS b")
+    VectorOps.ensureRegistered(spark)
+    val both = withNullElem.select(
+      VectorOps.fdot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).head
+    assert(both.isNullAt(0) && both.isNullAt(1))
   }
 
-  test("GraftExtensions registers graft_fdot in a fresh session") {
+  test("extensions entry registers graft_fdot and its builder constructs the expression") {
+    // the exact entry the GraftExtensions hook injects
+    val (ident, _, builder) = VectorOps.DotEntry
+    assert(ident.funcName == "graft_fdot")
     val s2 = spark.newSession()
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
-    // registry-level registration path (the one library code uses)
-    VectorOps.ensureRegistered(s2)
+    s2.sessionState.functionRegistry.registerFunction(ident, VectorOps.DotEntry._2, builder)
     import s2.implicits._
     val v = Seq((Array(2f, 3f), Array(4f, 5f))).toDF("a", "b")
       .selectExpr("graft_fdot(a, b)").head.getDouble(0)
     assert(v == 2.0 * 4.0 + 3.0 * 5.0)
+    // builder arity/shape used by injectFunction
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arr = Literal.create(Array(1f, 0f), ArrayType(FloatType))
+    val e = builder(Seq(arr, arr))
+    assert(e.isInstanceOf[graft.functions.FloatVecDot])
   }
 }
