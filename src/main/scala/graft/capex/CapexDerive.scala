@@ -60,12 +60,12 @@ object CapexDerive {
     */
   def raw(spark: SparkSession, dir: String): DataFrame = {
     // Spread the scan FIRST (single-file testdata = one partition), keyed by
-    // the EXACT RequestNo string expression the projection aliases below:
-    // the hash partitioning then propagates through the Project as
-    // hashpartitioning(RequestNo), so the representative-row window and the
-    // request-grouped enrichment reuse this one shuffle (keying by the
-    // bigint `orderkey div 16` instead would hash differently and force a
-    // second full exchange of the wide frame).
+    // the EXACT RequestNo string expression the projection aliases below so
+    // the request-grouped enrichment runs core-parallel off one shuffle.
+    // (AQE's runtime coalescing erases the partitioning metadata across the
+    // checkpoint boundary, so the ranked() window still inserts its own
+    // exchange — narrow by then; a production deployment buckets the fact
+    // by RequestNo to delete it.)
     val li = Tables.lineitem(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism,
         concat(lit("REQ-"), (col("l_orderkey") / 16).cast("bigint").cast("string")))
@@ -108,25 +108,10 @@ object CapexDerive {
     */
   private val enrichedCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
-  // intermediate localCheckpoint frames created inside builds — tracked so
-  // clearCache releases their blocks instead of waiting on GC + ContextCleaner
-  private val intermediates =
-    new scala.collection.mutable.ArrayBuffer[DataFrame]
 
-  /** localCheckpoint + register for explicit release on clearCache. */
-  private def cp(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(true)
-    intermediates.synchronized { intermediates += out }
-    out
-  }
-
-  private def releaseCheckpoint(df: DataFrame): Unit = {
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = true)
-      case _ =>
-    }
-    df.unpersist(blocking = true)
-  }
+  // intermediate build-stage checkpoints go through the shared registry so
+  // clearCache releases their blocks instead of waiting on GC+ContextCleaner
+  private def cp(df: DataFrame): DataFrame = graft.Checkpoints.cp(df)
 
   private def cached(spark: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame =
@@ -151,19 +136,15 @@ object CapexDerive {
   def clearCache(): Unit = {
     // localCheckpoint blocks belong to the underlying RDDs, not the
     // Dataset's CacheManager entry — release them explicitly, including
-    // the intermediate build-stage checkpoints
-    enrichedCache.values.foreach(releaseCheckpoint)
+    // every intermediate checkpoint the builds registered
+    enrichedCache.values.foreach(graft.Checkpoints.release)
     enrichedCache.clear()
-    intermediates.synchronized {
-      intermediates.foreach(releaseCheckpoint)
-      intermediates.clear()
-    }
+    graft.Checkpoints.releaseAll()
   }
 
   private def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
-    // raw() already spread the scan by the RequestNo expression, so the
-    // whole enrichment runs core-parallel AND stays clustered for the
-    // ranked() window — no further exchange here.
+    // raw() already spread the scan by the RequestNo grouping — no second
+    // exchange of the wide frame here.
     val base = raw(spark, dir)
     val off = offices(spark, dir).select(
       col("office"), col("zone").as("map_zone"), col("region").as("map_region"))

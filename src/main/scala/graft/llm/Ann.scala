@@ -152,7 +152,7 @@ object Ann {
     // materialize the assignment once: probes and members are two filters
     // over it, and without the barrier Spark executes the corpus×centroid
     // ranking twice (the oracle's WITH ... AS MATERIALIZED computes it once)
-    val ranked = ivfRanked(spark, dir).localCheckpoint(true)
+    val ranked = ivfRanked(spark, dir).transform(graft.Checkpoints.cp)
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("cell"))
     val probes = ranked.filter(col("vec_id") < 10)

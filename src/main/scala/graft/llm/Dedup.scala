@@ -32,13 +32,13 @@ object Dedup {
       // shingle/signature lambdas, re-running the regexp once per ELEMENT
       // access (observed ~2000× per row). Materializing the token arrays
       // makes the lambdas see bound references.
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cp)
 
   /** Docs + materialized word-3-gram shingles (same barrier rationale). */
   private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
     docsWithToks(spark, dir)
       .withColumn("shingles", TextOps.shingles(col("toks")))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cp)
 
   /** D1: exact dedup via normalized-text hash. Map-side-combinable groupBy;
     * keeper = min doc id per content hash.
@@ -84,7 +84,7 @@ object Dedup {
     // materialize signatures once: both sides of the bucket self-join (and
     // AQE's broadcast probes) reuse the computed partitions instead of
     // re-deriving the hash pipeline per reference
-    val b = minhashSignatures(spark, dir).localCheckpoint(true)
+    val b = minhashSignatures(spark, dir).transform(graft.Checkpoints.cp)
     val a = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_hash"))
     val c = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -156,9 +156,9 @@ object Dedup {
       // hexes materialized first: the 32 bit-vote aggregates each reference
       // the list; keeping it a bound column avoids 32 re-tokenizations
       .withColumn("hexes", transform(col("toks"), x => md5(x.cast("binary"))))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cp)
       .select(col("doc_id"), simhashFromHexes(col("hexes")).as("sh"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cp)
     val banded = base.withColumn("band",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_idx"),
@@ -196,7 +196,7 @@ object Dedup {
     val sh = docsWithShingles(spark, dir)
       .select(col("doc_id"), array_distinct(col("shingles")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cp)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
