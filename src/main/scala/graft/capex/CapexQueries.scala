@@ -117,6 +117,12 @@ object CapexQueries {
     "fail_open_reinstate" -> ((s, d) => CapexDerive.reinstated(s, d)
       .select(col("rid"), col("key_robust"), lit(true).as("reincluded"))),
     "capex_pipeline" -> (CapexDerive.pipeline _),
+    // app.py output_tab3 "Specialized Items": the AMC / Sorter / Rental_Opex
+    // filtered downloads of the processed frame
+    "specialized_items" -> ((s, d) => CapexDerive.pipeline(s, d)
+      .filter(col("Category_Type").isin("AMC", "Sorter", "Rental_Opex"))
+      .select(col("rid"), col("Category_Type"), col("AssetItemName"),
+        col("AssetItemAmount"), col("Zone"))),
 
     // -------------------------------------------------------------- C validation
     "validate_prf" -> ((s, d) => {
@@ -230,6 +236,9 @@ object CapexQueries {
       WHERE RequestNo IN (SELECT RequestNo FROM enriched_m WHERE CurrentStatus = 'Approved')""",
     "fail_open_reinstate" -> s"$W SELECT rid, key_robust, true AS reincluded FROM reinstated",
     "capex_pipeline" -> s"$W SELECT * FROM pipe",
+    "specialized_items" -> s"""$W SELECT rid, Category_Type, AssetItemName,
+      AssetItemAmount, Zone FROM pipe
+      WHERE Category_Type IN ('AMC', 'Sorter', 'Rental_Opex')""",
     "validate_prf" -> s"""$W, $keySetCtes,
       counts AS (
         SELECT CAST(sum(CASE WHEN p.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
