@@ -50,6 +50,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
     }
     graft.capex.CapexDerive.clearCache()
+    graft.Checkpoints.releaseAll()
     // quiesce: let the async ContextCleaner drain and collect warmup garbage
     // so the first measured query doesn't pay the warmup's GC debt
     System.gc()
@@ -64,7 +65,10 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
-      graft.capex.CapexDerive.clearCache() // don't tax later queries' memory
+      // don't tax later queries' memory: drop capex caches AND every
+      // ephemeral dedup/ann checkpoint from the finished query
+      graft.capex.CapexDerive.clearCache()
+      graft.Checkpoints.releaseAll()
       name -> dt
     }
     val (p1, p2) = (pass(), pass())

@@ -1,27 +1,39 @@
 package graft
 
+import java.lang.ref.WeakReference
 import org.apache.spark.sql.DataFrame
 
-/** Registry of eager localCheckpoint barriers.
+/** Registry of eager localCheckpoint barriers (Dedup, Ann — per-query
+  * ephemeral frames).
   *
   * The engine uses localCheckpoint for two load-bearing reasons (SURVEY §5):
   * cutting lineage at cache boundaries and keeping Catalyst's project
   * collapse from inlining tokenizers into per-element lambda accesses. The
-  * blocks those checkpoints pin belong to RDDs, not to the Dataset cache
-  * manager, so `Dataset.unpersist` alone never frees them — they otherwise
-  * linger until GC lets the ContextCleaner reap them. Everything created
-  * through `cp` here can be released deterministically via `releaseAll`
-  * (the bench does this between queries so no query pays its predecessor's
-  * memory).
+  * blocks those checkpoints pin belong to RDDs, not the Dataset cache
+  * manager, so they linger until GC lets the ContextCleaner reap them.
+  * `releaseAll` frees them deterministically — Bench and Verify call it
+  * BETWEEN queries, after the previous query's results are fully written.
+  *
+  * Scoping rules:
+  * - Tracking is via WeakReference: the registry never pins a frame, so a
+  *   long-lived session that never calls releaseAll behaves exactly as
+  *   before (GC + ContextCleaner reclaim dropped frames).
+  * - CapexDerive's long-lived caches (enriched/kept) are deliberately NOT
+  *   registered here: releaseAll between queries must not kill the frames
+  *   that later capex queries share. Its build-stage intermediates use a
+  *   capex-private list released by CapexDerive.clearCache().
+  * - Checkpoints cut lineage, so a released frame (and anything derived
+  *   from it) is dead, not recomputable — only call releaseAll at a point
+  *   where no frames produced earlier are still in use.
   */
 object Checkpoints {
 
-  private val tracked = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private val tracked = new scala.collection.mutable.ArrayBuffer[WeakReference[DataFrame]]
 
-  /** Eager localCheckpoint, registered for explicit release. */
+  /** Eager localCheckpoint, weakly registered for explicit release. */
   def cp(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(true)
-    tracked.synchronized { tracked += out }
+    tracked.synchronized { tracked += new WeakReference(out) }
     out
   }
 
@@ -34,11 +46,9 @@ object Checkpoints {
     df.unpersist(blocking = true)
   }
 
-  /** Release every tracked checkpoint (callers' own cached frames excluded —
-    * only frames created through `cp`).
-    */
+  /** Release every still-reachable tracked checkpoint and clear the list. */
   def releaseAll(): Unit = tracked.synchronized {
-    tracked.foreach(release)
+    tracked.foreach(ref => Option(ref.get).foreach(release))
     tracked.clear()
   }
 }

@@ -27,6 +27,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // results are on disk — release the query's ephemeral checkpoints so
+      // a 52-query run doesn't accumulate pinned blocks (capex's shared
+      // enriched/kept caches are not in this registry and survive)
+      graft.Checkpoints.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

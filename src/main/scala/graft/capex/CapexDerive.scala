@@ -109,9 +109,18 @@ object CapexDerive {
   private val enrichedCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
 
-  // intermediate build-stage checkpoints go through the shared registry so
-  // clearCache releases their blocks instead of waiting on GC+ContextCleaner
-  private def cp(df: DataFrame): DataFrame = graft.Checkpoints.cp(df)
+  // intermediate build-stage checkpoints are capex-PRIVATE (not in the
+  // global graft.Checkpoints registry): clearCache must be able to release
+  // exactly this module's frames without touching live Dedup/Ann frames,
+  // and conversely a between-query Checkpoints.releaseAll must not kill
+  // the shared enriched/kept caches
+  private val intermediates =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def cp(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    intermediates.synchronized { intermediates += out }
+    out
+  }
 
   private def cached(spark: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame =
@@ -136,13 +145,21 @@ object CapexDerive {
   def clearCache(): Unit = {
     // localCheckpoint blocks belong to the underlying RDDs, not the
     // Dataset's CacheManager entry — release them explicitly, including
-    // every intermediate checkpoint the builds registered
+    // this module's intermediate build-stage checkpoints (and ONLY this
+    // module's: other operators' live frames are not ours to kill)
     enrichedCache.values.foreach(graft.Checkpoints.release)
     enrichedCache.clear()
-    graft.Checkpoints.releaseAll()
+    intermediates.synchronized {
+      intermediates.foreach(graft.Checkpoints.release)
+      intermediates.clear()
+    }
   }
 
-  private def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
+  /** private[graft] so the plan-audit spec can inspect the PRE-checkpoint
+    * build plan (the public enriched() returns a lineage-cut LogicalRDD
+    * whose joins are no longer visible to explain).
+    */
+  private[graft] def buildEnriched(spark: SparkSession, dir: String): DataFrame = {
     // raw() already spread the scan by the RequestNo grouping — no second
     // exchange of the wide frame here.
     val base = raw(spark, dir)

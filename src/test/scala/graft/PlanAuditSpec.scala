@@ -36,10 +36,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!read.contains("n_chars") && !read.contains("lang"), read)
   }
 
-  test("capex enriched: dims broadcast and no cartesian fact join") {
-    val p = planOf(capex.CapexDerive.raw(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("CartesianProduct"), "fact-side cartesian join")
+  test("capex build plans: dims broadcast, no cartesian or sort-merge joins") {
+    // raw: the customer/nation dim joins
+    val pr = planOf(capex.CapexDerive.raw(spark, sfDir))
+    assert(pr.contains("BroadcastHashJoin"), "raw dim joins must broadcast")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("SortMergeJoin"), pr.take(400))
+    // the enriched build: dictionary joins back onto the fact (the zone
+    // fallback's broadcast nested loop sits inside the withCats checkpoint,
+    // so this plan shows the flag-dictionary joins)
+    val pe = planOf(capex.CapexDerive.buildEnriched(spark, sfDir))
+    assert(pe.contains("BroadcastHashJoin"), "dict joins must broadcast")
+    assert(!pe.contains("CartesianProduct"), "fact-side cartesian join")
+    assert(!pe.contains("SortMergeJoin"), "dict join degraded to sort-merge")
+    capex.CapexDerive.clearCache()
   }
 
   test("ann_bruteforce: query side broadcast, corpus never shuffled wide") {
