@@ -56,9 +56,9 @@ object Bench {
     System.gc()
     Thread.sleep(3000)
     System.gc()
-    // Two measured passes, best-of-2 per query: this host is a shared VM
+    // Three measured passes, best-of-3 per query: this host is a shared VM
     // and transient neighbor noise can triple a query's wall time; the min
-    // of two full passes reflects the engine, not the neighbor.
+    // across passes reflects the engine, not the neighbor.
     def pass(): Seq[(String, Double)] = Headliners.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -71,8 +71,10 @@ object Bench {
       graft.Checkpoints.releaseAll()
       name -> dt
     }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val passes = Seq(pass(), pass(), pass())
+    val results = Headliners.zipWithIndex.map { case (n, i) =>
+      n -> passes.map(_(i)._2).min
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

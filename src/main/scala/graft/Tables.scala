@@ -50,4 +50,14 @@ object Tables {
     import org.apache.spark.sql.functions.col
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
   }
+
+  /** spread() only when the scan is narrower than half the cores — on a
+    * cluster a big table arrives as many splits and this is a no-op, while
+    * the single-file local testdata gets its map-side work parallelized.
+    * (Partition count comes from the planned scan, no data is read.)
+    */
+  def spreadIfNarrow(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par / 2) spread(df, key) else df
+  }
 }

@@ -32,7 +32,7 @@ object Analytics {
 
   /** TPC-H Q1-style wide aggregation over the largest fact table. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -59,7 +59,7 @@ object Analytics {
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir)
-    val li   = Tables.lineitem(spark, dir)
+    val li   = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -81,7 +81,7 @@ object Analytics {
     val nat  = Tables.nation(spark, dir)
     val cust = Tables.customer(spark, dir)
     val ord  = Tables.orders(spark, dir)
-    val li   = Tables.lineitem(spark, dir)
+    val li   = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
