@@ -25,6 +25,11 @@ object SparkEntry {
     "events_json"       -> (Events.eventsJson _),
     "stream_window_agg" -> (Events.streamWindowAgg _),
     "stream_sessionize" -> (Events.streamSessionize _),
+    // §2.E8-E11 temporal / interval / skew-safe relational operators
+    "asof_join"        -> (Temporal.asofJoinQ _),
+    "range_join_bands" -> (Temporal.rangeJoinBands _),
+    "distinct_users_skewsafe" -> (Temporal.distinctUsersSkewsafe _),
+    "price_quantiles"  -> (Analytics.priceQuantiles _),
     // §2.D LLM-training-data operators
     "dedup_exact"         -> (graft.llm.Dedup.dedupExact _),
     "dedup_minhash"       -> (graft.llm.Dedup.dedupMinhash _),
@@ -41,6 +46,9 @@ object SparkEntry {
     "mm_pipeline"         -> (graft.llm.Multimodal.mmPipeline _),
     "mm_resize"           -> (graft.llm.Multimodal.mmResize _),
     "mm_frame_sample"     -> (graft.llm.Multimodal.mmFrameSample _),
+    "sample_stratified"   -> (graft.llm.Sampling.sampleStratified _),
+    "embed_centroids"     -> (graft.llm.Ann.embedCentroids _),
+    "text_tfidf"          -> (graft.llm.TextOps.textTfidf _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -58,6 +66,10 @@ object SparkEntry {
     "events_json"       -> Events.eventsJsonSql,
     "stream_window_agg" -> Events.streamWindowAggSql,
     "stream_sessionize" -> Events.streamSessionizeSql,
+    "asof_join"        -> Temporal.asofJoinSql,
+    "range_join_bands" -> Temporal.rangeJoinBandsSql,
+    "distinct_users_skewsafe" -> Temporal.distinctUsersSkewsafeSql,
+    "price_quantiles"  -> Analytics.priceQuantilesSql,
     "dedup_exact"         -> graft.llm.Dedup.dedupExactSql,
     "dedup_minhash"       -> graft.llm.Dedup.dedupMinhashSql,
     "dedup_simhash"       -> graft.llm.Dedup.dedupSimhashSql,
@@ -71,5 +83,8 @@ object SparkEntry {
     "mm_pipeline"         -> graft.llm.Multimodal.mmPipelineSql,
     "mm_resize"           -> graft.llm.Multimodal.mmResizeSql,
     "mm_frame_sample"     -> graft.llm.Multimodal.mmFrameSampleSql,
+    "sample_stratified"   -> graft.llm.Sampling.sampleStratifiedSql,
+    "embed_centroids"     -> graft.llm.Ann.embedCentroidsSql,
+    "text_tfidf"          -> graft.llm.TextOps.textTfidfSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

@@ -192,6 +192,27 @@ object Ann {
     WHERE rank <= 5"""
   }
 
+  /** D14: per-label mean embedding (long format: one row per (label, dim))
+    * — the class-prototype / centroid build used for embedding dedup and
+    * cluster seeding. posexplode then aggregate: partial (map-side) sums
+    * mean the shuffle carries only label×Dim partial aggregates, never
+    * vectors — at 100 TB the exchange is bounded by |labels|·Dim·cores.
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // + 0.0 canonicalizes IEEE -0.0 → +0.0 (a mean that rounds to zero
+        // from below yields -0.0 in DuckDB but +0.0 in Spark)
+        (round(avg(col("v").cast("double")), 4) + 0.0).as("c"))
+
+  val embedCentroidsSql: String =
+    s"""SELECT label, CAST(t.p AS INT) AS pos, count(*) AS n_vecs,
+           round(avg(CAST(embedding[t.p + 1] AS DOUBLE)), 4) + 0.0 AS c
+    FROM embeddings, range(0, $Dim) t(p)
+    GROUP BY label, pos"""
+
   /** The hyperplane matrix is code-time deterministic, so the "approximate"
     * bucketing is exactly reproducible relationally: the oracle bakes the
     * same ±1 signs and the same left-to-right double fold, making D7 fully

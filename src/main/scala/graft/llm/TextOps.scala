@@ -126,6 +126,42 @@ object TextOps {
       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
     FROM documents"""
 
+  /** D15: TF-IDF top-3 terms per document. Two aggregations (term counts
+    * per doc, then document frequency over the per-doc counts) plus one
+    * broadcast scalar (corpus size) — at scale the exchanges carry only
+    * (doc, term) and (term) counts, already partially aggregated map-side.
+    * Ranking uses the ROUNDED score in both engines (then term asc), so
+    * rank order can't hinge on sub-ulp libm differences.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir), "doc_id")
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
+  }
+  val textTfidfSql: String =
+    s"""WITH terms AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3"""
+
   /** D11: fingerprinting — exact md5 of the normal form plus the min-hash of
     * word shingles (a 1-component minhash: rolling content fingerprint).
     */

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic relational operators Spark lacks as built-ins, composed
+  * Spark-first from declarative plans (no custom physical operators needed —
+  * Catalyst's existing exchange/sort/broadcast machinery already provides
+  * the right physical shapes).
+  */
+object Relational {
+
+  /** Backward as-of join: for each left row, attach the payload of the
+    * latest right row with the same key and `right.ts <= left.ts`
+    * (inclusive; among right ties the largest `tieBreak` wins).
+    *
+    * Implemented as the MERGE-style union + sorted window, not a per-row
+    * probe join: tag sides, union, then one window per key ordered by
+    * (ts, side, tieBreak) carrying `last(payload ignore nulls)` forward.
+    * Cost at scale: ONE shuffle of left+right by the key plus a per-key
+    * sort — same exchange a sort-merge join would pay, but with no
+    * candidate explosion on duplicate timestamps and no range predicate
+    * the optimizer can't push. A per-key skew hotspot behaves like any
+    * window skew (AQE handles the shuffle; the sort is per-partition).
+    *
+    * Left rows with no prior right row get null payloads. All left columns
+    * are kept; right payload columns are prefixed with `prefix`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, tieBreak: String, payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadTypes = payload.map(p => p -> right.schema(p).dataType).toMap
+    // left side: payload columns null; right side: non-key/ts left columns null
+    val lTagged = payload.foldLeft(left.withColumn("__side", lit(1))) {
+      case (df, p) => df.withColumn(prefix + p, lit(null).cast(payloadTypes(p)))
+    }
+    val rTagged = {
+      val keep = keys :+ tsCol
+      val base = leftCols.filterNot(keep.contains).foldLeft(right) {
+        case (df, c) => // carry the left schema's column as typed null
+          df.withColumn("__null_" + c, lit(null).cast(left.schema(c).dataType))
+      }
+      val sel = keys.map(col) ++ Seq(col(tsCol)) ++
+        leftCols.filterNot(keep.contains).map(c => col("__null_" + c).as(c)) ++
+        Seq(lit(0).as("__side")) ++ payload.map(p => col(p).as(prefix + p))
+      base.select(sel: _*)
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col(prefix + tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(lTagged.unionByName(rTagged)) {
+      case (df, p) => df.withColumn(prefix + p,
+        last(col(prefix + p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Banded (interval) join: map each fact row to the band whose
+    * [lo, hi) range contains `valueCol`. The band table is broadcast, so
+    * the physical plan is a BroadcastNestedLoopJoin — no shuffle of the
+    * fact side at any scale; per-row cost is a scan of the (small) band
+    * list. For large band tables a production variant would bucketize
+    * (`width_bucket`-style) or use a sorted-probe expression; for the
+    * dimension-sized band lists this operator targets, broadcast NLJ is
+    * the right physical shape and keeps arbitrary interval semantics.
+    */
+  def bandedJoin(facts: DataFrame, bands: DataFrame, valueCol: String,
+                 loCol: String = "lo", hiCol: String = "hi"): DataFrame =
+    facts.join(broadcast(bands),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), "inner")
+}

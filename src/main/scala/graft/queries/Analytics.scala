@@ -139,4 +139,42 @@ object Analytics {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       FROM orders) WHERE rk <= 3"""
+
+  /** Exact per-group quantiles (type-1, value-at-rank) of the price column
+    * in integer cents: rank k = floor((n-1)·q)+1 computed with INTEGER
+    * arithmetic, so the result is engine-exact — no interpolation, no
+    * float rounding. One shuffle by group + per-group sort (same exchange
+    * a percentile aggregate would pay); at 100 TB a sketch
+    * (approx_percentile) is the cheap path, but this is the exact oracle
+    * such a sketch gets validated against.
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents").asc)
+    val wp = Window.partitionBy(col("l_returnflag"))
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
+      .select(col("l_returnflag"), cents.as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wp))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n_rows"),
+        max(when(col("rn") === expr("(n-1) div 4 + 1"), col("cents"))).as("q25_cents"),
+        max(when(col("rn") === expr("(n-1) div 2 + 1"), col("cents"))).as("q50_cents"),
+        max(when(col("rn") === expr("(3*(n-1)) div 4 + 1"), col("cents"))).as("q75_cents"))
+  }
+
+  val priceQuantilesSql: String = """
+    WITH c AS (SELECT l_returnflag,
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM lineitem),
+    r AS (SELECT l_returnflag, cents,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY cents ASC) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM c)
+    SELECT l_returnflag, max(n) AS n_rows,
+           max(CASE WHEN rn = (n-1)//4 + 1 THEN cents END) AS q25_cents,
+           max(CASE WHEN rn = (n-1)//2 + 1 THEN cents END) AS q50_cents,
+           max(CASE WHEN rn = (3*(n-1))//4 + 1 THEN cents END) AS q75_cents
+    FROM r GROUP BY l_returnflag"""
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Relational
+
+/** Temporal / interval relational queries (SURVEY.md §2.E8-E10) over the
+  * events stream table: backward as-of enrichment, banded interval join,
+  * and a skew-safe exact distinct. Each instantiates a generic operator
+  * from graft.operators.Relational.
+  */
+object Temporal {
+
+  /** E8: as-of join — each purchase event annotated with the latest error
+    * event (id/ts/value) of the same user at or before the purchase time.
+    * One shuffle by user_id + per-key sort (see Relational.asofJoin).
+    */
+  def asofJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.spread(Tables.events(spark, dir), "user_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    Relational.asofJoin(purchases, errors, keys = Seq("user_id"), tsCol = "ts",
+      tieBreak = "event_id", payload = Seq("event_id", "ts", "value"),
+      prefix = "err_")
+  }
+
+  /** Oracle mirrors the same union + sorted-window construction (ANSI,
+    * deterministic: within one (user_id, ts) the error side sorts first,
+    * errors tie-break by event_id — identical in both engines; the relative
+    * order of same-ts purchases does not affect any carried value).
+    */
+  val asofJoinSql: String =
+    """WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id, value,
+             CAST(NULL AS BIGINT) AS p_event_id,
+             CAST(NULL AS TIMESTAMP) AS p_ts,
+             CAST(NULL AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, event_id, value, event_id, ts, value
+      FROM events WHERE event_type = 'error'),
+    w AS (
+      SELECT *,
+        last_value(p_event_id IGNORE NULLS) OVER win AS err_event_id,
+        last_value(p_ts IGNORE NULLS) OVER win AS err_ts,
+        last_value(p_value IGNORE NULLS) OVER win AS err_value
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, p_event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, ts, value, err_event_id, err_ts, err_value
+    FROM w WHERE side = 1"""
+
+  /** Price bands for the interval join: [lo, hi) covering the value domain. */
+  val Bands: Seq[(String, Double, Double)] =
+    (0 until 10).map(i => (f"B$i%02d", i * 50.0, (i + 1) * 50.0))
+
+  /** E9: banded interval join — events mapped to the value band containing
+    * them (broadcast nested-loop against the 10-row band dim; zero shuffle
+    * of the fact side), then aggregated per band with exact cents sums.
+    */
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Bands.toDF("band", "lo", "hi")
+    val ev = Tables.events(spark, dir).select(col("value"))
+    Relational.bandedJoin(ev, bands, "value")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+  }
+
+  val rangeJoinBandsSql: String = {
+    val values = Bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+    s"""WITH bands(band, lo, hi) AS (VALUES $values)
+    SELECT band, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band"""
+  }
+
+  /** E10: skew-safe exact count-distinct, written as its explicit two-stage
+    * expansion: stage 1 distinct on (group, value) shuffles by BOTH columns
+    * so a hot group's values spread across all partitions; stage 2 counts
+    * per group. This is the shape Spark's own count(DISTINCT) planner
+    * expands to — stated explicitly here as the pattern to reach for when a
+    * non-expandable aggregate (collect_set, exact UDAF) meets a skewed key.
+    */
+  def distinctUsersSkewsafe(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.events(spark, dir), "event_id")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
+  val distinctUsersSkewsafeSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type"""
+}

@@ -81,4 +81,43 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(joined.filter(col("n_bytes") =!= col("len")).count() == 0)
     assert(mm.filter(col("first_byte") < -1 || col("first_byte") > 255).count() == 0)
   }
+
+  test("stratified sample keeps rates per language, deterministically") {
+    val s = graft.llm.Sampling.sampleStratified(spark, sfDir)
+    // a second evaluation yields the identical set (pure hash, no RNG state)
+    assert(s.collect().toSet == graft.llm.Sampling.sampleStratified(spark, sfDir).collect().toSet)
+    assert(s.filter(col("bucket") < 0 || col("bucket") > 99).count() == 0)
+    val total = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps ~25% (hash-uniform, so allow sampling noise); unlisted langs keep all
+    val enFrac = kept("en").toDouble / total("en")
+    assert(enFrac > 0.1 && enFrac < 0.45, s"en kept $enFrac")
+    assert(kept("de") == total("de") && kept("zh") == total("zh"))
+  }
+
+  test("embed centroids cover labels x dims with consistent counts") {
+    val c = Ann.embedCentroids(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(c.count() == labels * Ann.Dim)
+    // every (label, pos) group counts the same vectors as the label itself
+    val bad = c.join(
+      Tables.embeddings(spark, sfDir).groupBy("label").count(),
+      Seq("label")).filter(col("n_vecs") =!= col("count")).count()
+    assert(bad == 0)
+  }
+
+  test("tfidf returns top-3 per doc, ranked by rounded score then term") {
+    val t = TextOps.textTfidf(spark, sfDir)
+    val perDoc = t.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > 3).count() == 0)
+    assert(t.filter(col("rk") < 1 || col("rk") > 3).count() == 0)
+    assert(t.filter(col("df") < 1 || col("tf") < 1).count() == 0)
+    // rank 1 has the max rounded score within its doc
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+    val viol = t.withColumn("mx", max(col("tfidf")).over(w))
+      .filter(col("rk") === 1 && col("tfidf") =!= col("mx")).count()
+    assert(viol == 0)
+  }
 }

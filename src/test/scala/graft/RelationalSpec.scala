@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.queries.{Analytics, Temporal}
+
+/** Semantic tests for the generic relational operators (as-of join, banded
+  * join, exact quantiles, skew-safe distinct) — hand-built cases for the
+  * operator semantics plus shape checks on the testdata queries.
+  */
+class RelationalSpec extends SparkSpecBase {
+
+  test("asofJoin picks latest right at or before left ts, ties by tieBreak") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, 10L),  // k=1: rights at ts 5 and two at ts 10 → inclusive, rid 3 wins
+      (101L, 2L, 5L),   // k=2: only right is later → null
+      (102L, 3L, 7L)    // k=3: no right rows at all → null
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (1L, 1L, 5L, 100.0),
+      (2L, 1L, 10L, 200.0),
+      (3L, 1L, 10L, 300.0),
+      (4L, 2L, 6L, 400.0)
+    ).toDF("rid", "k", "ts", "v")
+    val out = Relational.asofJoin(left, right, keys = Seq("k"), tsCol = "ts",
+      tieBreak = "rid", payload = Seq("rid", "v"), prefix = "r_")
+      .select("lid", "r_rid", "r_v").collect().map(r =>
+        (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (100L, Some(3L), Some(300.0)),
+      (101L, None, None),
+      (102L, None, None)))
+  }
+
+  test("asof_join query: every error payload is at or before the purchase") {
+    val df = Temporal.asofJoinQ(spark, sfDir)
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == purchases)
+    assert(df.filter(col("err_ts") > col("ts")).count() == 0)
+  }
+
+  test("banded join maps every event to exactly one band, via broadcast NLJ") {
+    val df = Temporal.rangeJoinBands(spark, sfDir)
+    val total = df.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    val plan = Temporal.rangeJoinBands(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("price quantiles are ordered and bracketed by group min/max") {
+    val rows = Analytics.priceQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q25, q50, q75) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(q25 <= q50 && q50 <= q75)
+    }
+    // spot-check the median for one group against a direct sort
+    val cents = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")).as("c"))
+      .orderBy("c").collect().map(_.getLong(0))
+    val expected = cents((cents.length - 1) / 2)
+    val got = rows.find(_.getString(0) == "R").get.getLong(3)
+    assert(got == expected)
+  }
+
+  test("skew-safe distinct equals count(distinct)") {
+    val df = Temporal.distinctUsersSkewsafe(spark, sfDir)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().foreach(r => assert(direct(r.getString(0)) == r.getLong(1)))
+  }
+}
