@@ -18,6 +18,15 @@ object DevProf {
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new scala.collection.concurrent.TrieMap[Int, Long]
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts(j.jobId) = System.nanoTime()
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { t0 =>
+          System.err.println(f"[job] ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+    })
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()

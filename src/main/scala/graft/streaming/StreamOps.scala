@@ -111,6 +111,46 @@ object StreamOps {
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  case class AsofState(eventId: Long, tsUs: Long, value: Double)
+  case class AsofOut(event_id: Long, user_id: Long, ts: Timestamp, value: Double,
+                     err_event_id: Option[Long], err_ts: Option[Timestamp],
+                     err_value: Option[Double])
+
+  /** Streaming twin of the batch as-of join (operators.Relational.asofJoin /
+    * the `asof_join` query): each purchase is enriched with the latest
+    * error seen so far for the same user. State is ONE small struct per
+    * user — O(|users|), not O(events) — and never expires, because for
+    * as-of semantics the latest right row stays joinable forever (that is
+    * the operator, not a leak). Within a micro-batch events are processed
+    * in (ts, side, event_id) order — identical tie rules to the batch
+    * construction; late errors beyond a batch boundary can't retro-fill
+    * already-emitted purchases (Append semantics — the documented delta
+    * from the batch operator).
+    */
+  def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "error" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AsofState]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (microsOf(e.ts), if (e.event_type == "error") 0 else 1, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            if (e.event_type == "error")
+              last = Some(AsofState(e.event_id, microsOf(e.ts), e.value))
+            else
+              out += AsofOut(e.event_id, userId, e.ts, e.value,
+                last.map(_.eventId), last.map(s => tsOf(s.tsUs)), last.map(_.value))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment join: the static dim side is read per
     * micro-batch and broadcast; no stream state. The standard shape for
     * attaching slowly-changing metadata (user→nation here) to an event

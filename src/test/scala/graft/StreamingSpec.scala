@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpecBase {
       want.filter(col("user_nationkey").isNotNull).count())
   }
 
+  test("streaming as-of enrichment matches the batch as-of join") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    val got = StreamOps.asofEnrich(ev).toDF()
+      .select(col("event_id"), col("err_event_id"), col("err_value"))
+    val want = graft.queries.Temporal.asofJoinQ(spark, sfDir)
+      .select(col("event_id"), col("err_event_id"), col("err_value"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("as-of enrichment runs as a real stream") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-asof-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      sdir.resolve("part-00000.parquet"))
+    val stream = StreamOps.readEventStream(spark, sdir.toString)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.asofEnrich(stream).toDF(), "asof_stream_test")
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.count() == purchases)
+  }
+
   test("stateful sessionizer matches window-function sessionization") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
