@@ -136,7 +136,11 @@ object TextOps {
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir), "doc_id")
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // materialize tf once: both the scored join and the document-frequency
+    // aggregate consume it, and without a barrier Spark executes the
+    // scan+explode+aggregate subtree twice
+    val tf = graft.Checkpoints.cp(
+      terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -50,10 +50,13 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col(prefix + tieBreak).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lTagged.unionByName(rTagged)) {
-      case (df, p) => df.withColumn(prefix + p,
-        last(col(prefix + p), ignoreNulls = true).over(w))
-    }
+    val unioned = lTagged.unionByName(rTagged)
+    // one projection with every carried column → ONE Window operator
+    // (sequential withColumn can split into stacked Windows)
+    val prefixed = payload.map(prefix + _).toSet
+    val carried = unioned.select(
+      unioned.columns.filterNot(prefixed.contains).map(col) ++
+        payload.map(p => last(col(prefix + p), ignoreNulls = true).over(w).as(prefix + p)): _*)
     carried.filter(col("__side") === 1).drop("__side")
   }
 

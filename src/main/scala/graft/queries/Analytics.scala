@@ -152,7 +152,9 @@ object Analytics {
     val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents").asc)
     val wp = Window.partitionBy(col("l_returnflag"))
-    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
+    // no spread here: the window's own exchange on l_returnflag is the
+    // first (and only) shuffle, and pre-exchange work is a 2-column project
+    Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), cents.as("cents"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wp))

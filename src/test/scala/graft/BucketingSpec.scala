@@ -14,6 +14,16 @@ class BucketingSpec extends SparkSpecBase {
 
   test("bucketed fact: groupBy, window and self-join on the key are exchange-free") {
     val ev = Tables.events(spark, sfDir)
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // files persist — clear both before writing
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "ev_bucketed")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     BucketedSink.writeBucketed(ev, "ev_bucketed", "user_id", 4, Seq("user_id", "ts"))
     val t = BucketedSink.readTable(spark, "ev_bucketed")
 
