@@ -73,4 +73,26 @@ object Relational {
                  loCol: String = "lo", hiCol: String = "hi"): DataFrame =
     facts.join(broadcast(bands),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), "inner")
+
+  /** Specialization of bandedJoin for UNIFORM CONTIGUOUS bands (equal
+    * width, each hi == next lo): no join at all — `width_bucket` computes
+    * the band index arithmetically inside whole-stage codegen and the
+    * label attaches by index. Rows outside [first lo, last hi) are
+    * dropped, matching the inner banded join. This is the 100 TB path when
+    * the band table tiles the domain evenly: zero exchanges, zero per-row
+    * band-list scans.
+    */
+  def bandedJoinContiguous(facts: DataFrame,
+                           bands: Seq[(String, Double, Double)],
+                           valueCol: String): DataFrame = {
+    require(bands.nonEmpty && bands.sliding(2).forall {
+      case Seq((_, lo1, hi1), (_, lo2, hi2)) => hi1 == lo2 && (hi1 - lo1) == (hi2 - lo2)
+      case _ => true
+    }, "bands must be ordered, contiguous and equal-width")
+    val lo = bands.head._2; val hi = bands.last._3
+    val labels = array(bands.map(b => lit(b._1)): _*)
+    val idx = width_bucket(col(valueCol), lit(lo), lit(hi), lit(bands.size))
+    facts.filter(col(valueCol) >= lo && col(valueCol) < hi)
+      .withColumn("band", element_at(labels, idx.cast("int")))
+  }
 }

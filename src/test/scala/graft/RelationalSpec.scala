@@ -50,6 +50,19 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("contiguous-band projection equals the banded join, with no join in the plan") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val viaJoin = Relational.bandedJoin(ev, Temporal.Bands.toDF("band", "lo", "hi"), "value")
+      .select("event_id", "band")
+    val viaBucket = Relational.bandedJoinContiguous(ev, Temporal.Bands, "value")
+      .select("event_id", "band")
+    assert(viaBucket.exceptAll(viaJoin).count() == 0 &&
+      viaJoin.exceptAll(viaBucket).count() == 0)
+    val plan = viaBucket.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("price quantiles are ordered and bracketed by group min/max") {
     val rows = Analytics.priceQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)
