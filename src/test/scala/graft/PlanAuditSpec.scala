@@ -56,4 +56,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
     assert(p.contains("float_vec_dot"), "native dot expression must be in the plan")
   }
+
+  test("asof_join: exactly one Window, no join operator at all") {
+    val p = planOf(queries.Temporal.asofJoinQ(spark, sfDir))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 1, p.take(600))
+    assert(!p.contains("Join"), "as-of must be the windowed-union form, not a join")
+  }
+
+  test("embed_centroids: aggregate is partial (map-side) before its exchange") {
+    val p = planOf(llm.Ann.embedCentroids(spark, sfDir))
+    // the partial aggregate must execute BEFORE the exchange (formatted
+    // explain numbers nodes leaf-first) so the shuffle carries label×dim
+    // partial sums, not exploded vector elements
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggs = ids("HashAggregate"); val exchs = ids("Exchange")
+    assert(aggs.size >= 2 && exchs.nonEmpty && aggs.min < exchs.min, p.take(600))
+  }
+
+  test("sample_stratified: stateless map-side filter, zero exchanges") {
+    val p = planOf(llm.Sampling.sampleStratified(spark, sfDir))
+    assert(!p.contains("Exchange"), p.take(600))
+  }
 }
