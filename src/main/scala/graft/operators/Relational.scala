@@ -26,14 +26,24 @@ object Relational {
     *
     * Left rows with no prior right row get null payloads. All left columns
     * are kept; right payload columns are prefixed with `prefix`.
+    *
+    * `tolerance` (same units as a numeric `tsCol`, or microseconds for
+    * timestamps) bounds the lookback like pandas merge_asof: a match older
+    * than `left.ts - tolerance` yields nulls. Implemented by also carrying
+    * the right timestamp and nulling stale payloads after the window — the
+    * plan stays ONE window, no extra exchange.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, tieBreak: String, payload: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_", tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payloadTypes = payload.map(p => p -> right.schema(p).dataType).toMap
+    // the right timestamp is always carried too: tolerance needs the age of
+    // the matched row (and it is cheap — one more carried column)
+    val carryPayload = payload :+ "__ts"
+    val payloadTypes = payload.map(p => p -> right.schema(p).dataType).toMap +
+      ("__ts" -> right.schema(tsCol).dataType)
     // left side: payload columns null; right side: non-key/ts left columns null
-    val lTagged = payload.foldLeft(left.withColumn("__side", lit(1))) {
+    val lTagged = carryPayload.foldLeft(left.withColumn("__side", lit(1))) {
       case (df, p) => df.withColumn(prefix + p, lit(null).cast(payloadTypes(p)))
     }
     val rTagged = {
@@ -44,7 +54,8 @@ object Relational {
       }
       val sel = keys.map(col) ++ Seq(col(tsCol)) ++
         leftCols.filterNot(keep.contains).map(c => col("__null_" + c).as(c)) ++
-        Seq(lit(0).as("__side")) ++ payload.map(p => col(p).as(prefix + p))
+        Seq(lit(0).as("__side")) ++ payload.map(p => col(p).as(prefix + p)) ++
+        Seq(col(tsCol).as(prefix + "__ts"))
       base.select(sel: _*)
     }
     val w = Window.partitionBy(keys.map(col): _*)
@@ -53,11 +64,25 @@ object Relational {
     val unioned = lTagged.unionByName(rTagged)
     // one projection with every carried column → ONE Window operator
     // (sequential withColumn can split into stacked Windows)
-    val prefixed = payload.map(prefix + _).toSet
+    val prefixed = carryPayload.map(prefix + _).toSet
     val carried = unioned.select(
       unioned.columns.filterNot(prefixed.contains).map(col) ++
-        payload.map(p => last(col(prefix + p), ignoreNulls = true).over(w).as(prefix + p)): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+        carryPayload.map(p => last(col(prefix + p), ignoreNulls = true).over(w).as(prefix + p)): _*)
+    val matchedOnly = carried.filter(col("__side") === 1)
+    val bounded = tolerance.fold(matchedOnly) { t =>
+      def micros(c: Column): Column = payloadTypes("__ts") match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _: org.apache.spark.sql.types.TimestampNTZType => unix_micros(c.cast("timestamp"))
+        case _ => c.cast("long")
+      }
+      val stale = micros(col(tsCol)) - micros(col(prefix + "__ts")) > t
+      matchedOnly.select(
+        matchedOnly.columns.filterNot(prefixed.contains).map(col) ++
+          payload.map(p => when(stale, lit(null).cast(payloadTypes(p)))
+            .otherwise(col(prefix + p)).as(prefix + p)) ++
+          Seq(col(prefix + "__ts")): _*)
+    }
+    bounded.drop("__side", prefix + "__ts")
   }
 
   /** Banded (interval) join: map each fact row to the band whose

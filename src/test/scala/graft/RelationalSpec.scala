@@ -33,6 +33,18 @@ class RelationalSpec extends SparkSpecBase {
       (102L, None, None)))
   }
 
+  test("asofJoin tolerance nulls out matches older than the bound") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 10L), (101L, 1L, 6L)).toDF("lid", "k", "ts")
+    val right = Seq((1L, 1L, 3L, 9.0)).toDF("rid", "k", "ts", "v")
+    val out = Relational.asofJoin(left, right, Seq("k"), "ts", "rid",
+      Seq("rid", "v"), "r_", tolerance = Some(5L))
+      .select("lid", "r_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // lid 100: age 7 > 5 → stale; lid 101: age 3 ≤ 5 → kept
+    assert(out == Map(100L -> None, 101L -> Some(1L)))
+  }
+
   test("asofJoin matches a brute-force reference on tie-heavy random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
