@@ -11,9 +11,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  /** Backward as-of join: for each left row, attach the payload of the
-    * latest right row with the same key and `right.ts <= left.ts`
-    * (inclusive; among right ties the largest `tieBreak` wins).
+  /** As-of join: for each left row, attach the payload of the latest right
+    * row with the same key and `right.ts <= left.ts` (direction=backward,
+    * the default; ties → largest `tieBreak`), or the earliest right row
+    * with `right.ts >= left.ts` (direction=forward; ties → smallest
+    * `tieBreak`). Both inclusive.
     *
     * Implemented as the MERGE-style union + sorted window, not a per-row
     * probe join: tag sides, union, then one window per key ordered by
@@ -35,7 +37,13 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, tieBreak: String, payload: Seq[String],
-               prefix: String = "asof_", tolerance: Option[Long] = None): DataFrame = {
+               prefix: String = "asof_", tolerance: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(payload.contains(tieBreak),
+      s"tieBreak '$tieBreak' must be one of the carried payload columns $payload")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got '$direction'")
+    val backward = direction == "backward"
     val leftCols = left.columns.toSeq
     // the right timestamp is always carried too: tolerance needs the age of
     // the matched row (and it is cheap — one more carried column)
@@ -58,8 +66,14 @@ object Relational {
         Seq(col(tsCol).as(prefix + "__ts"))
       base.select(sel: _*)
     }
+    // backward walks time ascending and keeps the LAST right seen (latest
+    // at-or-before, ties → max tieBreak); forward walks descending and so
+    // keeps the earliest at-or-after (ties → min tieBreak). Both inclusive.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc, col(prefix + tieBreak).asc)
+      .orderBy(
+        if (backward) col(tsCol).asc else col(tsCol).desc,
+        col("__side").asc,
+        if (backward) col(prefix + tieBreak).asc else col(prefix + tieBreak).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val unioned = lTagged.unionByName(rTagged)
     // one projection with every carried column → ONE Window operator
@@ -75,7 +89,10 @@ object Relational {
         case _: org.apache.spark.sql.types.TimestampNTZType => unix_micros(c.cast("timestamp"))
         case _ => c.cast("long")
       }
-      val stale = micros(col(tsCol)) - micros(col(prefix + "__ts")) > t
+      val age =
+        if (backward) micros(col(tsCol)) - micros(col(prefix + "__ts"))
+        else micros(col(prefix + "__ts")) - micros(col(tsCol))
+      val stale = age > t
       matchedOnly.select(
         matchedOnly.columns.filterNot(prefixed.contains).map(col) ++
           payload.map(p => when(stale, lit(null).cast(payloadTypes(p)))

@@ -52,18 +52,24 @@ class RelationalSpec extends SparkSpecBase {
     // within sides, the cases a merge-style as-of gets wrong first
     val left = (0 until 300).map(i => (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(50).toLong))
     val right = (0 until 300).map(i => (1000L + i, rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
-    val got = Relational.asofJoin(
+    def run(direction: String): Map[Long, Option[Long]] = Relational.asofJoin(
       left.toDF("lid", "k", "ts"), right.toDF("rid", "k", "ts", "v"),
       keys = Seq("k"), tsCol = "ts", tieBreak = "rid",
-      payload = Seq("rid", "v"), prefix = "r_")
+      payload = Seq("rid", "v"), prefix = "r_", direction = direction)
       .select("lid", "r_rid").collect()
       .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
-    val want = left.map { case (lid, k, lts) =>
+    val wantBackward = left.map { case (lid, k, lts) =>
       val candidates = right.filter(r => r._2 == k && r._3 <= lts)
       lid -> (if (candidates.isEmpty) None
               else Some(candidates.maxBy(r => (r._3, r._1))._1))
     }.toMap
-    assert(got == want)
+    assert(run("backward") == wantBackward)
+    val wantForward = left.map { case (lid, k, lts) =>
+      val candidates = right.filter(r => r._2 == k && r._3 >= lts)
+      lid -> (if (candidates.isEmpty) None
+              else Some(candidates.minBy(r => (r._3, r._1))._1))
+    }.toMap
+    assert(run("forward") == wantForward)
   }
 
   test("asof_join query: every error payload is at or before the purchase") {
