@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: export the capex-shaped raw frame + office dim as CSV for the
+  * reference-pipeline throughput measurement. DELETE AFTER USE.
+  */
+object RefExport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_ref_bench")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.CsvSource.writeCsv(
+      graft.capex.CapexDerive.raw(spark, sfDir).drop("rid"), s"$out/raw", singleFile = true)
+    graft.sources.CsvSource.writeCsv(
+      graft.capex.CapexDerive.offices(spark, sfDir)
+        .select("zone", "region", "office", "regioncode"), s"$out/offices", singleFile = true)
+    spark.stop()
+  }
+}

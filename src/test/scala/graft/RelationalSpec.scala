@@ -70,6 +70,17 @@ class RelationalSpec extends SparkSpecBase {
               else Some(candidates.minBy(r => (r._3, r._1))._1))
     }.toMap
     assert(run("forward") == wantForward)
+
+    // the asofJoinQ plan shape: both sides pre-spread by key (exchange under
+    // each union branch, none above) — must still be brute-force correct
+    val gotSpread = Relational.asofJoin(
+      Tables.spread(left.toDF("lid", "k", "ts"), "k"),
+      Tables.spread(right.toDF("rid", "k", "ts", "v"), "k"),
+      keys = Seq("k"), tsCol = "ts", tieBreak = "rid",
+      payload = Seq("rid", "v"), prefix = "r_")
+      .select("lid", "r_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(gotSpread == wantBackward)
   }
 
   test("asof_join query: every error payload is at or before the purchase") {
