@@ -24,10 +24,14 @@ object Sampling {
   val DefaultRate = 100
 
   /** Uniform 0-99 bucket from md5(doc_id:lang) — same formula the oracle
-    * recomputes, so the sample set is engine-independent.
+    * recomputes, so the sample set is engine-independent. A null lang
+    * hashes as the empty string in BOTH engines (concat_ws would silently
+    * drop the separator; '||' would null-propagate — coalesce pins one
+    * behavior everywhere).
     */
   def bucket(docId: Column, lang: Column): Column =
-    conv(substring(md5(concat_ws(":", docId, lang)), 1, 6), 16, 10)
+    conv(substring(md5(
+      concat(docId.cast("string"), lit(":"), coalesce(lang, lit("")))), 1, 6), 16, 10)
       .cast("bigint") % 100
 
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
@@ -46,7 +50,7 @@ object Sampling {
       .mkString(" ")
     s"""SELECT * FROM (
       SELECT doc_id, lang, source, n_chars,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 6)
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(lang, '')), 1, 6)
                   AS BIGINT) % 100 AS bucket
       FROM documents) t
     WHERE bucket < (CASE $cases ELSE $DefaultRate END)"""

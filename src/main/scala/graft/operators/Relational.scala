@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Generic relational operators Spark lacks as built-ins, composed
   * Spark-first from declarative plans (no custom physical operators needed —
@@ -19,21 +20,25 @@ object Relational {
     *
     * Implemented as the MERGE-style union + sorted window, not a per-row
     * probe join: tag sides, union, then one window per key ordered by
-    * (ts, side, tieBreak) carrying `last(payload ignore nulls)` forward.
+    * (ts, side, tieBreak) carrying the matched right row forward. The
+    * payload travels as ONE struct per right row, so it is attached
+    * ATOMICALLY — a genuinely-null payload field stays null instead of
+    * being back-filled from an older right row, which is what independent
+    * per-column ignore-nulls carries would do.
     * Cost at scale: ONE shuffle of left+right by the key plus a per-key
     * sort — same exchange a sort-merge join would pay, but with no
     * candidate explosion on duplicate timestamps and no range predicate
     * the optimizer can't push. A per-key skew hotspot behaves like any
     * window skew (AQE handles the shuffle; the sort is per-partition).
     *
-    * Left rows with no prior right row get null payloads. All left columns
-    * are kept; right payload columns are prefixed with `prefix`.
+    * Left rows with no matching right row get null payloads. All left
+    * columns are kept; right payload columns come back as `prefix+name`.
     *
     * `tolerance` (same units as a numeric `tsCol`, or microseconds for
-    * timestamps) bounds the lookback like pandas merge_asof: a match older
-    * than `left.ts - tolerance` yields nulls. Implemented by also carrying
-    * the right timestamp and nulling stale payloads after the window — the
-    * plan stays ONE window, no extra exchange.
+    * timestamps) bounds the lookback like pandas merge_asof: a match
+    * further away than `tolerance` yields nulls. The matched right
+    * timestamp rides in the carried struct, so the plan stays ONE window
+    * with no extra exchange.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, tieBreak: String, payload: Seq[String],
@@ -43,17 +48,20 @@ object Relational {
       s"tieBreak '$tieBreak' must be one of the carried payload columns $payload")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward or forward, got '$direction'")
+    require(!payload.contains("__ts"), "payload name '__ts' is reserved")
     val backward = direction == "backward"
     val leftCols = left.columns.toSeq
-    // the right timestamp is always carried too: tolerance needs the age of
-    // the matched row (and it is cheap — one more carried column)
-    val carryPayload = payload :+ "__ts"
-    val payloadTypes = payload.map(p => p -> right.schema(p).dataType).toMap +
-      ("__ts" -> right.schema(tsCol).dataType)
-    // left side: payload columns null; right side: non-key/ts left columns null
-    val lTagged = carryPayload.foldLeft(left.withColumn("__side", lit(1))) {
-      case (df, p) => df.withColumn(prefix + p, lit(null).cast(payloadTypes(p)))
-    }
+    val carry = prefix + "__p"
+    val outNames = payload.map(prefix + _)
+    require(leftCols.intersect(outNames :+ carry).isEmpty,
+      s"left columns collide with output payload names ${outNames :+ carry}")
+    // the matched right row travels as one struct: payload fields + its ts
+    // (the ts powers the tolerance bound)
+    val rStruct = StructType(
+      payload.map(p => StructField(p, right.schema(p).dataType)) :+
+        StructField("__ts", right.schema(tsCol).dataType))
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn(carry, lit(null).cast(rStruct))
     val rTagged = {
       val keep = keys :+ tsCol
       val base = leftCols.filterNot(keep.contains).foldLeft(right) {
@@ -62,44 +70,42 @@ object Relational {
       }
       val sel = keys.map(col) ++ Seq(col(tsCol)) ++
         leftCols.filterNot(keep.contains).map(c => col("__null_" + c).as(c)) ++
-        Seq(lit(0).as("__side")) ++ payload.map(p => col(p).as(prefix + p)) ++
-        Seq(col(tsCol).as(prefix + "__ts"))
+        Seq(lit(0).as("__side"),
+          struct(payload.map(p => col(p).as(p)) :+ col(tsCol).as("__ts"): _*).as(carry))
       base.select(sel: _*)
     }
     // backward walks time ascending and keeps the LAST right seen (latest
     // at-or-before, ties → max tieBreak); forward walks descending and so
     // keeps the earliest at-or-after (ties → min tieBreak). Both inclusive.
+    val tieField = col(carry).getField(tieBreak)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(
         if (backward) col(tsCol).asc else col(tsCol).desc,
         col("__side").asc,
-        if (backward) col(prefix + tieBreak).asc else col(prefix + tieBreak).desc)
+        if (backward) tieField.asc else tieField.desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val unioned = lTagged.unionByName(rTagged)
-    // one projection with every carried column → ONE Window operator
-    // (sequential withColumn can split into stacked Windows)
-    val prefixed = carryPayload.map(prefix + _).toSet
+    // one projection with the single carried struct → ONE Window operator
     val carried = unioned.select(
-      unioned.columns.filterNot(prefixed.contains).map(col) ++
-        carryPayload.map(p => last(col(prefix + p), ignoreNulls = true).over(w).as(prefix + p)): _*)
-    val matchedOnly = carried.filter(col("__side") === 1)
-    val bounded = tolerance.fold(matchedOnly) { t =>
-      def micros(c: Column): Column = payloadTypes("__ts") match {
-        case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        case _: org.apache.spark.sql.types.TimestampNTZType => unix_micros(c.cast("timestamp"))
+      unioned.columns.filterNot(_ == carry).map(col) :+
+        last(col(carry), ignoreNulls = true).over(w).as(carry): _*)
+    val matched = carried.filter(col("__side") === 1)
+    // unpack the struct; under a tolerance, a too-distant match nulls out
+    val keepMatch = tolerance.fold(lit(true)) { t =>
+      def micros(c: Column): Column = right.schema(tsCol).dataType match {
+        case TimestampType => unix_micros(c)
+        case TimestampNTZType => unix_micros(c.cast("timestamp"))
         case _ => c.cast("long")
       }
+      val matchTs = col(carry).getField("__ts")
       val age =
-        if (backward) micros(col(tsCol)) - micros(col(prefix + "__ts"))
-        else micros(col(prefix + "__ts")) - micros(col(tsCol))
-      val stale = age > t
-      matchedOnly.select(
-        matchedOnly.columns.filterNot(prefixed.contains).map(col) ++
-          payload.map(p => when(stale, lit(null).cast(payloadTypes(p)))
-            .otherwise(col(prefix + p)).as(prefix + p)) ++
-          Seq(col(prefix + "__ts")): _*)
+        if (backward) micros(col(tsCol)) - micros(matchTs)
+        else micros(matchTs) - micros(col(tsCol))
+      age <= t // null age (no match) → false → nulls, same as no match
     }
-    bounded.drop("__side", prefix + "__ts")
+    matched.select(leftCols.map(col) ++ payload.map(p =>
+      when(keepMatch, col(carry).getField(p))
+        .otherwise(lit(null).cast(rStruct(p).dataType)).as(prefix + p)): _*)
   }
 
   /** Banded (interval) join: map each fact row to the band whose
@@ -117,17 +123,19 @@ object Relational {
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), "inner")
 
   /** Specialization of bandedJoin for UNIFORM CONTIGUOUS bands (equal
-    * width, each hi == next lo): no join at all — `width_bucket` computes
-    * the band index arithmetically inside whole-stage codegen and the
-    * label attaches by index. Rows outside [first lo, last hi) are
-    * dropped, matching the inner banded join. This is the 100 TB path when
-    * the band table tiles the domain evenly: zero exchanges, zero per-row
-    * band-list scans.
+    * positive width, each hi == next lo, ascending): no join at all —
+    * `width_bucket` computes the band index arithmetically inside
+    * whole-stage codegen and the label attaches by index. Rows outside
+    * [first lo, last hi) are dropped, matching the inner banded join.
+    * This is the 100 TB path when the band table tiles the domain evenly:
+    * zero exchanges, zero per-row band-list scans.
     */
   def bandedJoinContiguous(facts: DataFrame,
                            bands: Seq[(String, Double, Double)],
                            valueCol: String): DataFrame = {
-    require(bands.nonEmpty && bands.sliding(2).forall {
+    require(bands.nonEmpty && bands.head._2 < bands.head._3,
+      "bands must have positive width")
+    require(bands.sliding(2).forall {
       case Seq((_, lo1, hi1), (_, lo2, hi2)) => hi1 == lo2 && (hi1 - lo1) == (hi2 - lo2)
       case _ => true
     }, "bands must be ordered, contiguous and equal-width")

@@ -14,7 +14,9 @@ object Temporal {
 
   /** E8: as-of join — each purchase event annotated with the latest error
     * event (id/ts/value) of the same user at or before the purchase time.
-    * One shuffle by user_id + per-key sort (see Relational.asofJoin).
+    * Each side shuffles once by user_id (disjoint row subsets — together
+    * the volume of ONE full shuffle) and the window reuses that
+    * clustering; per-key sort inside the window (see Relational.asofJoin).
     */
   def asofJoinQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.spread(Tables.events(spark, dir), "user_id")

@@ -123,9 +123,11 @@ object StreamOps {
     * as-of semantics the latest right row stays joinable forever (that is
     * the operator, not a leak). Within a micro-batch events are processed
     * in (ts, side, event_id) order — identical tie rules to the batch
-    * construction; late errors beyond a batch boundary can't retro-fill
-    * already-emitted purchases (Append semantics — the documented delta
-    * from the batch operator).
+    * construction. Cross-batch, state only ever advances: a LATE error
+    * (older than the stored one) is ignored rather than regressing the
+    * state, and a late purchase older than the stored error emits nulls —
+    * err_ts ≤ ts always holds; late rights can't retro-fill already-emitted
+    * purchases (Append semantics — the documented delta from batch).
     */
   def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
@@ -140,11 +142,20 @@ object StreamOps {
           var last = state.getOption
           val out = Seq.newBuilder[AsofOut]
           sorted.foreach { e =>
-            if (e.event_type == "error")
-              last = Some(AsofState(e.event_id, microsOf(e.ts), e.value))
-            else
+            val us = microsOf(e.ts)
+            if (e.event_type == "error") {
+              // advance-only: an error older than the stored one is late
+              // data, not a better match for future purchases
+              if (last.forall(s =>
+                s.tsUs < us || (s.tsUs == us && s.eventId < e.event_id)))
+                last = Some(AsofState(e.event_id, us, e.value))
+            } else {
+              // a late purchase may predate the stored error — as-of
+              // semantics (err_ts <= ts) then mean "no match known"
+              val m = last.filter(_.tsUs <= us)
               out += AsofOut(e.event_id, userId, e.ts, e.value,
-                last.map(_.eventId), last.map(s => tsOf(s.tsUs)), last.map(_.value))
+                m.map(_.eventId), m.map(s => tsOf(s.tsUs)), m.map(_.value))
+            }
           }
           last.foreach(state.update)
           out.result().iterator

@@ -12,19 +12,27 @@ class BucketingSpec extends SparkSpecBase {
   private def hasShuffle(df: org.apache.spark.sql.DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange")
 
-  test("bucketed fact: groupBy, window and self-join on the key are exchange-free") {
-    val ev = Tables.events(spark, sfDir)
-    // the in-memory catalog forgets tables between JVMs but the warehouse
-    // files persist — clear both before writing
-    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+  /** Idempotently (re)create the bucketed table: the in-memory catalog
+    * forgets tables between JVMs but the warehouse files persist, so clear
+    * both first. Each test calls this — no inter-test ordering dependency.
+    */
+  private def ensureBucketed(): Unit = {
+    if (spark.catalog.tableExists("ev_bucketed")) return
     val loc = java.nio.file.Paths.get(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "ev_bucketed")
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
-    BucketedSink.writeBucketed(ev, "ev_bucketed", "user_id", 4, Seq("user_id", "ts"))
+    BucketedSink.writeBucketed(Tables.events(spark, sfDir),
+      "ev_bucketed", "user_id", 4, Seq("user_id", "ts"))
+  }
+
+  test("bucketed fact: groupBy, window and self-join on the key are exchange-free") {
+    val ev = Tables.events(spark, sfDir)
+    ensureBucketed()
     val t = BucketedSink.readTable(spark, "ev_bucketed")
 
     // aggregation on the bucket key: no exchange
@@ -54,6 +62,7 @@ class BucketingSpec extends SparkSpecBase {
   }
 
   test("bucketed results equal unbucketed results") {
+    ensureBucketed()
     val t = BucketedSink.readTable(spark, "ev_bucketed")
     val a = t.groupBy("user_id").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

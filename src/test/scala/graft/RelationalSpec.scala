@@ -33,6 +33,19 @@ class RelationalSpec extends SparkSpecBase {
       (102L, None, None)))
   }
 
+  test("asofJoin attaches null payload fields atomically, not from older rows") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 200L)).toDF("lid", "k", "ts")
+    val right = Seq(
+      (1L, 1L, 1L, java.lang.Double.valueOf(5.0)),
+      (2L, 1L, 200L, null.asInstanceOf[java.lang.Double])
+    ).toDF("rid", "k", "ts", "v")
+    val row = Relational.asofJoin(left, right, Seq("k"), "ts", "rid",
+      Seq("rid", "v"), "r_").select("r_rid", "r_v").head
+    // the match IS rid=2; its null v must stay null (not back-fill 5.0)
+    assert(row.getLong(0) == 2L && row.isNullAt(1))
+  }
+
   test("asofJoin tolerance nulls out matches older than the bound") {
     import spark.implicits._
     val left = Seq((100L, 1L, 10L), (101L, 1L, 6L)).toDF("lid", "k", "ts")

@@ -92,6 +92,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.count() == purchases)
   }
 
+  test("streaming as-of state only advances across micro-batches") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-batches")
+    def stage(name: String, mtimeMs: Long,
+              rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-asof-stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    stage("b1.parquet", 1000000L, Seq((1L, ts(100), 7L, "error", 1.0)))
+    // batch 2: a LATE error (ts=50, must not regress state), a purchase
+    // after the stored error (matches it), and a late purchase BEFORE the
+    // stored error (no match known — err_ts <= ts must hold)
+    stage("b2.parquet", 2000000L, Seq(
+      (2L, ts(50), 7L, "error", 2.0),
+      (3L, ts(200), 7L, "purchase", 9.0),
+      (4L, ts(30), 7L, "purchase", 8.0)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[StreamOps.Event]
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.asofEnrich(stream).toDF(), "asof_batches_test")
+      .select("event_id", "err_event_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(3L -> Some(1L), 4L -> None))
+  }
+
   test("stateful sessionizer matches window-function sessionization") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
