@@ -32,24 +32,88 @@ object Ann {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
 
-  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.8). Exercised brute-force
-    * at test scale; the LSH bucketing below is the 100 TB candidate path.
+  /** Banded random-hyperplane LSH for the near-dup candidate join: EmbBands
+    * bands of EmbPlanesPerBand hyperplanes each (same md5-derived ±1 family
+    * as lshBucket, plane j = band·P + row). Two vectors are candidates iff
+    * they agree on every plane of SOME band — the signed-random-projection
+    * analogue of dedup_minhash's band buckets. Recall at cos θ is
+    * 1-(1-p^P)^B with p = 1-θ/π (≈0.87 at cos 0.8, ≈0.95 at cos 0.9 for
+    * 4×4); the 100 TB lever is P: bucket count per band is 2^P, so raising
+    * P (e.g. 16 → 65k buckets) keeps per-bucket pair generation bounded
+    * while B compensates recall.
+    */
+  val EmbBands = 4
+  val EmbPlanesPerBand = 4
+
+  private def embPlaneBit(v: Column, j: Int): Column = {
+    val proj = (0 until Dim).map { d =>
+      element_at(v, d + 1).cast("double") * planeSign(j, d)
+    }.reduce(_ + _)
+    when(proj > 0, lit(1)).otherwise(0)
+  }
+
+  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.8). Candidates come from
+    * the banded-LSH equality join above — one shuffle keyed by
+    * (band_idx, band_key), pair generation confined to buckets, never
+    * all-pairs (the pre-round-3 crossJoin form was the engine's last O(n²)
+    * join). A pair matching several bands dedups via the final distinct.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val a = vecs(spark, dir).select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = vecs(spark, dir).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val nPlanes = EmbBands * EmbPlanesPerBand
+    // Plane bits as separate columns, materialized BEFORE the band
+    // explode: one 1024-term expression inside the Generate blows Janino's
+    // method limit (codegen falls back to interpreted), while 16 × 64-term
+    // columns codegen cleanly; the barrier also stops project-collapse from
+    // inlining them into the explode AND lets both sides of the bucket
+    // self-join reuse the computed projections.
+    val sigs = graft.Checkpoints.cp(
+      vecs(spark, dir).select(
+        col("vec_id") +: col("embedding") +:
+          (0 until nPlanes).map(j => embPlaneBit(col("embedding"), j).as(s"pb$j")): _*))
+    val bandCols = (0 until EmbBands).map { b =>
+      val key = (0 until EmbPlanesPerBand)
+        .map(r => col(s"pb${b * EmbPlanesPerBand + r}") * (1 << r)).reduce(_ + _)
+      struct(lit(b).as("band_idx"), key.as("band_key"))
+    }
+    val banded = sigs
+      .withColumn("band", explode(array(bandCols: _*)))
+      .select(col("vec_id"), col("embedding"), col("band.band_idx"), col("band.band_key"))
+    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("band_idx"), col("band_key"))
+    val c = banded.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("band_idx"), col("band_key"))
+    a.join(c, Seq("band_idx", "band_key")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
       .filter(col("cos") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .distinct()
   }
-  val dedupEmbeddingSql: String =
-    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  val dedupEmbeddingSql: String = {
+    // Same ±1 signs, same left-to-right fold as the Spark expression (see
+    // annLshSql IEEE notes), emitted per band.
+    def bandKeyExpr(b: Int): String =
+      (0 until EmbPlanesPerBand).map { r =>
+        val j = b * EmbPlanesPerBand + r
+        val proj = (0 until Dim).map { d =>
+          val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
+          val s = planeSign(j, d)
+          if (d == 0) { if (s > 0) term else s"(- $term)" }
+          else { if (s > 0) s"+ $term" else s"- $term" }
+        }.mkString(" ")
+        s"(CASE WHEN ($proj) > 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+    val bandRows = (0 until EmbBands).map { b =>
+      s"SELECT vec_id, embedding, $b AS band_idx, ${bandKeyExpr(b)} AS band_key FROM embeddings"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH banded AS MATERIALIZED ($bandRows)
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
       round(${dotSql("a.embedding", "b.embedding")}
             / (${normSql("a.embedding")} * ${normSql("b.embedding")}), 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
     WHERE ${dotSql("a.embedding", "b.embedding")}
           / (${normSql("a.embedding")} * ${normSql("b.embedding")}) >= 0.8"""
+  }
 
   /** D6: brute-force cosine top-k for a query set (vec_id < 10), k=5.
     * The query side is broadcast; ranking is one window per query id.
@@ -208,7 +272,12 @@ object Ann {
         (round(avg(col("v").cast("double")), 4) + 0.0).as("c"))
 
   val embedCentroidsSql: String =
-    s"""SELECT label, CAST(t.p AS INT) AS pos, count(*) AS n_vecs,
+    // count(embedding[p+1]), not count(*): the cross join with range(0,Dim)
+    // emits a row per vector per position even when a vector is shorter
+    // than Dim, while Spark's posexplode emits only existing positions —
+    // the non-null count makes n_vecs agree for ragged vectors too
+    // (round-2 ADVICE; testdata is fixed-width, so values are unchanged).
+    s"""SELECT label, CAST(t.p AS INT) AS pos, count(embedding[t.p + 1]) AS n_vecs,
            round(avg(CAST(embedding[t.p + 1] AS DOUBLE)), 4) + 0.0 AS c
     FROM embeddings, range(0, $Dim) t(p)
     GROUP BY label, pos"""

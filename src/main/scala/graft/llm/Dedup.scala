@@ -18,14 +18,13 @@ object Dedup {
   val NumHashes = 16
   val Bands = 4 // 4 rows per band
 
-  /** Tokenized docs, spread across all cores: the corpus often arrives as
-    * few large files, but signature computation is CPU-bound per row — an
-    * explicit repartition keyed by doc_id keeps every core busy (on a
-    * cluster: every executor).
+  /** Tokenized docs, spread across all cores when the scan arrives narrow:
+    * signature computation is CPU-bound per row, so a single-file local scan
+    * must be repartitioned to keep every core busy — but a cluster-scale
+    * corpus already arrives as many splits and the spread is skipped.
     */
   private def docsWithToks(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), TextOps.toks(col("text")).as("toks"))
       // Load-bearing barrier: Catalyst's project collapsing would inline the
       // tokenizer expression into every element_at of the downstream

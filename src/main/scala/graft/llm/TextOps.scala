@@ -51,7 +51,7 @@ object TextOps {
   /** D8: language ID. Argmax of stopword hits, tie order en>de>fr>es. */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
-    Tables.spread(Tables.documents(spark, dir), "doc_id").select(
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id"),
       stopCount(t, StopEn).as("s_en"), stopCount(t, StopDe).as("s_de"),
       stopCount(t, StopFr).as("s_fr"), stopCount(t, StopEs).as("s_es"))
@@ -79,7 +79,7 @@ object TextOps {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
-    Tables.spread(Tables.documents(spark, dir), "doc_id").select(
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(t).as("n_tokens"),
@@ -115,7 +115,7 @@ object TextOps {
 
   /** D10: token counting — whitespace runs + a BPE-ish regex segmentation. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(spark, dir), "doc_id").select(
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")),
@@ -134,7 +134,7 @@ object TextOps {
     * rank order can't hinge on sub-ulp libm differences.
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, dir), "doc_id")
+    val docs = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
     // materialize tf once: both the scored join and the document-frequency
     // aggregate consume it, and without a barrier Spark executes the
@@ -171,7 +171,7 @@ object TextOps {
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(toks(col("text")))
-    Tables.spread(Tables.documents(spark, dir), "doc_id").select(
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id"),
       md5(normText(col("text")).cast("binary")).as("exact_fp"),
       array_min(transform(sh, s => md5(s.cast("binary")))).as("shingle_fp"))

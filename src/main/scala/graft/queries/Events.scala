@@ -17,7 +17,7 @@ object Events {
 
   /** E4: JSON property extraction + aggregation per event type. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.events(spark, dir), "event_id")
+    Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
@@ -32,7 +32,7 @@ object Events {
     * windowed agg — same plan shape Structured Streaming incrementalizes).
     */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.events(spark, dir), "event_id")
+    Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
   val streamWindowAggSql: String =

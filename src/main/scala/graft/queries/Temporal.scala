@@ -33,26 +33,30 @@ object Temporal {
     * deterministic: within one (user_id, ts) the error side sorts first,
     * errors tie-break by event_id — identical in both engines; the relative
     * order of same-ts purchases does not affect any carried value).
+    *
+    * The carried payload is ONE composite struct (non-null exactly on error
+    * rows), matching the engine's atomic struct carry: per-column
+    * last_value(... IGNORE NULLS) would back-fill a genuinely-NULL payload
+    * field from an OLDER error row, silently diverging on data with null
+    * payload fields (round-2 ADVICE).
     */
   val asofJoinSql: String =
     """WITH u AS (
       SELECT user_id, ts, 1 AS side, event_id, value,
              CAST(NULL AS BIGINT) AS p_event_id,
-             CAST(NULL AS TIMESTAMP) AS p_ts,
-             CAST(NULL AS DOUBLE) AS p_value
+             CAST(NULL AS STRUCT(e BIGINT, t TIMESTAMP, v DOUBLE)) AS p_row
       FROM events WHERE event_type = 'purchase'
       UNION ALL
-      SELECT user_id, ts, 0 AS side, event_id, value, event_id, ts, value
+      SELECT user_id, ts, 0 AS side, event_id, value, event_id,
+             {'e': event_id, 't': ts, 'v': value}
       FROM events WHERE event_type = 'error'),
     w AS (
-      SELECT *,
-        last_value(p_event_id IGNORE NULLS) OVER win AS err_event_id,
-        last_value(p_ts IGNORE NULLS) OVER win AS err_ts,
-        last_value(p_value IGNORE NULLS) OVER win AS err_value
+      SELECT *, last_value(p_row IGNORE NULLS) OVER win AS err_row
       FROM u
       WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, p_event_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-    SELECT event_id, user_id, ts, value, err_event_id, err_ts, err_value
+    SELECT event_id, user_id, ts, value,
+           err_row.e AS err_event_id, err_row.t AS err_ts, err_row.v AS err_value
     FROM w WHERE side = 1"""
 
   /** Price bands for the interval join: [lo, hi) covering the value domain. */
@@ -90,7 +94,7 @@ object Temporal {
     * non-expandable aggregate (collect_set, exact UDAF) meets a skewed key.
     */
   def distinctUsersSkewsafe(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.events(spark, dir), "event_id")
+    Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))

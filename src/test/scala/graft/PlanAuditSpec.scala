@@ -57,6 +57,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("float_vec_dot"), "native dot expression must be in the plan")
   }
 
+  test("dedup_embedding: bucketed candidate join, never all-pairs") {
+    val p = planOf(llm.Ann.dedupEmbedding(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "corpus self-cartesian crept back in")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate join must be an equality join on (band_idx, band_key)")
+    Checkpoints.releaseAll()
+  }
+
   test("asof_join: exactly one Window, no join operator at all") {
     val p = planOf(queries.Temporal.asofJoinQ(spark, sfDir))
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 1, p.take(600))

@@ -1,9 +1,14 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: export the capex-shaped raw frame + office dim as CSV for the
-  * reference-pipeline throughput measurement. DELETE AFTER USE.
+/** Baseline-measurement tool (test scope, not shipped): exports the
+  * capex-shaped raw frame + office dim as CSV so the reference pandas
+  * pipeline (process_capex.process_capex_data) can be timed on the SAME
+  * data the engine benches on. See BASELINE.md for the measured figure
+  * and the two-command repro.
+  *
+  * Run: sbt "Test/runMain graft.tools.RefExport /root/testdata/sf0.1 /tmp/graft_ref_bench"
   */
 object RefExport {
   def main(args: Array[String]): Unit = {
