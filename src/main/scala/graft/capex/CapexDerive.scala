@@ -317,6 +317,66 @@ object CapexDerive {
           concat(rem, lit(MumComment))).otherwise(rem))
   }
 
+  private def kwHitCol(kw: String): Column =
+    Seq(col("AssetItemName"), col("ItemCategory"), col("UserRemarks"))
+      .map(c => lower(c).contains(kw.toLowerCase)).reduce(_ || _)
+
+  /** Human-readable per-row exclusion prose — explain_exclusion_reason
+    * (process_capex.py:385-501). Deliberately NOT the pipeline's label
+    * chain: the reference's explain function checks in its own order
+    * (category before remark flags, no CCTV branch in rule 18, its own
+    * narrower normalization map) and trims where the rules don't; a pure
+    * projection over enriched columns, evaluated only by the queries that
+    * ask for it.
+    */
+  private[capex] def explainReason: Column = {
+    val rfT = trim(col("RequestFunction"))
+    val ac2 = caseMap(upper(trim(col("AssetCategoryName"))), ExplainNormMap)
+    val r18kw = NonOpsKeywords.foldRight(lit(null).cast("string")) { case (kw, acc) =>
+      when(kwHitCol(kw), lit(s"Non-Ops equipment keyword: '$kw'")).otherwise(acc)
+    }
+    when(col("rm_r1"), "Rejected status")
+      .when(col("rm_r2"), "IsSelectedVendor is '-'")
+      .when(col("rm_r3"), concat(lit("Removed RequestFunction '"), rfT, lit("'")))
+      .when(col("rm_r3a"), "Excluded equipment: Air Conditioner/Fan/Fire Extinguisher")
+      .when(!ac2.isin(ExplainAllowedCats: _*),
+        concat(lit("Asset category excluded after normalization ('"), ac2, lit("')")))
+      .when(col("flag_ds"), "UserRemarks mention 'DS'")
+      .when(col("flag_dark_store"), "UserRemarks mention 'dark store'")
+      .when(col("flag_counter"), "UserRemarks mention 'counter'")
+      .when(col("device_hit"),
+        "Mention of personal computing device (laptop/macbook/tablet/phone)")
+      .when(rfT === "IT" && col("nonrel"), "IT non-relevant by UserRemarks")
+      .when(rfT === "Admin" && col("nonrel"), "Admin non-relevant by UserRemarks")
+      .when(rfT === "Ops" && col("nonrel"), "Ops non-relevant by UserRemarks")
+      .when(rfT === "Ops through IT" && col("nonrel"),
+        "Ops through IT non-relevant by UserRemarks")
+      .when(trim(col("CurrentStatus")) === "Approval in Progress",
+        "Status 'Approval in Progress' removed")
+      .otherwise(coalesce(r18kw, lit("Unknown")))
+  }
+
+  /** Per-row first-fire step index in the reference's APPLICATION order:
+    * rules 1..13 from RuleAttribution, then rule 18 expanded per keyword
+    * (remove_non_ops_equipment loops keywords, recording per keyword —
+    * process_capex.py:857-875; CCTV last). NULL = the row survives every
+    * rule. A robust key's recorded exclusion reason is the label at the
+    * step where its LAST row fell (_record_exclusions fires when the key
+    * first goes missing from `after`, and first write wins), i.e. the
+    * excluded_by of the max-index row.
+    */
+  private[capex] def ruleStepIdx: Column = {
+    val r18KwIdx = NonOpsKeywords.zipWithIndex
+      .foldRight(lit(NonOpsKeywords.size): Column) { case ((kw, i), acc) =>
+        when(kwHitCol(kw), i).otherwise(acc)
+      }
+    RuleAttribution.zipWithIndex.foldRight(
+      when(col("rm_r18"), lit(RuleAttribution.size + 1) + r18KwIdx)
+        .otherwise(lit(null).cast("int"))) {
+      case (((flag, _, _, _), i), acc) => when(col(flag), i + 1).otherwise(acc)
+    }
+  }
+
   /** Rule survivors with the representative-row rank (reference
     * select_representative_rows_per_requestno, process_capex.py:1006-1045):
     * priority 100/50/10, ≤5 rows per RequestNo; tie-break by rid (documented
@@ -368,7 +428,7 @@ object CapexDerive {
     "CurrentStatus", "RequestFunction", "IsSelectedVendor", "ItemCategory",
     "AssetCategoryName", "AssetCategoryName_2", "UserRemarks", "Zone",
     "Region", "Category_Type", "AssetItemAmount", "RequestDate",
-    "ReincludedViaFailOpen")
+    "ReincludedViaFailOpen", "FailOpenNote")
 
   /** The flagship end-to-end pipeline (rules 1-19 + fail-open), one frame. */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -380,7 +440,8 @@ object CapexDerive {
       col("acat_split").as("AssetCategoryName_2"),
       col("remarks_final").as("UserRemarks"), col("Zone"), col("Region"),
       col("category_type").as("Category_Type"), col("AssetItemAmount"),
-      col("RequestDate"), lit(false).as("ReincludedViaFailOpen"))
+      col("RequestDate"), lit(false).as("ReincludedViaFailOpen"),
+      lit(null).cast("string").as("FailOpenNote"))
     val reinOut = reinstated(spark, dir).select(
       col("rid"), col("RequestNo"), col("AssetItemName"), col("VendorName"),
       col("key_strict").as("CompositePrimaryKey"), col("CurrentStatus"),
@@ -389,7 +450,10 @@ object CapexDerive {
       col("acat_norm_raw").as("AssetCategoryName_2"),
       col("UserRemarks"), col("Zone"), col("Region"),
       lit(null).cast("string").as("Category_Type"), col("AssetItemAmount"),
-      col("RequestDate"), lit(true).as("ReincludedViaFailOpen"))
+      col("RequestDate"), lit(true).as("ReincludedViaFailOpen"),
+      // besides the boolean, reinstated rows carry the reference's note
+      // string (process_capex.py:36)
+      lit(FailOpenNote).as("FailOpenNote"))
     keptOut.unionByName(reinOut).select(pipelineCols.map(col): _*)
   }
 }

@@ -50,6 +50,76 @@ object CapexQueries {
         SELECT DISTINCT key_robust AS k FROM enriched_m WHERE $refPredSql),
       proc_keys AS (SELECT DISTINCT $robustKeySql AS k FROM pipe)"""
 
+  /** C1 metrics frame (tp/fp/fn/prec/rec/f1), shared by validate_prf and
+    * validate_report. */
+  private def prfFrame(s: SparkSession, d: String): DataFrame = {
+    val joined = keySetJoin(s, d)
+    val counts = joined.agg(
+      sum(when(col("in_p").isNotNull && col("in_r").isNotNull, 1).otherwise(0)).as("tp"),
+      sum(when(col("in_p").isNotNull && col("in_r").isNull, 1).otherwise(0)).as("fp"),
+      sum(when(col("in_p").isNull && col("in_r").isNotNull, 1).otherwise(0)).as("fn"))
+    counts.select(col("tp"), col("fp"), col("fn"),
+      (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+      (col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"))
+      .withColumn("f1",
+        when(col("prec") + col("rec") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
+  }
+
+  /** C3 field-accuracy frame, shared by validate_fields and validate_report. */
+  private def fieldsFrame(s: SparkSession, d: String): DataFrame = {
+    val enr = CapexDerive.enriched(s, d)
+    val ref = enr.filter(refPred).groupBy(col("key_robust").as("k")).agg(
+      dsum(col("AssetItemAmount")).as("r_amt"),
+      sort_array(collect_set(lower(trim(col("Zone"))))).as("r_zones"),
+      sort_array(collect_set(col("AssetCategoryName"))).as("r_cats"))
+    val proc = robustKeyOf(CapexDerive.pipeline(s, d)).groupBy(col("key_robust").as("k")).agg(
+      dsum(col("AssetItemAmount")).as("p_amt"),
+      sort_array(collect_set(lower(trim(col("Zone"))))).as("p_zones"),
+      sort_array(collect_set(col("AssetCategoryName"))).as("p_cats"))
+    proc.join(ref, Seq("k"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(when(abs(col("p_amt") - col("r_amt")) > 0.01, 1).otherwise(0)).as("amount_mismatches"),
+        sum(when(!(col("p_zones") === col("r_zones")), 1).otherwise(0)).as("zone_mismatches"),
+        sum(when(!(col("p_cats") === col("r_cats")), 1).otherwise(0)).as("category_mismatches"))
+      .select(col("n_matched"), col("amount_mismatches"), col("zone_mismatches"),
+        col("category_mismatches"),
+        ((col("n_matched") - col("amount_mismatches")).cast("double") / col("n_matched") * 100).as("amount_accuracy"),
+        ((col("n_matched") - col("zone_mismatches")).cast("double") / col("n_matched") * 100).as("zone_accuracy"),
+        ((col("n_matched") - col("category_mismatches")).cast("double") / col("n_matched") * 100).as("category_accuracy"))
+  }
+
+  /** Per-sheet composite-key stats (validate_composite_primary_key,
+    * process_capex.py:1272-1351): totals, unique/duplicate strict keys,
+    * rows with blank key components, PASS/FAIL. Column names are prefixed
+    * so three sheets cross-join into the one-row report.
+    */
+  private def sheetStats(df: DataFrame, keyCol: String, prefix: String): DataFrame = {
+    val byKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = df.agg(count(lit(1)).as(s"${prefix}_total"),
+      sum(when(trim(col("RequestNo")) === "" || trim(col("AssetItemName")) === "" ||
+        trim(col("VendorName")) === "", 1).otherwise(0)).as(s"${prefix}_missing"))
+    val uniq = byKey.agg(
+      sum(when(col("cnt") === 1, 1).otherwise(0)).as(s"${prefix}_unique"),
+      sum(when(col("cnt") > 1, 1).otherwise(0)).as(s"${prefix}_dup"))
+    tot.crossJoin(uniq).withColumn(s"${prefix}_status",
+      when(col(s"${prefix}_missing") > 0 || col(s"${prefix}_dup") > 0, "FAIL")
+        .otherwise("PASS"))
+  }
+
+  /** The oracle CTE twin of sheetStats (fromExpr must expose RequestNo/
+    * AssetItemName/VendorName and the strict key under `keyExpr`). */
+  private def sheetStatsSql(fromExpr: String, keyExpr: String, prefix: String): String =
+    s"""${prefix}_bykey AS (SELECT $keyExpr AS ck, count(*) AS cnt FROM $fromExpr GROUP BY 1),
+      ${prefix}_tot AS (SELECT count(*) AS ${prefix}_total,
+        CAST(sum(CASE WHEN trim(RequestNo) = '' OR trim(AssetItemName) = ''
+                 OR trim(VendorName) = '' THEN 1 ELSE 0 END) AS BIGINT) AS ${prefix}_missing
+        FROM $fromExpr),
+      ${prefix}_uniq AS (SELECT
+        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ${prefix}_unique,
+        CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ${prefix}_dup
+        FROM ${prefix}_bykey)"""
+
   // ---------------------------------------------------------------- A rules
   private def removedBy(flag: String, outCol: String)(s: SparkSession, d: String): DataFrame =
     CapexDerive.enriched(s, d).filter(col(flag)).select(col("rid"), col(outCol))
@@ -115,7 +185,8 @@ object CapexQueries {
       enr.join(keyset.distinct(), Seq("RequestNo"), "left_semi").select(col("rid"), col("RequestNo"))
     }),
     "fail_open_reinstate" -> ((s, d) => CapexDerive.reinstated(s, d)
-      .select(col("rid"), col("key_robust"), lit(true).as("reincluded"))),
+      .select(col("rid"), col("key_robust"), lit(true).as("reincluded"),
+        lit(CapexVocab.FailOpenNote).as("fail_open_note"))),
     "capex_pipeline" -> (CapexDerive.pipeline _),
     // app.py output_tab3 "Specialized Items": the AMC / Sorter / Rental_Opex
     // filtered downloads of the processed frame
@@ -124,20 +195,14 @@ object CapexQueries {
       .select(col("rid"), col("Category_Type"), col("AssetItemName"),
         col("AssetItemAmount"), col("Zone"))),
 
+    // A10c: the reference's user-facing prose for why a raw row would be
+    // excluded (explain_exclusion_reason, process_capex.py:385-501) —
+    // 'Unknown' for rows no explain branch catches.
+    "exclusion_explain" -> ((s, d) => CapexDerive.enriched(s, d)
+      .select(col("rid"), CapexDerive.explainReason.as("exclusion_reason"))),
+
     // -------------------------------------------------------------- C validation
-    "validate_prf" -> ((s, d) => {
-      val joined = keySetJoin(s, d)
-      val counts = joined.agg(
-        sum(when(col("in_p").isNotNull && col("in_r").isNotNull, 1).otherwise(0)).as("tp"),
-        sum(when(col("in_p").isNotNull && col("in_r").isNull, 1).otherwise(0)).as("fp"),
-        sum(when(col("in_p").isNull && col("in_r").isNotNull, 1).otherwise(0)).as("fn"))
-      counts.select(col("tp"), col("fp"), col("fn"),
-        (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
-        (col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"))
-        .withColumn("f1",
-          when(col("prec") + col("rec") === 0.0, 0.0)
-            .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
-    }),
+    "validate_prf" -> (prfFrame _),
     // C1 detail records (process_capex.py:1598-1640): one row per FP/FN key
     // with the key parsed back into its components and the reference's
     // description string.
@@ -173,26 +238,54 @@ object CapexQueries {
       tot.crossJoin(uniq).select(col("total_records"), col("unique_keys"),
         col("duplicate_keys"), col("missing_keys"))
     }),
-    "validate_fields" -> ((s, d) => {
+    "validate_fields" -> (fieldsFrame _),
+
+    // C5: the composed multi-sheet validation report — the reference's
+    // headline validation entry point (validate_all_sheets_composite_keys,
+    // process_capex.py:1353-1500): per-sheet key stats for the raw input,
+    // processed output and reference sheets, ML metrics (PRF), field
+    // accuracy, mismatch total, overall PASS/FAIL (F1 ≥ 0.95). One wide
+    // row; every input is a one-row aggregate so the cross joins are free.
+    "validate_report" -> ((s, d) => {
       val enr = CapexDerive.enriched(s, d)
-      val ref = enr.filter(refPred).groupBy(col("key_robust").as("k")).agg(
-        dsum(col("AssetItemAmount")).as("r_amt"),
-        sort_array(collect_set(lower(trim(col("Zone"))))).as("r_zones"),
-        sort_array(collect_set(col("AssetCategoryName"))).as("r_cats"))
-      val proc = robustKeyOf(CapexDerive.pipeline(s, d)).groupBy(col("key_robust").as("k")).agg(
-        dsum(col("AssetItemAmount")).as("p_amt"),
-        sort_array(collect_set(lower(trim(col("Zone"))))).as("p_zones"),
-        sort_array(collect_set(col("AssetCategoryName"))).as("p_cats"))
-      proc.join(ref, Seq("k"))
-        .agg(count(lit(1)).as("n_matched"),
-          sum(when(abs(col("p_amt") - col("r_amt")) > 0.01, 1).otherwise(0)).as("amount_mismatches"),
-          sum(when(!(col("p_zones") === col("r_zones")), 1).otherwise(0)).as("zone_mismatches"),
-          sum(when(!(col("p_cats") === col("r_cats")), 1).otherwise(0)).as("category_mismatches"))
-        .select(col("n_matched"), col("amount_mismatches"), col("zone_mismatches"),
-          col("category_mismatches"),
-          ((col("n_matched") - col("amount_mismatches")).cast("double") / col("n_matched") * 100).as("amount_accuracy"),
-          ((col("n_matched") - col("zone_mismatches")).cast("double") / col("n_matched") * 100).as("zone_accuracy"),
-          ((col("n_matched") - col("category_mismatches")).cast("double") / col("n_matched") * 100).as("category_accuracy"))
+      val pipe = CapexDerive.pipeline(s, d)
+      sheetStats(enr, "key_strict", "input")
+        .crossJoin(sheetStats(pipe, "CompositePrimaryKey", "processed"))
+        .crossJoin(sheetStats(enr.filter(refPred), "key_strict", "reference"))
+        .crossJoin(prfFrame(s, d))
+        .crossJoin(fieldsFrame(s, d))
+        .withColumn("total_mismatches", col("fp") + col("fn"))
+        .withColumn("overall_status",
+          when(col("f1") >= 0.95, "PASS").otherwise("FAIL"))
+    }),
+
+    // C5 detail: False-Negative keys enriched with the exclusion reason —
+    // the recorded pipeline label when the key was fully excluded by the
+    // rules (EXCLUSION_REASONS semantics: the label at the step where the
+    // key's LAST row fell), else the on-the-fly explain prose of the key's
+    // first row (min rid stands in for pandas row order, as elsewhere).
+    "validate_fn_reasons" -> ((s, d) => {
+      val enr = CapexDerive.enriched(s, d)
+      val fnKeys = keySetJoin(s, d)
+        .filter(col("in_p").isNull && col("in_r").isNotNull).select(col("k"))
+      val rows = enr.select(col("key_robust").as("k"), col("rid"),
+        col("excluded_by"), CapexDerive.ruleStepIdx.as("ridx"),
+        CapexDerive.explainReason.as("er"))
+      val perKey = rows.groupBy(col("k")).agg(
+        max(when(col("ridx").isNull, 1).otherwise(0)).as("has_survivor"),
+        max(col("ridx")).as("max_idx"),
+        expr("min_by(er, rid)").as("explain_reason"))
+      val stepLbl = rows.filter(col("ridx").isNotNull)
+        .groupBy(col("k").as("lk"), col("ridx"))
+        .agg(expr("min_by(excluded_by, rid)").as("recorded_reason"))
+      fnKeys
+        .join(perKey, Seq("k"), "left")
+        .join(stepLbl,
+          col("lk") === col("k") && col("ridx") === col("max_idx") &&
+            col("has_survivor") === 0, "left")
+        .select(col("k").as("CompositeKey"),
+          coalesce(col("recorded_reason"), col("explain_reason"), lit("Unknown"))
+            .as("exclusion_reason"))
     })
   )
 
@@ -234,7 +327,9 @@ object CapexQueries {
     "representative_rows" -> s"$W SELECT rid, RequestNo, priority, rk FROM ranked WHERE rk <= 5",
     "semi_filter" -> s"""$W SELECT rid, RequestNo FROM enriched_m
       WHERE RequestNo IN (SELECT RequestNo FROM enriched_m WHERE CurrentStatus = 'Approved')""",
-    "fail_open_reinstate" -> s"$W SELECT rid, key_robust, true AS reincluded FROM reinstated",
+    "fail_open_reinstate" -> s"""$W SELECT rid, key_robust, true AS reincluded,
+      '${CapexVocab.FailOpenNote}' AS fail_open_note FROM reinstated""",
+    "exclusion_explain" -> s"$W SELECT rid, ${CapexSqlGen.explainReasonSql} AS exclusion_reason FROM enriched_m",
     "capex_pipeline" -> s"$W SELECT * FROM pipe",
     "specialized_items" -> s"""$W SELECT rid, Category_Type, AssetItemName,
       AssetItemAmount, Zone FROM pipe
@@ -293,6 +388,74 @@ object CapexQueries {
              CAST(n_matched - amount_mismatches AS DOUBLE) / n_matched * 100 AS amount_accuracy,
              CAST(n_matched - zone_mismatches AS DOUBLE) / n_matched * 100 AS zone_accuracy,
              CAST(n_matched - category_mismatches AS DOUBLE) / n_matched * 100 AS category_accuracy
-      FROM m"""
+      FROM m""",
+    "validate_report" -> s"""$W,
+      ${sheetStatsSql("enriched_m", "key_strict", "input")},
+      ${sheetStatsSql("pipe", "CompositePrimaryKey", "processed")},
+      ref_sheet AS (SELECT * FROM enriched_m WHERE $refPredSql),
+      ${sheetStatsSql("ref_sheet", "key_strict", "reference")},
+      $keySetCtes,
+      counts AS (
+        SELECT CAST(sum(CASE WHEN p.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.k IS NOT NULL AND r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p.k IS NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM proc_keys p FULL OUTER JOIN ref_keys r ON p.k = r.k),
+      pr AS (SELECT tp, fp, fn, CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+                    CAST(tp AS DOUBLE) / (tp + fn) AS rec FROM counts),
+      prf AS (SELECT tp, fp, fn, prec, rec,
+              CASE WHEN prec + rec = 0.0 THEN 0.0
+                   ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pr),
+      ref_agg AS (
+        SELECT key_robust AS k, ${dsumSql("AssetItemAmount")} AS r_amt,
+               list_sort(list_distinct(list(lower(trim(Zone))))) AS r_zones,
+               list_sort(list_distinct(list(AssetCategoryName))) AS r_cats
+        FROM enriched_m WHERE $refPredSql GROUP BY key_robust),
+      proc_agg AS (
+        SELECT $robustKeySql AS k, ${dsumSql("AssetItemAmount")} AS p_amt,
+               list_sort(list_distinct(list(lower(trim(Zone))))) AS p_zones,
+               list_sort(list_distinct(list(AssetCategoryName))) AS p_cats
+        FROM pipe GROUP BY 1),
+      fieldm AS (
+        SELECT count(*) AS n_matched,
+               CAST(sum(CASE WHEN abs(p_amt - r_amt) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS amount_mismatches,
+               CAST(sum(CASE WHEN NOT (p_zones = r_zones) THEN 1 ELSE 0 END) AS BIGINT) AS zone_mismatches,
+               CAST(sum(CASE WHEN NOT (p_cats = r_cats) THEN 1 ELSE 0 END) AS BIGINT) AS category_mismatches
+        FROM proc_agg JOIN ref_agg USING (k))
+      SELECT input_total, input_missing, input_unique, input_dup,
+             CASE WHEN input_missing > 0 OR input_dup > 0 THEN 'FAIL' ELSE 'PASS' END AS input_status,
+             processed_total, processed_missing, processed_unique, processed_dup,
+             CASE WHEN processed_missing > 0 OR processed_dup > 0 THEN 'FAIL' ELSE 'PASS' END AS processed_status,
+             reference_total, reference_missing, reference_unique, reference_dup,
+             CASE WHEN reference_missing > 0 OR reference_dup > 0 THEN 'FAIL' ELSE 'PASS' END AS reference_status,
+             tp, fp, fn, prec, rec, f1,
+             n_matched, amount_mismatches, zone_mismatches, category_mismatches,
+             CAST(n_matched - amount_mismatches AS DOUBLE) / n_matched * 100 AS amount_accuracy,
+             CAST(n_matched - zone_mismatches AS DOUBLE) / n_matched * 100 AS zone_accuracy,
+             CAST(n_matched - category_mismatches AS DOUBLE) / n_matched * 100 AS category_accuracy,
+             fp + fn AS total_mismatches,
+             CASE WHEN f1 >= 0.95 THEN 'PASS' ELSE 'FAIL' END AS overall_status
+      FROM input_tot, input_uniq, processed_tot, processed_uniq,
+           reference_tot, reference_uniq, prf, fieldm""",
+    "validate_fn_reasons" -> s"""$W, $keySetCtes,
+      fn_keys AS (
+        SELECT r.k FROM ref_keys r LEFT JOIN proc_keys p ON r.k = p.k WHERE p.k IS NULL),
+      rws AS (
+        SELECT key_robust AS k, rid, excluded_by,
+               ${CapexSqlGen.ruleStepIdxSql} AS ridx,
+               ${CapexSqlGen.explainReasonSql} AS er
+        FROM enriched_m),
+      per_key AS (
+        SELECT k, max(CASE WHEN ridx IS NULL THEN 1 ELSE 0 END) AS has_survivor,
+               max(ridx) AS max_idx, arg_min(er, rid) AS explain_reason
+        FROM rws GROUP BY k),
+      step_lbl AS (
+        SELECT k AS lk, ridx, arg_min(excluded_by, rid) AS recorded_reason
+        FROM rws WHERE ridx IS NOT NULL GROUP BY k, ridx)
+      SELECT f.k AS CompositeKey,
+             coalesce(s.recorded_reason, p.explain_reason, 'Unknown') AS exclusion_reason
+      FROM fn_keys f
+      LEFT JOIN per_key p ON p.k = f.k
+      LEFT JOIN step_lbl s
+        ON s.lk = f.k AND s.ridx = p.max_idx AND p.has_survivor = 0"""
   )
 }

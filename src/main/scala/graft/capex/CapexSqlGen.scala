@@ -113,6 +113,47 @@ object CapexSqlGen {
       .map(c => s"contains(lower($c), 'cctv') OR contains(lower($c), 'camera')")
       .mkString("(", " OR ", ")")
 
+  /** Twin of CapexDerive.explainReason — explain_exclusion_reason prose
+    * (process_capex.py:385-501), evaluated over the enriched columns.
+    */
+  val explainReasonSql: String = {
+    val rfT = "trim(RequestFunction)"
+    val ac2 = caseMap("upper(trim(AssetCategoryName))", CapexVocab.ExplainNormMap)
+    val r18case = "CASE " + CapexVocab.NonOpsKeywords.map(kw =>
+      s"WHEN ${kwHit(kw)} THEN ${sq(s"Non-Ops equipment keyword: '$kw'")}")
+      .mkString(" ") + " ELSE NULL END"
+    s"""CASE
+      WHEN rm_r1 THEN 'Rejected status'
+      WHEN rm_r2 THEN ${sq("IsSelectedVendor is '-'")}
+      WHEN rm_r3 THEN ${sq("Removed RequestFunction '")} || $rfT || ''''
+      WHEN rm_r3a THEN ${sq("Excluded equipment: Air Conditioner/Fan/Fire Extinguisher")}
+      WHEN $ac2 NOT IN (${CapexVocab.ExplainAllowedCats.map(sq).mkString(", ")})
+        THEN ${sq("Asset category excluded after normalization ('")} || $ac2 || ${sq("')")}
+      WHEN flag_ds THEN ${sq("UserRemarks mention 'DS'")}
+      WHEN flag_dark_store THEN ${sq("UserRemarks mention 'dark store'")}
+      WHEN flag_counter THEN ${sq("UserRemarks mention 'counter'")}
+      WHEN device_hit THEN ${sq("Mention of personal computing device (laptop/macbook/tablet/phone)")}
+      WHEN $rfT = 'IT' AND nonrel THEN 'IT non-relevant by UserRemarks'
+      WHEN $rfT = 'Admin' AND nonrel THEN 'Admin non-relevant by UserRemarks'
+      WHEN $rfT = 'Ops' AND nonrel THEN 'Ops non-relevant by UserRemarks'
+      WHEN $rfT = 'Ops through IT' AND nonrel THEN 'Ops through IT non-relevant by UserRemarks'
+      WHEN trim(CurrentStatus) = 'Approval in Progress' THEN ${sq("Status 'Approval in Progress' removed")}
+      ELSE coalesce($r18case, 'Unknown') END"""
+  }
+
+  /** Twin of CapexDerive.ruleStepIdx — per-row first-fire step index in
+    * reference application order (rule 18 per-keyword, CCTV last).
+    */
+  val ruleStepIdxSql: String = {
+    val r18sub = "CASE " + CapexVocab.NonOpsKeywords.zipWithIndex.map { case (kw, i) =>
+      s"WHEN ${kwHit(kw)} THEN $i"
+    }.mkString(" ") + s" ELSE ${CapexVocab.NonOpsKeywords.size} END"
+    "CASE " + RuleAttribution.zipWithIndex.map { case (e, i) =>
+      s"WHEN ${e._1} THEN ${i + 1}"
+    }.mkString(" ") +
+      s" WHEN rm_r18 THEN ${RuleAttribution.size + 1} + ($r18sub) ELSE NULL END"
+  }
+
   /** The full enriched-CTE chain (capex_raw → … → enriched/ranked/kept/
     * reinstated/pipe). Prefixed to every capex oracle query.
     */
@@ -237,13 +278,15 @@ object CapexSqlGen {
              CurrentStatus, RequestFunction, IsSelectedVendor, ItemCategory,
              acat_recode AS AssetCategoryName, acat_split AS AssetCategoryName_2,
              remarks_final AS UserRemarks, Zone, Region, category_type AS Category_Type,
-             AssetItemAmount, RequestDate, false AS ReincludedViaFailOpen
+             AssetItemAmount, RequestDate, false AS ReincludedViaFailOpen,
+             CAST(NULL AS VARCHAR) AS FailOpenNote
       FROM kept
       UNION ALL
       SELECT rid, RequestNo, AssetItemName, VendorName, key_strict,
              CurrentStatus, RequestFunction, IsSelectedVendor, ItemCategory,
              AssetCategoryName, acat_norm_raw, UserRemarks, Zone, Region,
-             CAST(NULL AS VARCHAR), AssetItemAmount, RequestDate, true
+             CAST(NULL AS VARCHAR), AssetItemAmount, RequestDate, true,
+             ${sq(FailOpenNote)}
       FROM reinstated)"""
   }
 }

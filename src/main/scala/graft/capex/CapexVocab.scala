@@ -100,6 +100,19 @@ object CapexVocab {
   val MumNation = "NATION_7"
   val MumComment = " [MUM Region - Centrally raised for Pan-India]"
 
+  /** Note stamped on fail-open-reinstated rows (process_capex.py:36). */
+  val FailOpenNote = "Unknown exclusion; fail-open applied"
+
+  /** Explain-side category normalization (explain_exclusion_reason,
+    * process_capex.py:431-439): only the LEASEHOLD variants remap —
+    * deliberately narrower than NormalizeMap (the prose echoes whatever
+    * this map yields, typos included).
+    */
+  val ExplainNormMap: Seq[(String, String)] = Seq(
+    "LEASEHOLD IMPROVEMENTS" -> "LEASEHOLD", "LEASE HOLD" -> "LEASEHOLD",
+    "LEASEHOLD IMPROVEMENT" -> "LEASEHOLD")
+  val ExplainAllowedCats: Seq[String] = Seq("COMPUTER", "PLANT & MACHINERY", "LEASEHOLD")
+
   /** Rule 3 removal set (trimmed, casefolded): process_capex.py:316-327. */
   val RemovedFunctions: Seq[String] = Seq("cs", "fa", "sales", "channel", "vigilance")
 
