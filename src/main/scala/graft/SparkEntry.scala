@@ -30,6 +30,10 @@ object SparkEntry {
     "range_join_bands" -> (Temporal.rangeJoinBands _),
     "distinct_users_skewsafe" -> (Temporal.distinctUsersSkewsafe _),
     "price_quantiles"  -> (Analytics.priceQuantiles _),
+    // sketch twin of price_quantiles: no DuckDB oracle by design (the
+    // sketch's picks are implementation-defined) → driver rows-only check;
+    // error bounds vs the exact operator are spec-asserted (AnalyticsSpec)
+    "price_quantiles_approx" -> (Analytics.priceQuantilesApprox _),
     // §2.D LLM-training-data operators
     "dedup_exact"         -> (graft.llm.Dedup.dedupExact _),
     "dedup_minhash"       -> (graft.llm.Dedup.dedupMinhash _),

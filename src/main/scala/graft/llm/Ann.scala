@@ -118,10 +118,14 @@ object Ann {
   /** D6: brute-force cosine top-k for a query set (vec_id < 10), k=5.
     * The query side is broadcast; ranking is one window per query id.
     */
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val q = vecs(spark, dir).filter(col("vec_id") < 10)
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame =
+    annBruteforceOf(vecs(spark, dir))
+
+  /** Corpus-parametric core (spec harnesses feed synthetic frames). */
+  private[graft] def annBruteforceOf(v: DataFrame): DataFrame = {
+    val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = vecs(spark, dir).select(col("vec_id").as("nb_id"), col("embedding").as("cv"))
+    val c = v.select(col("vec_id").as("nb_id"), col("embedding").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
     broadcast(q).crossJoin(c).filter(col("q_id") =!= col("nb_id"))
@@ -184,23 +188,69 @@ object Ann {
   val NumCells = 16
   val NProbe = 2
 
-  /** Per-vector centroid ranking for the IVF index: centroids are the
-    * first NumCells vectors (deterministic seeds — a spherical-k-means
-    * refinement would keep the same plan shape), ranked per vector by
-    * cosine (ties → lowest centroid id). rn=1 is the cell assignment;
-    * rn ≤ NProbe is the query-time probe list.
+  /** Deterministic one-step Lloyd (spherical k-means) refinement of the
+    * IVF centroids: assign every vector to its nearest SEED (the first
+    * NumCells vectors; cosine, ties → lowest id), then take the per-cell
+    * mean. Element sums accumulate in DECIMAL — exact and
+    * order-independent — so the refined centroids are bit-identical
+    * across engines and partitionings; components land back in float32
+    * (the corpus element type) for the codegen'd dot product.
+    *
+    * Plan: seeds broadcast, one corpus pass for assignment, the mean's
+    * exchange carries cells×Dim partially-aggregated sums. A cell whose
+    * seed duplicates an earlier seed can end up empty (its members tie
+    * to the lower id) — it simply drops out, identically in both engines.
+    */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    ivfCentroidsOf(vecs(spark, dir))
+
+  private[graft] def ivfCentroidsOf(v: DataFrame): DataFrame = {
+    val seeds = v.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = v.crossJoin(broadcast(seeds))
+      .withColumn("ccos",
+        dot(col("embedding"), col("cv")) / (norm(col("embedding")) * norm(col("cv"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id").as("cell"), col("embedding"))
+    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      // float → double is exact; double → decimal(28,10) rounds identically
+      // (round-half-up at scale 10) in Spark and DuckDB, and the decimal
+      // sum is order-independent — no IEEE summation-order divergence
+      .agg(sum(col("v").cast("double").cast("decimal(28,10)")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("n")).cast("float").as("c")))),
+        x => x.getField("c")).as("cv"))
+  }
+
+  /** Per-vector centroid ranking for the IVF index over the REFINED
+    * centroids (ivfCentroids above), ranked per vector by cosine (ties →
+    * lowest cell id). rn=1 is the cell assignment; rn ≤ NProbe is the
+    * query-time probe list.
     *
     * Scale shape: centroids broadcast, one pass over the corpus for
     * assignment, one shuffle by cell for search — the standard IVF
     * partition-pruning layout (probe 2 of 16 cells ⇒ ~1/8 of the corpus
     * scanned per query).
     */
-  def ivfRanked(spark: SparkSession, dir: String): DataFrame = {
-    val cents = vecs(spark, dir).filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+  def ivfRanked(spark: SparkSession, dir: String,
+                refined: Boolean = true): DataFrame =
+    ivfRankedOf(vecs(spark, dir), refined)
+
+  private[graft] def ivfRankedOf(v: DataFrame, refined: Boolean): DataFrame = {
+    val cents =
+      if (refined) ivfCentroidsOf(v).select(col("cell").as("cent_id"), col("cv"))
+      else v.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    vecs(spark, dir).crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .withColumn("ccos",
         dot(col("embedding"), col("cv")) / (norm(col("embedding")) * norm(col("cv"))))
       .withColumn("rn", row_number().over(w))
@@ -212,11 +262,22 @@ object Ann {
     * only from the query's NProbe nearest cells. Fully deterministic, so
     * the oracle hash-checks it like the LSH variant.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopk(ivfRanked(spark, dir))
+
+  /** Seed-centroid variant (no Lloyd step) — kept for the recall
+    * comparison spec (LlmOpsSpec), not registered as a query. */
+  private[graft] def annIvfSeeded(spark: SparkSession, dir: String): DataFrame =
+    ivfTopk(ivfRanked(spark, dir, refined = false))
+
+  private[graft] def annIvfOf(v: DataFrame, refined: Boolean): DataFrame =
+    ivfTopk(ivfRankedOf(v, refined))
+
+  private def ivfTopk(rankedIn: DataFrame): DataFrame = {
     // materialize the assignment once: probes and members are two filters
     // over it, and without the barrier Spark executes the corpus×centroid
     // ranking twice (the oracle's WITH ... AS MATERIALIZED computes it once)
-    val ranked = ivfRanked(spark, dir).transform(graft.Checkpoints.cp)
+    val ranked = rankedIn.transform(graft.Checkpoints.cp)
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("cell"))
     val probes = ranked.filter(col("vec_id") < 10)
@@ -231,17 +292,34 @@ object Ann {
   }
 
   val annIvfSql: String = {
-    val ccos = s"${dotSql("v.embedding", "c.embedding")}" +
-      s" / (${normSql("v.embedding")} * ${normSql("c.embedding")})"
-    s"""WITH ranked AS MATERIALIZED (
-      SELECT v.vec_id, v.embedding, c.vec_id AS cell, rn FROM (
-        SELECT v.vec_id AS vid, c.vec_id AS cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY $ccos DESC, c.vec_id ASC) AS rn
-        FROM embeddings v, embeddings c WHERE c.vec_id < $NumCells) r
-      JOIN embeddings v ON v.vec_id = r.vid
-      JOIN embeddings c ON c.vec_id = r.cid
-      WHERE rn <= $NProbe),
+    val ccosSeed = s"${dotSql("v.embedding", "s.cv")}" +
+      s" / (${normSql("v.embedding")} * ${normSql("s.cv")})"
+    val ccosCent = s"${dotSql("v.embedding", "c.cv")}" +
+      s" / (${normSql("v.embedding")} * ${normSql("c.cv")})"
+    s"""WITH seeds AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NumCells),
+    a0 AS (
+      SELECT v.vec_id, v.embedding, s.cent_id, $ccosSeed AS ccos
+      FROM embeddings v, seeds s),
+    a1 AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cent_id ASC) AS rn FROM a0) WHERE rn = 1),
+    sums AS (
+      SELECT cent_id AS cell, CAST(p.pos AS INT) AS pos,
+             sum(CAST(CAST(embedding[p.pos + 1] AS DOUBLE) AS DECIMAL(28,10))) AS s,
+             count(*) AS n
+      FROM a1, range(0, $Dim) p(pos) GROUP BY 1, 2),
+    cents AS MATERIALIZED (
+      SELECT cell, list(CAST(CAST(s AS DOUBLE) / n AS FLOAT) ORDER BY pos) AS cv
+      FROM sums GROUP BY cell),
+    r0 AS (
+      SELECT v.vec_id, v.embedding, c.cell, $ccosCent AS ccos
+      FROM embeddings v, cents c),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, embedding, cell, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cell ASC) AS rn FROM r0) WHERE rn <= $NProbe),
     members AS (SELECT vec_id AS nb_id, embedding, cell FROM ranked WHERE rn = 1),
     probes AS (SELECT vec_id AS q_id, embedding, cell FROM ranked WHERE vec_id < 10)
     SELECT q_id, nb_id, rank, round(cos, 4) AS cos_sim FROM (

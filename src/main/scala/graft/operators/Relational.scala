@@ -129,6 +129,17 @@ object Relational {
     * [first lo, last hi) are dropped, matching the inner banded join.
     * This is the 100 TB path when the band table tiles the domain evenly:
     * zero exchanges, zero per-row band-list scans.
+    *
+    * CONTRACT: band edges must be exactly-representable doubles (integers,
+    * or multiples of a power of two such as 0.25/12.5). width_bucket
+    * computes the index arithmetically — (v-lo)·n/(hi-lo) — so for a
+    * tiling whose width is not exactly representable (e.g. 0.1), a value
+    * sitting exactly on an interior boundary can round into the adjacent
+    * bucket relative to bandedJoin's [lo, hi) comparisons. The equal-width
+    * `require` below uses exact equality deliberately: a band list built
+    * from non-representable increments usually fails it, pushing the
+    * caller to the generic bandedJoin. Boundary agreement for
+    * representable tilings is property-tested in RelationalSpec.
     */
   def bandedJoinContiguous(facts: DataFrame,
                            bands: Seq[(String, Double, Double)],

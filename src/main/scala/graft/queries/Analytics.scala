@@ -166,6 +166,29 @@ object Analytics {
         max(when(col("rn") === expr("(3*(n-1)) div 4 + 1"), col("cents"))).as("q75_cents"))
   }
 
+  /** E10 sketch twin: approx_percentile per group — the 100 TB path the
+    * exact operator's doc promises. Partially-aggregable quantile sketch:
+    * no per-group sort, no row_number window; the exchange carries one
+    * sketch per (group, map partition) instead of every row. Accuracy
+    * 10000 bounds rank error at n/10000. Validated against the exact
+    * type-1 oracle in AnalyticsSpec; the driver check is rows-only by
+    * design (the sketch's exact picks are implementation-defined, so no
+    * DuckDB hash oracle).
+    */
+  def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents.as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(col("cents"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      .select(col("l_returnflag"), col("n_rows"),
+        element_at(col("qs"), 1).as("q25_cents"),
+        element_at(col("qs"), 2).as("q50_cents"),
+        element_at(col("qs"), 3).as("q75_cents"))
+  }
+
   val priceQuantilesSql: String = """
     WITH c AS (SELECT l_returnflag,
                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -63,6 +63,70 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(overlap >= (bf.count() * 0.6).toLong)
   }
 
+  test("ann_ivf Lloyd refinement holds recall on the (uniform) testdata corpus") {
+    // the testdata embeddings are unclustered, so k-means refinement can't
+    // find structure — recall stays in the same band as raw seeds
+    // (measured: refined 0.92 vs seeded 0.94 at sf0.001, 0.88 vs 0.92 at
+    // sf0.01, identical candidate counts — differences are 1-2 pairs of 50,
+    // i.e. noise). The structural win is asserted on a CLUSTERED corpus in
+    // the next test; here we pin a floor.
+    val bf = Ann.annBruteforce(spark, sfDir).select("q_id", "nb_id")
+    val n = bf.count().toDouble
+    val refined = Ann.annIvf(spark, sfDir).select("q_id", "nb_id")
+      .intersect(bf).count() / n
+    val seeded = Ann.annIvfSeeded(spark, sfDir).select("q_id", "nb_id")
+      .intersect(bf).count() / n
+    info(f"recall refined=$refined%.3f seeded=$seeded%.3f")
+    assert(refined >= 0.8, f"refined recall floor: $refined%.3f")
+  }
+
+  test("Lloyd refinement recovers true prototypes and recall on a clustered corpus") {
+    import spark.implicits._
+    // deterministic clustered corpus: 16 random ±1 prototypes, 512 vectors
+    // = prototype + uniform noise; cluster membership md5-assigned so the
+    // 16 seed vectors (ids 0-15) cover only SOME clusters, imperfectly —
+    // the realistic bad-seed case Lloyd iteration exists for
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val protos = (0 until Ann.NumCells).map(c =>
+      (0 until Ann.Dim).map(d => if ((h(s"p$c:$d") & 1L) == 1L) 1.0f else -1.0f).toArray)
+    val corpus = (0 until 512).map { i =>
+      val c = (h(s"c$i") % Ann.NumCells).toInt
+      i.toLong -> (0 until Ann.Dim).map { d =>
+        protos(c)(d) + 0.8f * (2f * (h(s"n$i:$d").toFloat / 4294967296.0f) - 1f)
+      }.toArray
+    }
+    val vdf = corpus.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    def alignment(cents: Seq[Array[Float]]): Double =
+      cents.map(cv => protos.map(p => cos(cv, p)).max).sum / cents.size
+    val seedAlign = alignment(corpus.take(Ann.NumCells).map(_._2))
+    val refAlign = alignment(Ann.ivfCentroidsOf(vdf).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq)
+    val bf = Ann.annBruteforceOf(vdf).select("q_id", "nb_id")
+    val n = bf.count().toDouble
+    val refinedRecall = Ann.annIvfOf(vdf, refined = true).select("q_id", "nb_id")
+      .intersect(bf).count() / n
+    Checkpoints.releaseAll()
+    val seededRecall = Ann.annIvfOf(vdf, refined = false).select("q_id", "nb_id")
+      .intersect(bf).count() / n
+    Checkpoints.releaseAll()
+    info(f"alignment seed=$seedAlign%.4f refined=$refAlign%.4f; " +
+      f"recall seeded=$seededRecall%.3f refined=$refinedRecall%.3f")
+    // averaging members cancels the noise: refined centroids must sit
+    // measurably closer to the true prototypes than the raw seed vectors
+    assert(refAlign > seedAlign + 0.01,
+      f"refined centroids should align to prototypes: $refAlign%.4f vs $seedAlign%.4f")
+    assert(refinedRecall >= seededRecall,
+      f"refined recall $refinedRecall%.3f < seeded $seededRecall%.3f")
+  }
+
   test("text quality/tokens/langid/fingerprint produce full coverage") {
     val docs = Tables.documents(spark, sfDir).count()
     assert(TextOps.textQuality(spark, sfDir).count() == docs)

@@ -126,6 +126,56 @@ class RelationalSpec extends SparkSpecBase {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 
+  test("contiguous-band specialization agrees with bandedJoin on exact boundary values") {
+    import spark.implicits._
+    // exactly-representable width (0.25, a power-of-two multiple): every
+    // interior boundary value must land in the same band via width_bucket
+    // arithmetic as via the [lo, hi) comparisons (the operator's contract;
+    // non-representable widths like 0.1 are excluded by its scaladoc)
+    val bands = (0 until 8).map(i => (f"B$i%02d", i * 0.25, (i + 1) * 0.25))
+    val vals = bands.flatMap { case (_, lo, hi) =>
+      Seq(lo, lo + 0.0625, hi - 0.0625, math.nextUp(lo), math.nextDown(hi))
+    } ++ Seq(-0.25, 2.0, math.nextDown(2.0), 1e9) // outside → dropped by both
+    val facts = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    val viaJoin = Relational.bandedJoin(facts, bands.toDF("band", "lo", "hi"), "value")
+      .select("id", "band")
+    val viaBucket = Relational.bandedJoinContiguous(facts, bands, "value")
+      .select("id", "band")
+    assert(viaBucket.exceptAll(viaJoin).count() == 0 &&
+      viaJoin.exceptAll(viaBucket).count() == 0)
+  }
+
+  test("approx price quantiles stay within sketch rank-error of the exact operator") {
+    val exact = Analytics.priceQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val approx = Analytics.priceQuantilesApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    // rank-error bound: accuracy 10000 → |rank(approx) - target| ≤ n/10000 + 1
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    approx.foreach { r =>
+      val g = r.getString(0)
+      val sorted = cents(g); val n = sorted.length
+      val tol = n / 10000 + 1
+      for ((q, got) <- Seq(0.25 -> r.getLong(2), 0.5 -> r.getLong(3), 0.75 -> r.getLong(4))) {
+        val target = ((n - 1) * q).toLong + 1
+        // rank range the returned value occupies in the sorted group
+        val loRk = sorted.indexWhere(_ >= got) + 1
+        val hiRk = sorted.lastIndexWhere(_ <= got) + 1
+        assert(loRk - tol <= target && target <= hiRk + tol,
+          s"group $g q$q: value $got ranks [$loRk,$hiRk], target $target, tol $tol")
+      }
+      // and the sketch never leaves the exact operator's [q25, q75] envelope order
+      val (_, e25, e50, e75) = exact(g)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+      assert(math.abs(r.getLong(3) - e50) <= math.max(1L, (0.01 * e50).toLong),
+        s"group $g median: approx ${r.getLong(3)} vs exact $e50 ($e25..$e75)")
+    }
+  }
+
   test("price quantiles are ordered and bracketed by group min/max") {
     val rows = Analytics.priceQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)
