@@ -53,6 +53,10 @@ object SparkEntry {
     "sample_stratified"   -> (graft.llm.Sampling.sampleStratified _),
     "embed_centroids"     -> (graft.llm.Ann.embedCentroids _),
     "text_tfidf"          -> (graft.llm.TextOps.textTfidf _),
+    "text_repetition"     -> (graft.llm.TextOps.textRepetition _),
+    "text_redact_pii"     -> (graft.llm.TextOps.textRedactPii _),
+    "pack_sequences"      -> (graft.llm.Packing.packSequences _),
+    "dedup_components"    -> (graft.llm.Dedup.dedupComponents _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -90,5 +94,9 @@ object SparkEntry {
     "sample_stratified"   -> graft.llm.Sampling.sampleStratifiedSql,
     "embed_centroids"     -> graft.llm.Ann.embedCentroidsSql,
     "text_tfidf"          -> graft.llm.TextOps.textTfidfSql,
+    "text_repetition"     -> graft.llm.TextOps.textRepetitionSql,
+    "text_redact_pii"     -> graft.llm.TextOps.textRedactPiiSql,
+    "pack_sequences"      -> graft.llm.Packing.packSequencesSql,
+    "dedup_components"    -> graft.llm.Dedup.dedupComponentsSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

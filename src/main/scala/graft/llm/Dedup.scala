@@ -23,7 +23,7 @@ object Dedup {
     * must be repartitioned to keep every core busy — but a cluster-scale
     * corpus already arrives as many splits and the spread is skipped.
     */
-  private def docsWithToks(spark: SparkSession, dir: String): DataFrame =
+  private[llm] def docsWithToks(spark: SparkSession, dir: String): DataFrame =
     Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), TextOps.toks(col("text")).as("toks"))
       // Load-bearing barrier: Catalyst's project collapsing would inline the
@@ -211,6 +211,58 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+  /** Fixed iteration bound for the connected-components label propagation:
+    * covers any component diameter ≤ 2^MaxCcIters-ish in practice (min-label
+    * spreads one hop per round); the spec asserts the testdata graph
+    * converges well inside it, and the oracle unrolls exactly this many
+    * rounds so both engines run the identical computation.
+    */
+  val MaxCcIters = 8
+
+  /** D19: connected-components dedup clustering over the MinHash near-dup
+    * pair graph — the step that turns pairwise candidates into KEEP/DROP
+    * decisions (one keeper per duplicate cluster). Iterative min-label
+    * propagation: per round, one equality join of labels onto the
+    * (symmetrized, checkpointed) edge list + a map-side-combinable min
+    * aggregate — the standard Spark CC shape, log-diameter rounds, no
+    * driver-side graph. Each round is checkpointed so the plan stays flat
+    * instead of growing exponentially. Near-dup graphs have tiny diameters
+    * (duplicates of the same content), so the fixed bound is generous.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = graft.Checkpoints.cp(
+      pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var labels = edges.select(col("doc_a").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to MaxCcIters) {
+      val nb = edges.join(labels.withColumnRenamed("v", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("v2")).agg(min(col("lbl")).as("nb"))
+      labels = graft.Checkpoints.cp(
+        labels.join(nb, col("v") === col("v2"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl")))
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("component_id"))
+      .withColumn("is_keeper", col("doc_id") === col("component_id"))
+  }
+
+  def dedupComponentsSql: String = {
+    val iters = (1 to MaxCcIters).map { i =>
+      s"""nb$i AS (SELECT e.doc_a AS v, min(l.lbl) AS nb
+            FROM edges e JOIN l${i - 1} l ON l.v = e.doc_b GROUP BY e.doc_a),
+      l$i AS (SELECT l.v, least(l.lbl, coalesce(n.nb, l.lbl)) AS lbl
+            FROM l${i - 1} l LEFT JOIN nb$i n ON n.v = l.v)"""
+    }.mkString(",\n      ")
+    s"""WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ($dedupMinhashSql) mh),
+    edges AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    l0 AS (SELECT DISTINCT doc_a AS v, doc_a AS lbl FROM edges),
+    $iters
+    SELECT v AS doc_id, lbl AS component_id, v = lbl AS is_keeper FROM l$MaxCcIters"""
+  }
+
   def dedupNgramJaccardSql: String =
     s"""WITH sh AS MATERIALIZED (
       SELECT doc_id, list_distinct(${TextOps.shinglesSql("toks")}) AS shingles

@@ -166,6 +166,109 @@ object TextOps {
                  ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
     SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3"""
 
+  /** D17: repetition-based quality signals (the C4/Gopher-style filters):
+    * per-document fraction of word-bigram instances that are duplicated,
+    * and the share of the single most-frequent bigram. Explode → count per
+    * (doc, bigram) → per-doc aggregate: both exchanges carry partially-
+    * aggregated counts, the shuffle is bounded by distinct (doc, bigram)
+    * pairs. Fractions are double ratios of exact integer counts, so the
+    * oracle matches bit-for-bit. Docs with <2 tokens report zeros.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // barriered token arrays (see Dedup.docsWithToks): the bigram lambda
+    // must see a bound column, not the inlined tokenizer expression
+    val toks = Dedup.docsWithToks(spark, dir)
+    val base = toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+    val bigrams = toks.select(col("doc_id"), explode(
+      when(size(col("toks")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+      .as("bg"))
+    val counts = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val agg = counts.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_bigrams"),
+      max(col("cnt")).as("top_bigram_n"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_bigram_n"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("dup_bigram_n"), lit(0L)).as("dup_bigram_n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams")))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("dup_bigram_n").cast("double") / col("n_bigrams")))
+  }
+  val textRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM t),
+    c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    agg AS (SELECT doc_id,
+              CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+              CAST(max(cnt) AS BIGINT) AS top_bigram_n,
+              CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS dup_bigram_n
+            FROM c GROUP BY 1)
+    SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
+           coalesce(dup_bigram_n, 0) AS dup_bigram_n,
+           CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END AS top_bigram_frac,
+           CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(dup_bigram_n AS DOUBLE) / n_bigrams END AS dup_bigram_frac
+    FROM t LEFT JOIN agg USING (doc_id)"""
+
+  // PII patterns shared by the redaction operator and its oracle — the
+  // common Java/RE2 regex subset (no backrefs/lookaround) so Spark and
+  // DuckDB compile identical semantics.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** D16: PII scrubbing — redact emails / phone numbers / IPv4s to typed
+    * placeholders and count the hits per class. A pure single-pass Column
+    * projection (codegen'd regexes, no UDFs, no shuffle); the testdata
+    * corpus is synthetic word-soup so the counts are zero there — the
+    * operator's semantics are proven on adversarial strings in
+    * LlmOpsSpec, and the oracle pins engine parity of the regex subset.
+    * Order matters and is fixed: emails first (their local part can
+    * contain digits), then IPv4 (before phones, which would eat dotted
+    * quads), then phones.
+    */
+  def textRedactPii(spark: SparkSession, dir: String): DataFrame =
+    redactPiiOn(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  /** Corpus-parametric core (spec harnesses feed synthetic frames). */
+  private[graft] def redactPiiOn(docs: DataFrame): DataFrame = {
+    val lowered = lower(coalesce(col("text"), lit("")))
+    val step1 = regexp_replace(lowered, EmailRe, "<EMAIL>")
+    val step2 = regexp_replace(step1, Ipv4Re, "<IP>")
+    val step3 = regexp_replace(step2, PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(lowered, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(step1, lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"),
+      size(regexp_extract_all(step2, lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+      step3.as("redacted_text"))
+  }
+  val textRedactPiiSql: String =
+    // DuckDB single-quoted literals keep backslashes verbatim, so the
+    // shared pattern strings drop in unchanged (same as toksSql etc.)
+    s"""SELECT doc_id,
+      CAST(len(regexp_extract_all(lowered, '$EmailRe')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(step1, '$Ipv4Re')) AS BIGINT) AS n_ips,
+      CAST(len(regexp_extract_all(step2, '$PhoneRe')) AS BIGINT) AS n_phones,
+      regexp_replace(step2, '$PhoneRe', '<PHONE>', 'g') AS redacted_text
+    FROM (SELECT doc_id, lowered,
+            regexp_replace(lowered, '$EmailRe', '<EMAIL>', 'g') AS step1,
+            regexp_replace(regexp_replace(lowered, '$EmailRe', '<EMAIL>', 'g'),
+                           '$Ipv4Re', '<IP>', 'g') AS step2
+          FROM (SELECT doc_id, lower(coalesce(text, '')) AS lowered FROM documents))"""
+
   /** D11: fingerprinting — exact md5 of the normal form plus the min-hash of
     * word shingles (a 1-component minhash: rolling content fingerprint).
     */

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Dedup, Multimodal, TextOps}
+import graft.llm.{Ann, Dedup, Multimodal, Packing, Sampling, TextOps}
 
 /** Specs for the LLM-training-data operators (SURVEY.md §2.D) at sf0.001. */
 class LlmOpsSpec extends SparkSpecBase {
@@ -169,6 +169,85 @@ class LlmOpsSpec extends SparkSpecBase {
       Tables.embeddings(spark, sfDir).groupBy("label").count(),
       Seq("label")).filter(col("n_vecs") =!= col("count")).count()
     assert(bad == 0)
+  }
+
+  test("pii redaction scrubs emails, phones and IPs; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact Bob.Smith+x@corp-mail.co.uk or call +1 (415) 555-0133 now"),
+      (2L, "server at 10.0.255.7 and 192.168.1.1 rebooted"),
+      (3L, "plain text with no pii at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPiiOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1 && out(1L).getLong(3) == 1) // email + phone
+    val red1 = out(1L).getString(4)
+    assert(red1.contains("<EMAIL>") && red1.contains("<PHONE>") &&
+      !red1.contains("@") && !red1.contains("555"))
+    assert(out(2L).getLong(2) == 2 && out(2L).getString(4).contains("<IP>") &&
+      !out(2L).getString(4).contains("10.0.255.7"))
+    assert(out(3L).getString(4) == "plain text with no pii at all" &&
+      out(3L).getLong(1) == 0 && out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0)
+    assert(out(4L).getString(4) == "") // null text → empty, not null
+  }
+
+  test("repetition signals: exact on a hand case, bounded on the corpus") {
+    val r = TextOps.textRepetition(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(r.count() == docs)
+    // n_bigrams == max(n_tokens - 1, 0) for every doc
+    assert(r.filter(col("n_bigrams") =!=
+      greatest(col("n_tokens") - 1, lit(0L))).count() == 0)
+    assert(r.filter(col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1 ||
+      col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1).count() == 0)
+    // a duplicated top bigram's instances are all duplicated instances
+    assert(r.filter(col("top_bigram_n") > 1 &&
+      col("dup_bigram_n") < col("top_bigram_n")).count() == 0)
+    // hand-check one doc against a Scala recompute
+    val row = r.filter(col("doc_id") === 1).head
+    val text = Tables.documents(spark, sfDir).filter(col("doc_id") === 1)
+      .head.getAs[String]("text")
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val counts = bgs.groupBy(identity).view.mapValues(_.size)
+    assert(row.getAs[Long]("n_bigrams") == bgs.size)
+    assert(row.getAs[Long]("top_bigram_n") == (if (bgs.isEmpty) 0 else counts.values.max))
+    assert(row.getAs[Long]("dup_bigram_n") == counts.values.filter(_ > 1).sum)
+  }
+
+  test("sequence packing: chunk arithmetic consistent within every shard") {
+    val p = Packing.packSequences(spark, sfDir).collect()
+    assert(p.length == Tables.documents(spark, sfDir).count())
+    assert(p.forall(r => r.getAs[Long]("seq_offset") >= 0 &&
+      r.getAs[Long]("seq_offset") < Packing.PackBudget))
+    // recompute the running layout per shard in Scala
+    p.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cum / Packing.PackBudget)
+        assert(r.getAs[Long]("seq_offset") == cum % Packing.PackBudget)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("dedup components: edges connected, one keeper per component, converged") {
+    val comp = Dedup.dedupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Checkpoints.releaseAll()
+    val pairs = Dedup.dedupMinhash(spark, sfDir).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Checkpoints.releaseAll()
+    assert(pairs.nonEmpty && comp.nonEmpty)
+    // both endpoints of every near-dup edge share a component (converged —
+    // a non-fixpoint labeling would leave some edge straddling two labels)
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"edge ($a,$b) split") }
+    // the component label is the minimum member id = exactly one keeper
+    comp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"component $lbl label isn't min member")
+      assert(members.count(_._1 == lbl) == 1)
+    }
   }
 
   test("tfidf returns top-3 per doc, ranked by rounded score then term") {
