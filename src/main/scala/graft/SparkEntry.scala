@@ -57,6 +57,7 @@ object SparkEntry {
     "text_redact_pii"     -> (graft.llm.TextOps.textRedactPii _),
     "pack_sequences"      -> (graft.llm.Packing.packSequences _),
     "dedup_components"    -> (graft.llm.Dedup.dedupComponents _),
+    "decontaminate"       -> (graft.llm.Dedup.decontaminate _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -98,5 +99,6 @@ object SparkEntry {
     "text_redact_pii"     -> graft.llm.TextOps.textRedactPiiSql,
     "pack_sequences"      -> graft.llm.Packing.packSequencesSql,
     "dedup_components"    -> graft.llm.Dedup.dedupComponentsSql,
+    "decontaminate"       -> graft.llm.Dedup.decontaminateSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

@@ -211,6 +211,42 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+  /** D20: benchmark decontamination — flag corpus documents sharing any
+    * word-3-gram with the "benchmark" set (deterministic stand-in: every
+    * 50th doc plays the eval set). The standard pretraining hygiene step:
+    * build the benchmark's shingle-hash index (eval sets are small → the
+    * join broadcasts it), count distinct shared shingles per corpus doc.
+    * Shuffle is the per-doc hit aggregate, bounded by matching
+    * (doc, shingle) pairs — the corpus is never joined to itself.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithShingles(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val isBench = col("doc_id") % 50 === 0
+    val bench = sh.filter(isBench).select(col("h")).distinct()
+    val hits = sh.filter(!isBench).join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docsWithToks(spark, dir).filter(!isBench).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+  def decontaminateSql: String =
+    s"""WITH sh AS MATERIALIZED (
+      SELECT doc_id, md5(s) AS h FROM (
+        SELECT doc_id, unnest(list_distinct(${TextOps.shinglesSql("toks")})) AS s
+        FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)) t),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits FROM sh
+      WHERE doc_id % 50 != 0 AND h IN (SELECT h FROM bench)
+      GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+           coalesce(n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN hits USING (doc_id)"""
+
   /** Fixed iteration bound for the connected-components label propagation:
     * covers any component diameter ≤ 2^MaxCcIters-ish in practice (min-label
     * spreads one hop per round); the spec asserts the testdata graph

@@ -250,6 +250,26 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("decontamination flags exactly the docs sharing a shingle with the benchmark") {
+    val out = Dedup.decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    Checkpoints.releaseAll()
+    // no benchmark doc appears in the output; flag == (n_hits > 0)
+    assert(out.keys.forall(_ % 50 != 0))
+    assert(out.values.forall { case (n, c) => c == (n > 0) && n >= 0 })
+    // recompute one doc by hand: distinct 3-gram overlap with the benchmark
+    def shingleSet(text: String): Set[String] = {
+      val t = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchShingles = texts.filter(_._1 % 50 == 0).values.flatMap(shingleSet).toSet
+    val probe = texts.keys.filter(_ % 50 != 0).min
+    val expect = shingleSet(texts(probe)).count(benchShingles.contains)
+    assert(out(probe)._1 == expect, s"doc $probe: got ${out(probe)._1}, want $expect")
+  }
+
   test("tfidf returns top-3 per doc, ranked by rounded score then term") {
     val t = TextOps.textTfidf(spark, sfDir)
     val perDoc = t.groupBy("doc_id").count()

@@ -65,6 +65,36 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("text_redact_pii: map-only plan — no join, window or aggregate") {
+    val p = planOf(llm.TextOps.textRedactPii(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      p.take(600))
+  }
+
+  test("pack_sequences: one window clustered by shard, no join") {
+    val p = planOf(llm.Packing.packSequences(spark, sfDir))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 1, p.take(600))
+    assert(!p.contains("Join"), "packing must not join")
+    // exchanges: at most the narrow-scan spread + the window's shard
+    // clustering (the former disappears on a pre-split cluster scan)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) <= 2, p.take(600))
+  }
+
+  test("text_repetition: aggregates are partial (map-side) before their exchange") {
+    val p = planOf(llm.TextOps.textRepetition(spark, sfDir))
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggs = ids("HashAggregate"); val exchs = ids("Exchange")
+    assert(aggs.size >= 2 && exchs.nonEmpty && aggs.min < exchs.min, p.take(600))
+  }
+
+  test("decontaminate: benchmark index broadcast, corpus never self-joined wide") {
+    val p = planOf(llm.Dedup.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "bench shingle index must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(600))
+    Checkpoints.releaseAll()
+  }
+
   test("asof_join: exactly one Window, no join operator at all") {
     val p = planOf(queries.Temporal.asofJoinQ(spark, sfDir))
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 1, p.take(600))
