@@ -58,6 +58,7 @@ object SparkEntry {
     "pack_sequences"      -> (graft.llm.Packing.packSequences _),
     "dedup_components"    -> (graft.llm.Dedup.dedupComponents _),
     "decontaminate"       -> (graft.llm.Dedup.decontaminate _),
+    "corpus_clean"        -> (graft.llm.Corpus.corpusClean _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -100,5 +101,6 @@ object SparkEntry {
     "pack_sequences"      -> graft.llm.Packing.packSequencesSql,
     "dedup_components"    -> graft.llm.Dedup.dedupComponentsSql,
     "decontaminate"       -> graft.llm.Dedup.decontaminateSql,
+    "corpus_clean"        -> graft.llm.Corpus.corpusCleanSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

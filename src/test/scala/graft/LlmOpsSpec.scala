@@ -270,6 +270,30 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(out(probe)._1 == expect, s"doc $probe: got ${out(probe)._1}, want $expect")
   }
 
+  test("corpus_clean survivors pass every stage filter") {
+    import graft.llm.Corpus
+    val kept = Corpus.corpusClean(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    Checkpoints.releaseAll()
+    assert(kept.nonEmpty)
+    assert(kept.values.forall(_ >= Corpus.QualityFloor))
+    val exactKeepers = Dedup.dedupExact(spark, sfDir)
+      .select("keeper_id").collect().map(_.getLong(0)).toSet
+    val ccDropped = Dedup.dedupComponents(spark, sfDir)
+      .filter(!col("is_keeper")).select("doc_id").collect().map(_.getLong(0)).toSet
+    Checkpoints.releaseAll()
+    val contaminated = Dedup.decontaminate(spark, sfDir)
+      .filter(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    Checkpoints.releaseAll()
+    kept.keys.foreach { id =>
+      assert(exactKeepers(id), s"$id is not an exact-dedup keeper")
+      assert(!ccDropped(id), s"$id is a dropped near-dup cluster member")
+      assert(!contaminated(id), s"$id is contaminated")
+    }
+    // and the filter is not vacuous: something was actually dropped
+    assert(kept.size < Tables.documents(spark, sfDir).count())
+  }
+
   test("tfidf returns top-3 per doc, ranked by rounded score then term") {
     val t = TextOps.textTfidf(spark, sfDir)
     val perDoc = t.groupBy("doc_id").count()
