@@ -48,6 +48,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.count() == nDistinct)
   }
 
+  test("stateless text ops (PII redaction) run unchanged as a streaming projection") {
+    // the D-family scan-shaped operators are pure projections, so the same
+    // Column pipeline drops into readStream → memory sink with no rewrite —
+    // the ingest-door shape for corpus cleaning
+    val sdir = java.nio.file.Files.createTempDirectory("graft-pii-stream")
+    val docs = Seq(
+      (1L, "mail me at a.b@example.com today"),
+      (2L, "no pii here"),
+      (3L, "node 10.1.2.3 down")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+    val schema = spark.read.parquet(sdir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+    val got = StreamOps.runToMemory(spark,
+      graft.llm.TextOps.redactPiiOn(stream), "pii_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val want = graft.llm.TextOps.redactPiiOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got == want)
+    assert(got(1L).contains("<EMAIL>") && got(3L).contains("<IP>"))
+  }
+
   test("stream-static join enriches events with the customer dim") {
     val sdir = java.nio.file.Files.createTempDirectory("graft-enrich-stream")
     java.nio.file.Files.copy(
