@@ -29,6 +29,8 @@ object SparkEntry {
     "asof_join"        -> (Temporal.asofJoinQ _),
     "range_join_bands" -> (Temporal.rangeJoinBands _),
     "distinct_users_skewsafe" -> (Temporal.distinctUsersSkewsafe _),
+    "distinct_user_digest" -> (Temporal.distinctUserDigest _),
+    "ann_lsh_multiprobe"   -> (graft.llm.Ann.annLshMultiprobe _),
     "price_quantiles"  -> (Analytics.priceQuantiles _),
     // sketch twin of price_quantiles: no DuckDB oracle by design (the
     // sketch's picks are implementation-defined) → driver rows-only check;
@@ -79,6 +81,8 @@ object SparkEntry {
     "asof_join"        -> Temporal.asofJoinSql,
     "range_join_bands" -> Temporal.rangeJoinBandsSql,
     "distinct_users_skewsafe" -> Temporal.distinctUsersSkewsafeSql,
+    "distinct_user_digest" -> Temporal.distinctUserDigestSql,
+    "ann_lsh_multiprobe"   -> graft.llm.Ann.annLshMultiprobeSql,
     "price_quantiles"  -> Analytics.priceQuantilesSql,
     "dedup_exact"         -> graft.llm.Dedup.dedupExactSql,
     "dedup_minhash"       -> graft.llm.Dedup.dedupMinhashSql,

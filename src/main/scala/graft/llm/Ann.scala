@@ -185,6 +185,31 @@ object Ann {
       .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** D7c: multi-probe LSH ANN — same contract as annLsh, but each query
+    * also probes the NumPlanes buckets at Hamming distance 1 from its own
+    * (one hyperplane bit flipped): the standard recall lever that costs
+    * probes, not index size. Candidates stay an equality join on bucket;
+    * the query side explodes to 1+NumPlanes probe rows before the join
+    * and duplicate (q, neighbor) matches collapse via max(cos) (a pair can
+    * meet in several probed buckets). Fully deterministic → hash-checked.
+    */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val probes = (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        explode(array(col("bucket") +: probes: _*)).as("bucket"))
+    val c = all.select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    broadcast(q).join(c, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .groupBy(col("q_id"), col("nb_id")).agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   val NumCells = 16
   val NProbe = 2
 
@@ -367,16 +392,18 @@ object Ann {
     * a + (-x) ≡ a - x bit-exactly, so emitting `- x` for negative signs
     * matches Spark's multiply-then-add fold.
     */
+  private lazy val bucketExprSql: String = (0 until NumPlanes).map { j =>
+    val proj = (0 until Dim).map { d =>
+      val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
+      val s = planeSign(j, d)
+      if (d == 0) { if (s > 0) term else s"(- $term)" }
+      else { if (s > 0) s"+ $term" else s"- $term" }
+    }.mkString(" ")
+    s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
   val annLshSql: String = {
-    val bucketExpr = (0 until NumPlanes).map { j =>
-      val proj = (0 until Dim).map { d =>
-        val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
-        val s = planeSign(j, d)
-        if (d == 0) { if (s > 0) term else s"(- $term)" }
-        else { if (s > 0) s"+ $term" else s"- $term" }
-      }.mkString(" ")
-      s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketExpr = bucketExprSql
     s"""WITH b AS MATERIALIZED (
       SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings)
     SELECT q_id, nb_id, rank, round(cos, 4) AS cos_sim FROM (
@@ -389,5 +416,26 @@ object Ann {
                  c.vec_id ASC) AS rank
       FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
       WHERE q.vec_id < 10) WHERE rank <= 5"""
+  }
+
+  val annLshMultiprobeSql: String = {
+    val flips = (0 until NumPlanes).map(j => s"xor(bucket, ${1L << j})").mkString(", ")
+    s"""WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding, $bucketExprSql AS bucket FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qv,
+             unnest([bucket, $flips]) AS bucket
+      FROM b WHERE vec_id < 10),
+    cand AS (
+      SELECT q.q_id, c.vec_id AS nb_id,
+             max(${dotSql("q.qv", "c.embedding")}
+               / (${normSql("q.qv")} * ${normSql("c.embedding")})) AS cos
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.q_id != c.vec_id
+      GROUP BY q.q_id, c.vec_id)
+    SELECT q_id, nb_id, rank, round(cos, 4) AS cos_sim FROM (
+      SELECT q_id, nb_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, nb_id ASC) AS rank
+      FROM cand) WHERE rank <= 5"""
   }
 }

@@ -102,4 +102,37 @@ object Temporal {
   val distinctUsersSkewsafeSql: String =
     """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY event_type"""
+
+  val DigestSalts = 32
+
+  /** E12: salted two-phase set aggregation — the pattern for a
+    * NON-EXPANDABLE aggregate (collect_set here, any exact UDAF in
+    * general) on a skewed group key. Phase 1 groups by (key, salt) where
+    * salt = hash(value) % DigestSalts, so a hot key's set builds across
+    * DigestSalts partitions; phase 2 merges the per-salt partial sets —
+    * disjoint by construction (same value → same salt), so the union is
+    * still a set and counts stay exact. Emitted as a scalar digest
+    * (count + md5 of the '|'-joined sorted members) so the result is
+    * hash-checkable and column types stay flat.
+    */
+  def distinctUserDigest(spark: SparkSession, dir: String): DataFrame = {
+    val salt = pmod(col("user_id"), lit(DigestSalts))
+    val partials = Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
+      .select(col("event_type"), col("user_id"), salt.as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(collect_set(col("user_id")).as("part"))
+    partials.groupBy(col("event_type"))
+      .agg(flatten(collect_list(col("part"))).as("users"))
+      .select(col("event_type"),
+        size(col("users")).cast("bigint").as("n_users"),
+        md5(concat_ws("|",
+          transform(sort_array(col("users")), x => x.cast("string"))).cast("binary"))
+          .as("users_digest"))
+  }
+
+  val distinctUserDigestSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      md5(string_agg(CAST(user_id AS VARCHAR), '|' ORDER BY user_id)) AS users_digest
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type"""
 }

@@ -52,6 +52,21 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(lsh.filter(col("rank") > 5).count() == 0)
   }
 
+  test("multi-probe LSH recalls at least as much as single-probe, toward brute force") {
+    val bf = Ann.annBruteforce(spark, sfDir).select("q_id", "nb_id")
+    val n = bf.count().toDouble
+    val single = Ann.annLsh(spark, sfDir).select("q_id", "nb_id")
+      .intersect(bf).count() / n
+    val multi = Ann.annLshMultiprobe(spark, sfDir).select("q_id", "nb_id")
+      .intersect(bf).count() / n
+    info(f"recall single=$single%.3f multi=$multi%.3f")
+    // probing the 1-bit-flip buckets strictly widens the candidate set
+    assert(multi >= single)
+    // and every query can now fill its k (single-probe often can't)
+    val per = Ann.annLshMultiprobe(spark, sfDir).groupBy("q_id").count().collect()
+    assert(per.length == 10 && per.forall(_.getLong(1) == 5))
+  }
+
   test("ann_ivf returns k=5 per query with decent recall vs brute force") {
     val ivf = Ann.annIvf(spark, sfDir)
     val per = ivf.groupBy("q_id").count().collect()

@@ -193,6 +193,21 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("salted two-phase set digest agrees with the direct distinct count") {
+    val digest = Temporal.distinctUserDigest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(digest == direct)
+    // the digest itself is deterministic across evaluations
+    val again = Temporal.distinctUserDigest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val first = Temporal.distinctUserDigest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(again == first)
+  }
+
   test("skew-safe distinct equals count(distinct)") {
     val df = Temporal.distinctUsersSkewsafe(spark, sfDir)
     val direct = Tables.events(spark, sfDir)
