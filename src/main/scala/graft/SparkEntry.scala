@@ -20,6 +20,7 @@ object SparkEntry {
     "q3_join"        -> (Analytics.q3Join _),
     "q5_multijoin"   -> (Analytics.q5MultiJoin _),
     "q6_filter"      -> (Analytics.q6Filter _),
+    "q1_rollup"      -> (Analytics.q1Rollup _),
     "topk_per_group" -> (Analytics.topkPerGroup _),
     // §2.E events + streaming batch mirrors
     "events_json"       -> (Events.eventsJson _),
@@ -60,7 +61,10 @@ object SparkEntry {
     "pack_sequences"      -> (graft.llm.Packing.packSequences _),
     "dedup_components"    -> (graft.llm.Dedup.dedupComponents _),
     "decontaminate"       -> (graft.llm.Dedup.decontaminate _),
+    "dedup_incremental"   -> (graft.llm.Dedup.dedupIncremental _),
     "corpus_clean"        -> (graft.llm.Corpus.corpusClean _),
+    "sample_cap_domain"   -> (graft.llm.Sampling.sampleCapDomain _),
+    "corpus_mixture"      -> (graft.llm.Sampling.corpusMixture _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -105,6 +109,10 @@ object SparkEntry {
     "pack_sequences"      -> graft.llm.Packing.packSequencesSql,
     "dedup_components"    -> graft.llm.Dedup.dedupComponentsSql,
     "decontaminate"       -> graft.llm.Dedup.decontaminateSql,
+    "dedup_incremental"   -> graft.llm.Dedup.dedupIncrementalSql,
     "corpus_clean"        -> graft.llm.Corpus.corpusCleanSql,
+    "sample_cap_domain"   -> graft.llm.Sampling.sampleCapDomainSql,
+    "corpus_mixture"      -> graft.llm.Sampling.corpusMixtureSql,
+    "q1_rollup"           -> Analytics.q1RollupSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

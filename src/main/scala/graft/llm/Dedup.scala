@@ -52,24 +52,50 @@ object Dedup {
     FROM (SELECT doc_id, md5(${TextOps.normTextSql}) AS text_hash FROM documents)
     GROUP BY text_hash"""
 
-  /** Seeded string minhash component: lexicographic min over shingles of
-    * md5(seed:shingle) — the hex-string min equals the numeric 128-bit min,
-    * and is identical in both engines.
+  /** Code-time md5 hex (seeds + any baked-in constants — mirrors
+    * Ann.planeSign's construction).
     */
-  private def minhashSig(sh: Column): Column =
-    array((1 to NumHashes).map { j =>
-      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s).cast("binary"))))
-    }: _*)
-  private def minhashSigSql(shExpr: String): Seq[String] =
-    (1 to NumHashes).map(j => s"list_min(list_transform($shExpr, s -> md5('$j:' || s)))")
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Per-component xor seeds, code-time deterministic (60-bit so the
+    * xor'd values stay positive BIGINTs in both engines).
+    */
+  val Seeds: Seq[Long] =
+    (1 to NumHashes).map(j => java.lang.Long.parseLong(md5Hex(s"seed:$j").take(15), 16))
+
+  /** 60-bit integer hash of one shingle — ONE digest per shingle; the 16
+    * signature components are seeded xors of it (the standard one-hash
+    * minhash construction: h_j(s) = min over shingles of md5_60(s) XOR
+    * seed_j). Hashing cost is 1 digest/shingle instead of NumHashes
+    * digests/shingle — at 100 TB signature computation is the dominant
+    * dedup cost and this is a flat 16× cut. The oracle bakes the same
+    * seeds, so signatures stay exactly hash-checked.
+    */
+  private def shingleHash(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
+  private def shingleHashSql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private def minhashSigSql: Seq[String] =
+    Seeds.map(seed => s"list_min(list_transform(hs, h -> xor(h, CAST($seed AS BIGINT))))")
 
   /** Docs with ≥3 tokens get a 16-component minhash signature + 4 band keys. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val withSig = docsWithShingles(spark, dir)
+    // materialize the per-shingle hashes: without the barrier, project
+    // collapsing would inline the md5 transform into all 16 component
+    // lambdas and re-digest every shingle 16× (see docsWithToks)
+    val withHs = docsWithShingles(spark, dir)
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), minhashSig(col("shingles")).as("sig"))
+      .select(col("doc_id"), transform(col("shingles"), s => shingleHash(s)).as("hs"))
+      .transform(graft.Checkpoints.cp)
+    val withSig = withHs.select(col("doc_id"),
+      array(Seeds.map(seed =>
+        array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seed))))): _*).as("sig"))
     val bandCols = (0 until Bands).map { b =>
-      val parts = (1 to NumHashes / Bands).map(r => element_at(col("sig"), b * (NumHashes / Bands) + r))
+      val parts = (1 to NumHashes / Bands).map(r =>
+        element_at(col("sig"), b * (NumHashes / Bands) + r).cast("string"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", parts: _*).cast("binary")).as("band_hash"))
     }
     withSig.withColumn("band", explode(array(bandCols: _*)))
@@ -96,26 +122,36 @@ object Dedup {
       .filter(col("est_sim") >= 0.5)
       .distinct()
   }
-  def dedupMinhashSql: String = {
-    val sigs = minhashSigSql(TextOps.shinglesSql("toks")).zipWithIndex
+  /** Shared CTE preamble: shingle hashes → signatures → band rows. */
+  private def sigBandsCtes: String = {
+    val sigs = minhashSigSql.zipWithIndex
       .map { case (e, i) => s"$e AS h${i + 1}" }.mkString(",\n        ")
     val bandRows = (0 until Bands).map { b =>
-      val parts = (1 to NumHashes / Bands).map(r => s"h${b * (NumHashes / Bands) + r}").mkString(" || ',' || ")
+      val parts = (1 to NumHashes / Bands)
+        .map(r => s"CAST(h${b * (NumHashes / Bands) + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
       s"SELECT *, $b AS band_idx, md5($parts) AS band_hash FROM sigs"
     }.mkString("\n      UNION ALL ")
-    val est = (1 to NumHashes).map(j =>
-      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sigs AS MATERIALIZED (
-      SELECT doc_id, $sigs
+    s"""hs0 AS (
+      SELECT doc_id, list_transform(${TextOps.shinglesSql("toks")}, s -> ${shingleHashSql("s")}) AS hs
       FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)
       WHERE len(toks) >= 3),
-    bands AS MATERIALIZED ($bandRows)
+    sigs AS MATERIALIZED (SELECT doc_id, $sigs FROM hs0),
+    bands AS MATERIALIZED ($bandRows)"""
+  }
+  private def estSql: String = {
+    val est = (1 to NumHashes).map(j =>
+      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"CAST($est AS DOUBLE) / $NumHashes"
+  }
+
+  def dedupMinhashSql: String =
+    s"""WITH $sigBandsCtes
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST($est AS DOUBLE) / $NumHashes AS est_sim
+           $estSql AS est_sim
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-    WHERE CAST($est AS DOUBLE) / $NumHashes >= 0.5"""
-  }
+    WHERE $estSql >= 0.5"""
 
   /** 32-bit simhash from md5 hex-digit parities: bit i is set iff the
     * weighted token vote Σ(±1) for hex position i is positive.
@@ -298,6 +334,62 @@ object Dedup {
     $iters
     SELECT v AS doc_id, lbl AS component_id, v = lbl AS is_keeper FROM l$MaxCcIters"""
   }
+
+  /** Modular batch split for the incremental-dedup demonstration: every 5th
+    * doc plays "today's crawl", the rest the already-ingested corpus whose
+    * signature index a production deployment would have persisted.
+    */
+  val IncrementalBatchMod = 5
+
+  /** D22: incremental near-dedup — probe a NEW BATCH of documents against
+    * the EXISTING corpus signature index instead of re-deduplicating the
+    * whole corpus. This is the shape a 100 TB pipeline actually runs daily:
+    * the index side (corpus band signatures) is a stored table that never
+    * recomputes or shuffles for the probe — the batch's bands are hashed
+    * fresh and BROADCAST (a day's crawl is ≪ the corpus), so the only work
+    * linear in the corpus is one scan of the signature index. A batch doc
+    * is a duplicate iff some band bucket collides with an index doc and the
+    * estimated signature similarity clears the same 0.5 threshold as D2.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir).transform(graft.Checkpoints.cp)
+    val isBatch = col("doc_id") % IncrementalBatchMod === 0
+    val index = sigs.filter(!isBatch)
+      .select(col("doc_id").as("index_id"), col("sig").as("sig_a"),
+        col("band_idx"), col("band_hash"))
+    val batch = sigs.filter(isBatch)
+      .select(col("doc_id").as("batch_id"), col("sig").as("sig_b"),
+        col("band_idx"), col("band_hash"))
+    val est = (1 to NumHashes).map(j =>
+      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+    val dups = index.join(broadcast(batch), Seq("band_idx", "band_hash"))
+      .filter(est >= 0.5)
+      .select(col("batch_id"), col("index_id")).distinct()
+      .groupBy(col("batch_id")).agg(count(lit(1)).as("n_index_dups"))
+    // every batch doc reports, including short docs with no signature;
+    // the dup-count table is bounded by the batch → broadcast it back
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % IncrementalBatchMod === 0)
+      .select(col("doc_id"))
+      .join(broadcast(dups.withColumnRenamed("batch_id", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"))
+      .withColumn("is_new", col("n_index_dups") === 0)
+  }
+  def dedupIncrementalSql: String =
+    s"""WITH $sigBandsCtes,
+    dups AS (
+      SELECT p.doc_id, count(*) AS n_index_dups FROM (
+        SELECT DISTINCT a.doc_id AS index_id, b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id % $IncrementalBatchMod != 0 AND b.doc_id % $IncrementalBatchMod = 0
+        WHERE $estSql >= 0.5) p
+      GROUP BY p.doc_id)
+    SELECT d.doc_id, coalesce(n_index_dups, 0) AS n_index_dups,
+           coalesce(n_index_dups, 0) = 0 AS is_new
+    FROM (SELECT doc_id FROM documents WHERE doc_id % $IncrementalBatchMod = 0) d
+    LEFT JOIN dups USING (doc_id)"""
 
   def dedupNgramJaccardSql: String =
     s"""WITH sh AS MATERIALIZED (

@@ -55,4 +55,118 @@ object Sampling {
       FROM documents) t
     WHERE bucket < (CASE $cases ELSE $DefaultRate END)"""
   }
+
+  /** Max documents kept per source domain (D23) and the salt fan-out of the
+    * two-phase exact top-K that enforces it skew-safely.
+    */
+  val CapPerSource = 10
+  val CapSalts = 8
+
+  /** Deterministic priority for "which K docs represent a domain": the
+    * content-keyed md5 of the doc id — an unbiased, engine-independent
+    * shuffle order (a crawl pipeline would hash the URL).
+    */
+  private def prio(docId: Column): Column = md5(docId.cast("string").cast("binary"))
+
+  /** D23: per-domain document cap — keep at most CapPerSource docs per
+    * source, the standard "limit per domain" curation step. Exact top-K per
+    * group via TWO window phases so one mega-domain cannot pin a single
+    * reducer at 100 TB: phase 1 ranks within (source, salt) — CapSalts
+    * partitions per domain, each ≤ corpus/salts — and keeps K per salt
+    * (a superset of the global K); phase 2 ranks the ≤ K·salts survivors
+    * per source, a frame bounded by domains×K·salts, not by the corpus.
+    * Output rank equals the single-window rank (the spec asserts it).
+    */
+  def sampleCapDomain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), prio(col("doc_id")).as("prio"))
+      .withColumn("salt", col("doc_id") % CapSalts)
+    val w1 = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("prio"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("prio"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w1)).filter(col("rn") <= CapPerSource)
+      .withColumn("rk", row_number().over(w2).cast("bigint"))
+      .filter(col("rk") <= CapPerSource)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+  /** The oracle states the SEMANTICS (one global rank per source); the
+    * engine's salted two phases are an equivalent physical plan because
+    * per-salt top-K is a superset of the global top-K.
+    */
+  val sampleCapDomainSql: String =
+    s"""SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= $CapPerSource"""
+
+  /** Target corpus mixture by language, in percent of total whitespace
+    * tokens. Languages not listed keep everything (cap at 1 — this engine
+    * downsamples only; upsampling is a repeat-epoch decision at training
+    * time, not a data-pipeline one).
+    */
+  val MixTargets: Seq[(String, Int)] = Seq(
+    "en" -> 30, "es" -> 20, "fr" -> 20, "de" -> 15, "zh" -> 15)
+
+  /** D24: token-weighted mixture rebalancing — compute each language's
+    * actual token share, derive the keep rate that hits the target share
+    * (capped at 100%), and apply it with the same stateless content-keyed
+    * hash filter as D13 (decorrelated via a 'mix:' salt prefix so composing
+    * both samplers doesn't keep/drop the same hash slice twice).
+    *
+    * keep_rate_pct = floor(target_pct · total_tokens / lang_tokens), exact
+    * BIGINT arithmetic in both engines — no float shares to diverge on.
+    * Scale: two map-side-combinable aggregates bounded by #languages, the
+    * rate table broadcast back over the corpus scan. Nothing else shuffles.
+    */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("bigint").as("n_ws_tokens"))
+    val lt = d.groupBy(col("lang"))
+      .agg(sum(col("n_ws_tokens")).as("lang_toks"))
+    val tot = lt.agg(sum(col("lang_toks")).as("total_toks"))
+    val tp = MixTargets.foldRight(lit(100): Column) {
+      case ((l, t), acc) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    val rates = lt.crossJoin(broadcast(tot))
+      .withColumn("target_pct", tp)
+      .withColumn("keep_rate_pct",
+        least(lit(100L), expr("(target_pct * total_toks) div lang_toks")))
+    val bucket = conv(substring(md5(
+      concat(lit("mix:"), col("doc_id").cast("string"), lit(":"),
+        coalesce(col("lang"), lit("")))), 1, 6), 16, 10)
+      .cast("bigint") % 100
+    d.join(broadcast(rates.select(col("lang"), col("lang_toks"), col("keep_rate_pct"))),
+        Seq("lang"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("keep_rate_pct"))
+      .select(col("doc_id"), col("lang"), col("n_ws_tokens"),
+        col("lang_toks"), col("keep_rate_pct"), col("bucket"))
+  }
+  val corpusMixtureSql: String = {
+    val cases = MixTargets.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+      .mkString(" ")
+    s"""WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+      FROM documents),
+    lt AS (SELECT lang, CAST(sum(n_ws_tokens) AS BIGINT) AS lang_toks
+           FROM d GROUP BY lang),
+    tot AS (SELECT CAST(sum(lang_toks) AS BIGINT) AS total_toks FROM lt),
+    rates AS (
+      SELECT lang, lang_toks,
+             CAST(least(100, ((CASE $cases ELSE 100 END) * total_toks) // lang_toks)
+                  AS BIGINT) AS keep_rate_pct
+      FROM lt CROSS JOIN tot)
+    SELECT doc_id, d.lang, n_ws_tokens, lang_toks, keep_rate_pct,
+           CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || coalesce(d.lang, '')), 1, 6)
+                AS BIGINT) % 100 AS bucket
+    FROM d JOIN rates USING (lang)
+    WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || coalesce(d.lang, '')), 1, 6)
+               AS BIGINT) % 100 < keep_rate_pct"""
+  }
 }

@@ -52,6 +52,35 @@ object Analytics {
            count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
+  /** E13: hierarchical rollup — subtotals and a grand total in ONE pass over
+    * the fact (Spark expands grouping sets map-side before one partial-agg
+    * shuffle; the naive alternative is three scans + a union). The grouping
+    * level is derived from column nullness explicitly (both grouping columns
+    * are non-null in the data) so both engines state the identical
+    * computation without relying on engine-specific GROUPING_ID encodings.
+    */
+  def q1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        revSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("lvl",
+        (when(col("l_returnflag").isNull, 1L).otherwise(0L) * 2 +
+          when(col("l_linestatus").isNull, 1L).otherwise(0L)))
+      .select(col("l_returnflag"), col("l_linestatus"), col("lvl"),
+        col("sum_qty"), col("sum_disc_price"), col("count_order"))
+
+  val q1RollupSql: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST((CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) * 2
+             + (CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lvl,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
   /** TPC-H Q3-style: fact-to-fact join + broadcast dim filter + agg. At
     * 100 TB the orders⋈lineitem join shuffles on orderkey (co-partitioned
     * via bucketing in a real deployment); customer is the broadcast side.

@@ -36,6 +36,18 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(maxPer <= 3)
   }
 
+  test("q1_rollup levels reconcile: details and subtotals both sum to the grand total") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.q1Rollup(spark, sfDir)
+    val total = Tables.lineitem(spark, sfDir).count()
+    // grand total (lvl=3), per-returnflag subtotals (lvl=1), details (lvl=0)
+    assert(r.filter(col("lvl") === 3).select("count_order").head.getLong(0) == total)
+    assert(r.filter(col("lvl") === 1).agg(sum("count_order")).head.getLong(0) == total)
+    assert(r.filter(col("lvl") === 0).agg(sum("count_order")).head.getLong(0) == total)
+    // detail slice is exactly q1_agg's grouping
+    assert(r.filter(col("lvl") === 0).count() == Analytics.q1Agg(spark, sfDir).count())
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -322,4 +322,51 @@ class LlmOpsSpec extends SparkSpecBase {
       .filter(col("rk") === 1 && col("tfidf") =!= col("mx")).count()
     assert(viol == 0)
   }
+
+  test("dedup_incremental covers every batch doc and agrees with full minhash dedup") {
+    val m = Dedup.IncrementalBatchMod
+    val inc = Dedup.dedupIncremental(spark, sfDir)
+    val batchN = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % m === 0).count()
+    assert(inc.count() == batchN)
+    assert(inc.filter((col("n_index_dups") === 0) =!= col("is_new")).count() == 0)
+    // the probe must reach the same verdicts as running the FULL corpus
+    // near-dedup and asking which batch docs have an index-side partner
+    val pairs = Dedup.dedupMinhash(spark, sfDir)
+    val fromFull = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .filter(col("x") % m === 0 && col("y") % m =!= 0)
+      .select(col("x").as("doc_id")).distinct()
+    val nonNew = inc.filter(!col("is_new")).select("doc_id")
+    assert(nonNew.exceptAll(fromFull).count() == 0)
+    assert(fromFull.exceptAll(nonNew).count() == 0)
+    Checkpoints.releaseAll()
+  }
+
+  test("sample_cap_domain: salted two-phase rank equals the single-window semantics") {
+    val r = Sampling.sampleCapDomain(spark, sfDir)
+    assert(r.groupBy("source").count()
+      .filter(col("count") > Sampling.CapPerSource).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val naive = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= Sampling.CapPerSource)
+    assert(r.exceptAll(naive).count() == 0 && naive.exceptAll(r).count() == 0)
+  }
+
+  test("corpus_mixture: integer keep rates, over-represented language downsampled") {
+    val r = Sampling.corpusMixture(spark, sfDir)
+    // the filter is exactly bucket < rate
+    assert(r.filter(col("bucket") >= col("keep_rate_pct")).count() == 0)
+    val rates = r.select("lang", "keep_rate_pct").distinct().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rates.values.forall(v => v >= 0 && v <= 100))
+    // en holds ~37% of tokens vs a 30% target → must be cut below 100%
+    assert(rates("en") < 100)
+    // under-represented langs are NOT upsampled (cap at keep-everything)
+    assert(rates.exists(_._2 == 100L))
+  }
 }

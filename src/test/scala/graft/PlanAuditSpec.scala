@@ -116,4 +116,41 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = planOf(llm.Sampling.sampleStratified(spark, sfDir))
     assert(!p.contains("Exchange"), p.take(600))
   }
+
+  test("dedup_incremental: batch bands broadcast, index side never self-joined") {
+    val p = planOf(llm.Dedup.dedupIncremental(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "batch bands must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(600))
+    Checkpoints.releaseAll()
+  }
+
+  test("sample_cap_domain: two bounded windows with rank-limit pushdown, no join") {
+    val p = planOf(llm.Sampling.sampleCapDomain(spark, sfDir))
+    // exactly the two phase windows (not counting WindowGroupLimit nodes)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window( \[.*)?""")) == 2, p.take(600))
+    // Spark pushes the rank()<=K filter below the shuffle as WindowGroupLimit,
+    // so each reducer receives at most K rows per (group, salt) — assert the
+    // optimization actually fired (it is the cap's second scale lever)
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+    assert(!p.contains("Join"), "cap must not join")
+  }
+
+  test("corpus_mixture: language rate table broadcast back over the scan") {
+    val p = planOf(llm.Sampling.corpusMixture(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("q1_rollup: single-pass grouping-sets expand, partial agg before its exchange") {
+    val p = planOf(queries.Analytics.q1Rollup(spark, sfDir))
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggs = ids("HashAggregate"); val exchs = ids("Exchange"); val exp = ids("Expand")
+    // expand feeds the partial aggregate, which executes before the agg's
+    // own shuffle (the LAST exchange — the first may be the local narrow-scan
+    // spread, which a pre-split cluster scan doesn't have)
+    assert(exp.nonEmpty, "rollup must expand grouping sets, not rescan")
+    assert(aggs.size >= 2 && exchs.nonEmpty, p.take(600))
+    assert(exp.min < aggs.min && aggs.min < exchs.max, p.take(600))
+  }
 }
