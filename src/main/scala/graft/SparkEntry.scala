@@ -31,6 +31,10 @@ object SparkEntry {
     "range_join_bands" -> (Temporal.rangeJoinBands _),
     "distinct_users_skewsafe" -> (Temporal.distinctUsersSkewsafe _),
     "distinct_user_digest" -> (Temporal.distinctUserDigest _),
+    // HLL sketch twin of distinct_users_skewsafe: estimates are
+    // implementation-defined → rows-only driver check; error bound vs the
+    // exact operator is spec-asserted (AnalyticsSpec)
+    "distinct_users_approx" -> (Temporal.distinctUsersApprox _),
     "ann_lsh_multiprobe"   -> (graft.llm.Ann.annLshMultiprobe _),
     "price_quantiles"  -> (Analytics.priceQuantiles _),
     // sketch twin of price_quantiles: no DuckDB oracle by design (the
@@ -55,6 +59,7 @@ object SparkEntry {
     "mm_frame_sample"     -> (graft.llm.Multimodal.mmFrameSample _),
     "sample_stratified"   -> (graft.llm.Sampling.sampleStratified _),
     "embed_centroids"     -> (graft.llm.Ann.embedCentroids _),
+    "embed_kmeans"        -> (graft.llm.Ann.embedKmeans _),
     "text_tfidf"          -> (graft.llm.TextOps.textTfidf _),
     "text_repetition"     -> (graft.llm.TextOps.textRepetition _),
     "text_redact_pii"     -> (graft.llm.TextOps.textRedactPii _),
@@ -62,6 +67,7 @@ object SparkEntry {
     "dedup_components"    -> (graft.llm.Dedup.dedupComponents _),
     "decontaminate"       -> (graft.llm.Dedup.decontaminate _),
     "dedup_incremental"   -> (graft.llm.Dedup.dedupIncremental _),
+    "dedup_spans"         -> (graft.llm.Dedup.dedupSpans _),
     "corpus_clean"        -> (graft.llm.Corpus.corpusClean _),
     "sample_cap_domain"   -> (graft.llm.Sampling.sampleCapDomain _),
     "corpus_mixture"      -> (graft.llm.Sampling.corpusMixture _),
@@ -103,6 +109,7 @@ object SparkEntry {
     "mm_frame_sample"     -> graft.llm.Multimodal.mmFrameSampleSql,
     "sample_stratified"   -> graft.llm.Sampling.sampleStratifiedSql,
     "embed_centroids"     -> graft.llm.Ann.embedCentroidsSql,
+    "embed_kmeans"        -> graft.llm.Ann.embedKmeansSql,
     "text_tfidf"          -> graft.llm.TextOps.textTfidfSql,
     "text_repetition"     -> graft.llm.TextOps.textRepetitionSql,
     "text_redact_pii"     -> graft.llm.TextOps.textRedactPiiSql,
@@ -110,6 +117,7 @@ object SparkEntry {
     "dedup_components"    -> graft.llm.Dedup.dedupComponentsSql,
     "decontaminate"       -> graft.llm.Dedup.decontaminateSql,
     "dedup_incremental"   -> graft.llm.Dedup.dedupIncrementalSql,
+    "dedup_spans"         -> graft.llm.Dedup.dedupSpansSql,
     "corpus_clean"        -> graft.llm.Corpus.corpusCleanSql,
     "sample_cap_domain"   -> graft.llm.Sampling.sampleCapDomainSql,
     "corpus_mixture"      -> graft.llm.Sampling.corpusMixtureSql,

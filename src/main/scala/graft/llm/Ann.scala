@@ -316,12 +316,16 @@ object Ann {
       .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  val annIvfSql: String = {
+  /** Shared oracle CTE prefix: seed assignment → one Lloyd step → refined
+    * centroids → per-vector probe ranking (used by annIvfSql and
+    * embedKmeansSql — both engines run the identical pipeline).
+    */
+  private def ivfRankedCtes: String = {
     val ccosSeed = s"${dotSql("v.embedding", "s.cv")}" +
       s" / (${normSql("v.embedding")} * ${normSql("s.cv")})"
     val ccosCent = s"${dotSql("v.embedding", "c.cv")}" +
       s" / (${normSql("v.embedding")} * ${normSql("c.cv")})"
-    s"""WITH seeds AS (
+    s"""seeds AS (
       SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NumCells),
     a0 AS (
       SELECT v.vec_id, v.embedding, s.cent_id, $ccosSeed AS ccos
@@ -344,7 +348,11 @@ object Ann {
     ranked AS MATERIALIZED (
       SELECT vec_id, embedding, cell, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
-          ORDER BY ccos DESC, cell ASC) AS rn FROM r0) WHERE rn <= $NProbe),
+          ORDER BY ccos DESC, cell ASC) AS rn FROM r0) WHERE rn <= $NProbe)"""
+  }
+
+  val annIvfSql: String =
+    s"""WITH $ivfRankedCtes,
     members AS (SELECT vec_id AS nb_id, embedding, cell FROM ranked WHERE rn = 1),
     probes AS (SELECT vec_id AS q_id, embedding, cell FROM ranked WHERE vec_id < 10)
     SELECT q_id, nb_id, rank, round(cos, 4) AS cos_sim FROM (
@@ -357,7 +365,32 @@ object Ann {
                  m.nb_id ASC) AS rank
       FROM probes p JOIN members m ON p.cell = m.cell AND p.q_id != m.nb_id)
     WHERE rank <= 5"""
+
+  /** D25: k-means corpus clustering over the embedding column — the domain
+    * -discovery / diversity-bucketing operator a curation pipeline runs
+    * before mixture decisions. Reuses the IVF machinery (deterministic
+    * seeds + one exact-decimal Lloyd step, centroids broadcast, ONE corpus
+    * pass for assignment); cluster sizes come from a K-row aggregate
+    * broadcast back, so nothing wide shuffles. Fully deterministic →
+    * hash-checked like ann_ivf.
+    */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
+    // materialize assignments once: the size aggregate and the final join
+    // both consume them (same barrier rationale as ivfTopk)
+    val assigned = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell").as("cluster"))
+      .transform(graft.Checkpoints.cp)
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
   }
+
+  val embedKmeansSql: String =
+    s"""WITH $ivfRankedCtes,
+    asg AS (SELECT vec_id, cell AS cluster FROM ranked WHERE rn = 1),
+    sz AS (SELECT cluster, count(*) AS cluster_size FROM asg GROUP BY cluster)
+    SELECT vec_id, cluster, cluster_size FROM asg JOIN sz USING (cluster)"""
 
   /** D14: per-label mean embedding (long format: one row per (label, dim))
     * — the class-prototype / centroid build used for embedding dedup and

@@ -391,6 +391,55 @@ object Dedup {
     FROM (SELECT doc_id FROM documents WHERE doc_id % $IncrementalBatchMod = 0) d
     LEFT JOIN dups USING (doc_id)"""
 
+  /** Token width of the span-dedup sliding window: long enough that a
+    * shared window is memorization-grade evidence, short enough to catch
+    * partial overlap (boilerplate, quoted passages).
+    */
+  val SpanWindow = 12
+
+  /** D26: span-level dedup — find exact W-token spans repeated ACROSS
+    * documents (the signal behind exact-substring dedup: duplicated
+    * boilerplate/quotes that doc-level near-dedup misses). Sliding windows
+    * explode into an inverted index and aggregate per window hash; the
+    * output is one row per cross-doc span GROUP, never pairs — the shuffle
+    * is bounded by distinct windows and a hot span (site boilerplate in
+    * millions of docs) costs one aggregate row, not n² pair rows.
+    * count(DISTINCT doc_id) expands to the same two-stage shuffle as E11,
+    * skew-safe by construction.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSpansOn(docsWithToks(spark, dir))
+
+  /** Corpus-parametric core over a (doc_id, toks) frame (spec harnesses
+    * feed synthetic frames).
+    */
+  private[graft] def dedupSpansOn(toks: DataFrame): DataFrame = {
+    val wins = toks.select(col("doc_id"), explode(
+      when(size(col("toks")) < SpanWindow, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("toks")) - (SpanWindow - 1)), i =>
+          concat_ws(" ", (0 until SpanWindow).map(o => element_at(col("toks"), i + o)): _*))))
+      .as("w"))
+    wins.select(col("doc_id"), md5(col("w").cast("binary")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+  def dedupSpansSql: String = {
+    val terms = (0 until SpanWindow).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    s"""SELECT md5(w) AS span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences, min(doc_id) AS first_doc
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - ${SpanWindow - 1}, 0) + 1),
+               i -> $terms)) AS w
+      FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)) t
+    GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) >= 2"""
+  }
+
   def dedupNgramJaccardSql: String =
     s"""WITH sh AS MATERIALIZED (
       SELECT doc_id, list_distinct(${TextOps.shinglesSql("toks")}) AS shingles

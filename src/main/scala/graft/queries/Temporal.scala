@@ -135,4 +135,17 @@ object Temporal {
       md5(string_agg(CAST(user_id AS VARCHAR), '|' ORDER BY user_id)) AS users_digest
     FROM (SELECT DISTINCT event_type, user_id FROM events)
     GROUP BY event_type"""
+
+  /** E11's sketch twin (mirrors E10's approx-quantile pattern): HLL++
+    * approximate count-distinct — the 100 TB path when even the two-stage
+    * exact expansion shuffles too much. The sketch is a fixed-size,
+    * partially-aggregable state per group: one map-side pass, no distinct
+    * stage, exchange bounded by groups×sketch bytes. Sketch estimates are
+    * implementation-defined → rows-only driver check by design; the
+    * relative error against the exact operator is spec-asserted.
+    */
+  def distinctUsersApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
 }

@@ -162,6 +162,27 @@ object StreamOps {
       }
   }
 
+  /** Streaming benchmark decontamination — the ingest-time twin of the
+    * batch `decontaminate` operator: flag arriving documents that share a
+    * word-3-gram with the (static, small) benchmark set. The shingle
+    * explode and the stream-static inner join against the broadcast index
+    * are STATELESS; the only state is the within-watermark doc_id dedup
+    * that collapses multi-shingle hits back to one row per contaminated
+    * doc — bounded by the watermark horizon, not the stream. Same hash
+    * construction as batch, so the spec can demand set-equality with it.
+    */
+  def decontaminateStream(docs: DataFrame, benchHashes: DataFrame,
+                          tsCol: String): DataFrame = {
+    val t = graft.llm.TextOps
+    docs
+      .withColumn("s", explode(array_distinct(t.shingles(t.toks(col("text"))))))
+      .withColumn("h", md5(col("s").cast("binary")))
+      .join(broadcast(benchHashes), Seq("h"))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"))
+  }
+
   /** Stream-static enrichment join: the static dim side is read per
     * micro-batch and broadcast; no stream state. The standard shape for
     * attaching slowly-changing metadata (user→nation here) to an event

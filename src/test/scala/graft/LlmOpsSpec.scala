@@ -357,6 +357,43 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(r.exceptAll(naive).count() == 0 && naive.exceptAll(r).count() == 0)
   }
 
+  test("dedup_spans: cross-doc only, occurrence counts consistent, non-vacuous") {
+    val spans = Dedup.dedupSpans(spark, sfDir)
+    assert(spans.filter(col("n_docs") < 2).count() == 0)
+    assert(spans.filter(col("n_occurrences") < col("n_docs")).count() == 0)
+    assert(spans.count() > 0, "testdata contains repeated spans; zero is a regression")
+    // hand case through the operator itself: a 12-token run shared verbatim
+    // by two docs is the single surfaced span, attributed to the smaller id
+    import spark.implicits._
+    val run = (1 to Dedup.SpanWindow).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((10L, s"prefix $run"), (20L, s"$run suffix"), (30L, "unrelated text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.TextOps.toks(col("text")).as("toks"))
+    val shared = Dedup.dedupSpansOn(docs).collect()
+    assert(shared.length == 1)
+    assert(shared.head.getLong(1) == 2L)  // n_docs
+    assert(shared.head.getLong(2) == 2L)  // n_occurrences
+    assert(shared.head.getLong(3) == 10L) // first_doc
+    Checkpoints.releaseAll()
+  }
+
+  test("embed_kmeans: total assignment, consistent sizes, same cells as IVF") {
+    val k = Ann.embedKmeans(spark, sfDir)
+    val n = Tables.embeddings(spark, sfDir).count()
+    // every vector assigned exactly once
+    assert(k.count() == n)
+    assert(k.select("vec_id").distinct().count() == n)
+    // sizes are consistent: sum of per-cluster size over distinct clusters = n
+    val szSum = k.select("cluster", "cluster_size").distinct()
+      .agg(sum("cluster_size")).head.getLong(0)
+    assert(szSum == n)
+    // the assignment is the IVF cell assignment (shared machinery)
+    val ivfCells = Ann.ivfRanked(spark, sfDir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell").as("cluster"))
+    assert(k.select("vec_id", "cluster").exceptAll(ivfCells).count() == 0)
+    Checkpoints.releaseAll()
+  }
+
   test("corpus_mixture: integer keep rates, over-represented language downsampled") {
     val r = Sampling.corpusMixture(spark, sfDir)
     // the filter is exactly bucket < rate

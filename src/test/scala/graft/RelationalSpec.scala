@@ -176,6 +176,20 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("approx distinct users stays within the HLL error bound of the exact operator") {
+    val exact = queries.Temporal.distinctUsersSkewsafe(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = queries.Temporal.distinctUsersApprox(spark, sfDir).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (g, est) = (r.getString(0), r.getLong(1))
+      val n = exact(g).toDouble
+      // rsd 0.02 → allow 5 standard deviations (generous, deterministic)
+      assert(math.abs(est - n) <= math.max(1.0, 5 * 0.02 * n),
+        s"group $g: approx $est vs exact ${exact(g)}")
+    }
+  }
+
   test("price quantiles are ordered and bracketed by group min/max") {
     val rows = Analytics.priceQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)

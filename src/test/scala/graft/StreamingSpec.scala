@@ -69,6 +69,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got(1L).contains("<EMAIL>") && got(3L).contains("<IP>"))
   }
 
+  test("streaming decontamination flags the same docs as the batch operator") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-decon-stream")
+    // non-benchmark docs arrive as the stream (same split as batch: every
+    // 50th doc IS the benchmark and is filtered at the door)
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+      .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+    val schema = spark.read.parquet(sdir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+    // static benchmark shingle index, built once from the batch side
+    val t = graft.llm.TextOps
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(t.shingles(t.toks(col("text"))))).as("s"))
+      .select(md5(col("s").cast("binary")).as("h")).distinct()
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.decontaminateStream(stream, bench, "arrived"), "decon_stream_test")
+      .collect().map(_.getLong(0)).toSet
+    val want = graft.llm.Dedup.decontaminate(spark, sfDir)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    Checkpoints.releaseAll()
+  }
+
   test("stream-static join enriches events with the customer dim") {
     val sdir = java.nio.file.Files.createTempDirectory("graft-enrich-stream")
     java.nio.file.Files.copy(
