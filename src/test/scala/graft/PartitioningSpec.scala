@@ -39,6 +39,44 @@ class PartitioningSpec extends SparkSpecBase {
     assert(scan.selectedPartitions.partitionCount == 1)
   }
 
+  test("partitioned + bucketed table: pruned scan AND exchange-free clustering") {
+    // the full 100 TB layout: directory partitions prune the low-cardinality
+    // filter, buckets satisfy the high-cardinality clustering — one query
+    // exercises both
+    if (!spark.catalog.tableExists("docs_pb")) {
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "docs_pb")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+      Tables.documents(spark, sfDir).write.mode("overwrite")
+        .partitionBy("lang").bucketBy(4, "doc_id").format("parquet")
+        .saveAsTable("docs_pb")
+    }
+    val q = spark.table("docs_pb").filter(col("lang") === "en")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // the agg plan is AQE-wrapped (unlike the plain filter above) — unwrap
+    // before walking to the scan leaf
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      scan.partitionFilters.mkString(", "))
+    assert(scan.selectedPartitions.partitionCount == 1)
+    assert(!plan.toString.contains("Exchange"), plan.toString.take(600))
+    // and it computes the right thing
+    val expect = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").count()
+    assert(q.agg(sum("n")).head.getLong(0) == expect)
+  }
+
   test("partitioned round-trip preserves rows and the partition column") {
     ensureWritten()
     val src = Tables.documents(spark, sfDir)
