@@ -26,6 +26,8 @@ object SparkEntry {
     "events_json"       -> (Events.eventsJson _),
     "stream_window_agg" -> (Events.streamWindowAgg _),
     "stream_sessionize" -> (Events.streamSessionize _),
+    "events_rolling"    -> (Events.eventsRolling _),
+    "scd2_intervals"    -> (Events.scd2Intervals _),
     // §2.E8-E11 temporal / interval / skew-safe relational operators
     "asof_join"        -> (Temporal.asofJoinQ _),
     "range_join_bands" -> (Temporal.rangeJoinBands _),
@@ -65,7 +67,9 @@ object SparkEntry {
     "text_redact_pii"     -> (graft.llm.TextOps.textRedactPii _),
     "pack_sequences"      -> (graft.llm.Packing.packSequences _),
     "dedup_components"    -> (graft.llm.Dedup.dedupComponents _),
+    "dedup_best_rep"      -> (graft.llm.Dedup.dedupBestRep _),
     "decontaminate"       -> (graft.llm.Dedup.decontaminate _),
+    "decontaminate_bloom" -> (graft.llm.Dedup.decontaminateBloom _),
     "dedup_incremental"   -> (graft.llm.Dedup.dedupIncremental _),
     "dedup_spans"         -> (graft.llm.Dedup.dedupSpans _),
     "corpus_clean"        -> (graft.llm.Corpus.corpusClean _),
@@ -88,6 +92,8 @@ object SparkEntry {
     "events_json"       -> Events.eventsJsonSql,
     "stream_window_agg" -> Events.streamWindowAggSql,
     "stream_sessionize" -> Events.streamSessionizeSql,
+    "events_rolling"    -> Events.eventsRollingSql,
+    "scd2_intervals"    -> Events.scd2IntervalsSql,
     "asof_join"        -> Temporal.asofJoinSql,
     "range_join_bands" -> Temporal.rangeJoinBandsSql,
     "distinct_users_skewsafe" -> Temporal.distinctUsersSkewsafeSql,
@@ -115,7 +121,9 @@ object SparkEntry {
     "text_redact_pii"     -> graft.llm.TextOps.textRedactPiiSql,
     "pack_sequences"      -> graft.llm.Packing.packSequencesSql,
     "dedup_components"    -> graft.llm.Dedup.dedupComponentsSql,
+    "dedup_best_rep"      -> graft.llm.Dedup.dedupBestRepSql,
     "decontaminate"       -> graft.llm.Dedup.decontaminateSql,
+    "decontaminate_bloom" -> graft.llm.Dedup.decontaminateBloomSql,
     "dedup_incremental"   -> graft.llm.Dedup.dedupIncrementalSql,
     "dedup_spans"         -> graft.llm.Dedup.dedupSpansSql,
     "corpus_clean"        -> graft.llm.Corpus.corpusCleanSql,

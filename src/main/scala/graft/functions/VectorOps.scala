@@ -122,6 +122,9 @@ object VectorOps {
   * engine's native functions in every new session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorOps.DotEntry)
+    ext.injectFunction(BloomOps.AggEntry)
+    ext.injectFunction(BloomOps.ContainsEntry)
+  }
 }

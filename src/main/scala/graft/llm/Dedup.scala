@@ -283,6 +283,55 @@ object Dedup {
     FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
     LEFT JOIN hits USING (doc_id)"""
 
+  /** Bloom sizing for D20b: generous bits-per-item at testdata scale; in
+    * production size from the eval set's measured distinct-shingle count.
+    */
+  val BloomItems = 100000L
+  val BloomBits = 1600000L
+
+  /** D20b: bloom-pre-filtered decontamination — IDENTICAL output to D20
+    * (same oracle), different 100 TB shape. D20 broadcasts the benchmark's
+    * exact shingle-hash set; fine while the eval suite is small, but a
+    * growing blocklist (all eval sets + opt-outs) outgrows a broadcast hash
+    * set long before it outgrows a bloom filter. Here the benchmark
+    * shingles aggregate into ONE fixed-size sketch (partial filters
+    * map-side, bitwise-OR merge — the exchange carries the sketch, not the
+    * set), the corpus probes it with a codegen'd no-false-negative test,
+    * and only the few surviving candidates reach the exact confirmation
+    * join — which removes bloom false positives, so the result is exactly
+    * D20's. The probe prunes the shuffle/join input by the corpus's
+    * true-negative fraction (~99% of shingles on this testdata).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomOps
+    val sh = docsWithShingles(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"),
+        xxhash64(col("s")).as("hl"))
+    val isBench = col("doc_id") % 50 === 0
+    val bench = graft.Checkpoints.cp(
+      sh.filter(isBench).select(col("h"), col("hl")).distinct())
+    val bloom = bench.agg(
+      BloomOps.bloomAgg(col("hl"), BloomItems, BloomBits).as("bf"))
+    // scalar subquery: the one-row sketch evaluates once and ships to every
+    // task as a literal (might_contain requires constant-or-scalar-subquery)
+    val candidates = sh.filter(!isBench)
+      .filter(BloomOps.bloomContains(bloom.scalar(), col("hl")))
+    val hits = candidates.join(broadcast(bench.select(col("h"))), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docsWithToks(spark, dir).filter(!isBench).select(col("doc_id"))
+      // hits ≤ contaminated docs ≪ corpus; broadcast explicitly (the
+      // subquery-filtered lineage has no size estimate, so the planner
+      // would otherwise fall back to a corpus-wide sort-merge)
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+  /** The bloom probe never drops a true member, and the exact join drops
+    * every false positive — so the oracle is D20's, verbatim.
+    */
+  def decontaminateBloomSql: String = decontaminateSql
+
   /** Fixed iteration bound for the connected-components label propagation:
     * covers any component diameter ≤ 2^MaxCcIters-ish in practice (min-label
     * spreads one hop per round); the spec asserts the testdata graph
@@ -334,6 +383,43 @@ object Dedup {
     $iters
     SELECT v AS doc_id, lbl AS component_id, v = lbl AS is_keeper FROM l$MaxCcIters"""
   }
+
+  /** D19b: quality-aware cluster representative — per near-dup component,
+    * keep the HIGHEST-QUALITY member (tie: min doc_id) instead of D19's
+    * arbitrary min-id keeper; the selection real cleaning pipelines run
+    * after clustering. Cluster membership (a tiny fraction of the corpus)
+    * broadcasts into the quality scan; the per-component window's frames
+    * are bounded by cluster size, so the ranking shuffle carries only
+    * cluster members. Scores are bit-identical across engines (the same
+    * expression shapes text_quality hash-checks), so argmax is exact.
+    */
+  def dedupBestRep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = dedupComponents(spark, dir).select(col("doc_id"), col("component_id"))
+    val scored = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(broadcast(members), Seq("doc_id"))
+    val byComp = Window.partitionBy(col("component_id"))
+    val ranked = scored
+      .withColumn("rk", row_number().over(
+        byComp.orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+    ranked.filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("best_doc"),
+        col("quality_score").as("best_quality"), col("n_members"))
+  }
+  def dedupBestRepSql: String =
+    s"""WITH comp AS MATERIALIZED (SELECT doc_id, component_id FROM ($dedupComponentsSql) c),
+    q AS MATERIALIZED (SELECT doc_id, quality_score FROM (${TextOps.textQualitySql}) q0),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, q.quality_score,
+        row_number() OVER (PARTITION BY c.component_id
+                           ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk,
+        count(*) OVER (PARTITION BY c.component_id) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.doc_id)
+    SELECT component_id, doc_id AS best_doc, quality_score AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1"""
 
   /** Modular batch split for the incremental-dedup demonstration: every 5th
     * doc plays "today's crawl", the rest the already-ingested corpus whose

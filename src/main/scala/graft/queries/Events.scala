@@ -78,5 +78,60 @@ object Events {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id"""
 
+  val RollingFrame = 4 // current row + 4 preceding
+
+  /** E14: rolling time-series features — per-user moving sum/count over the
+    * last 5 events plus the delta vs the previous event. ONE shuffle by
+    * user_id (the spread pre-clusters it, as sessionize does) and every
+    * feature shares the same window sort; the frame is row-bounded so state
+    * per key during the sort-based window evaluation is O(frame), not
+    * O(history). Money stays integer cents so both engines agree bitwise
+    * (a double moving sum would depend on frame addition order).
+    */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val frame = byUser.rowsBetween(-RollingFrame, Window.currentRow)
+    Tables.spread(Tables.events(spark, dir), "user_id")
+      .withColumn("cents", round(col("value") * 100).cast("bigint"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("cents"),
+        sum(col("cents")).over(frame).as("mov_cents"),
+        count(lit(1)).over(frame).as("n_win"),
+        (col("cents") - lag(col("cents"), 1).over(byUser)).as("delta_cents"))
+  }
+  val eventsRollingSql: String =
+    s"""SELECT event_id, user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS mov_cents,
+      CAST(count(*) OVER w AS BIGINT) AS n_win,
+      CAST(round(value * 100, 0) AS BIGINT)
+        - lag(CAST(round(value * 100, 0) AS BIGINT)) OVER wo AS delta_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN $RollingFrame PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+
+  /** E15: SCD2 interval construction — turn a change-event log into type-2
+    * dimension history: each event opens a validity interval that the
+    * user's next event closes (NULL valid_to = current). The standard
+    * CDC→warehouse pattern stated as ONE window (lead over the user
+    * clustering), no self-join, no driver state; the same shuffle the
+    * sessionizer uses.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.spread(Tables.events(spark, dir), "user_id")
+      .select(
+        col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(byUser).as("valid_to"),
+        lead(col("ts"), 1).over(byUser).isNull.as("is_current"))
+  }
+  val scd2IntervalsSql: String =
+    """SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+      lead(ts) OVER w AS valid_to,
+      lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+
   /** E3 companion already in Analytics; E2's q3/q5 likewise. */
 }

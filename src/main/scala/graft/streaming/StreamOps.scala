@@ -162,6 +162,46 @@ object StreamOps {
       }
   }
 
+  case class Scd2State(eventId: Long, state: String, tsUs: Long)
+  case class Scd2Out(user_id: Long, event_id: Long, state: String,
+                     valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Streaming twin of the batch SCD2 construction (`scd2_intervals`): each
+    * arriving event CLOSES the user's open interval (emitted) and opens a
+    * new one (held in state — one small struct per user, O(|users|)).
+    * Append semantics mean only closed intervals are emitted; the open
+    * interval lives in state until the next change closes it (the batch
+    * twin emits it with valid_to NULL — the documented delta). Within a
+    * micro-batch events apply in (ts, event_id) order — the batch tie
+    * rule; cross-batch the state only advances, so a late event older
+    * than the open interval is ignored rather than rewriting emitted
+    * history (same policy as the streaming as-of).
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[Scd2State]) =>
+          val sorted = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Scd2Out]
+          sorted.foreach { e =>
+            val us = microsOf(e.ts)
+            cur match {
+              case Some(s) if us > s.tsUs || (us == s.tsUs && e.event_id > s.eventId) =>
+                out += Scd2Out(userId, s.eventId, s.state, tsOf(s.tsUs), tsOf(us))
+                cur = Some(Scd2State(e.event_id, e.event_type, us))
+              case Some(_) => // late event behind the open interval: advance-only
+              case None => cur = Some(Scd2State(e.event_id, e.event_type, us))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming benchmark decontamination — the ingest-time twin of the
     * batch `decontaminate` operator: flag arriving documents that share a
     * word-3-gram with the (static, small) benchmark set. The shingle

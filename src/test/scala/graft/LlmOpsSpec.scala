@@ -285,6 +285,54 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(out(probe)._1 == expect, s"doc $probe: got ${out(probe)._1}, want $expect")
   }
 
+  test("best-rep picks the max-quality member of every component") {
+    val comp = Dedup.dedupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    Checkpoints.releaseAll()
+    val quality = TextOps.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reps = Dedup.dedupBestRep(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    Checkpoints.releaseAll()
+    val byComp = comp.groupBy(_._2)
+    assert(reps.keySet == byComp.keySet)
+    byComp.foreach { case (cid, members) =>
+      val want = members.map(_._1).minBy(d => (-quality(d), d))
+      val (bestDoc, bestQ, n) = reps(cid)
+      assert(bestDoc == want, s"component $cid picked $bestDoc, want $want")
+      assert(bestQ == quality(want) && n == members.length)
+    }
+  }
+
+  test("bloom decontamination equals exact and actually probes a bloom filter") {
+    val exact = Dedup.decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    Checkpoints.releaseAll()
+    val viaBloom = Dedup.decontaminateBloom(spark, sfDir)
+    // the sketch probe is in the plan (pre-filter really runs) ...
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("graft_bloom_contains"),
+      plan.take(800))
+    // ... and no false negative / surviving false positive: output identical
+    val got = viaBloom.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    Checkpoints.releaseAll()
+    assert(got == exact)
+    // the probe itself admits members and rejects most non-members
+    import graft.functions.BloomOps
+    val df = spark.range(1000).select(xxhash64(col("id")).as("hl"))
+    val bf = df.filter(col("hl") % 2 === 0)
+      .agg(BloomOps.bloomAgg(col("hl"), 1000L, 16000L).as("bf"))
+    val probed = df
+      .select(col("hl"), BloomOps.bloomContains(bf.scalar(), col("hl")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(probed.filter(_._1 % 2 == 0).forall(_._2), "bloom dropped a member")
+    val nonMembers = probed.filter(_._1 % 2 != 0)
+    assert(nonMembers.count(_._2) < nonMembers.length / 4,
+      "bloom passes too many non-members to prune anything")
+  }
+
   test("corpus_clean survivors pass every stage filter") {
     import graft.llm.Corpus
     val kept = Corpus.corpusClean(spark, sfDir).collect()

@@ -141,6 +141,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("decontaminate_bloom: sketch probe is a scalar subquery, no corpus-wide join before it") {
+    val p = planOf(llm.Dedup.decontaminateBloom(spark, sfDir))
+    // the probe made it into the physical plan as the codegen'd predicate
+    assert(p.contains("might_contain"), p.take(800))
+    // the sketch reaches the filter as a one-row subquery, not a join edge
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(800))
+    // candidate confirmation stays broadcast; the corpus is never cartesian'd
+    assert(p.contains("BroadcastHashJoin"), "exact confirm must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(800))
+    Checkpoints.releaseAll()
+  }
+
+  test("events_rolling and scd2: one exchange (the user clustering), windows reuse it") {
+    for (df <- Seq(queries.Events.eventsRolling(spark, sfDir),
+                   queries.Events.scd2Intervals(spark, sfDir))) {
+      val p = planOf(df)
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange( .*)?""")) == 1, p.take(700))
+      assert(!p.contains("Join"), "window ops must not join")
+    }
+  }
+
   test("q1_rollup: single-pass grouping-sets expand, partial agg before its exchange") {
     val p = planOf(queries.Analytics.q1Rollup(spark, sfDir))
     def ids(name: String): Seq[Int] =

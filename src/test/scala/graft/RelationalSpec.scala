@@ -229,4 +229,39 @@ class RelationalSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     df.collect().foreach(r => assert(direct(r.getString(0)) == r.getLong(1)))
   }
+
+  test("events_rolling: frame sums match a hand scan of one user's history") {
+    import graft.queries.Events
+    val out = Events.eventsRolling(spark, sfDir)
+    assert(out.count() == Tables.events(spark, sfDir).count())
+    val uid = Tables.events(spark, sfDir).select("user_id").head.getLong(0)
+    val hist = Tables.events(spark, sfDir).filter(col("user_id") === uid)
+      .select(col("event_id"), col("ts"), round(col("value") * 100).cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val got = out.filter(col("user_id") === uid)
+      .select("event_id", "mov_cents", "n_win", "delta_cents")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    hist.zipWithIndex.foreach { case ((eid, _, _), i) =>
+      val frame = hist.slice(math.max(0, i - Events.RollingFrame), i + 1)
+      val delta = if (i == 0) None else Some(hist(i)._3 - hist(i - 1)._3)
+      assert(got(eid) == ((frame.map(_._3).sum, frame.length.toLong, delta)),
+        s"row $i of user $uid")
+    }
+  }
+
+  test("scd2 intervals tile each user's timeline: no gaps, one open interval") {
+    import graft.queries.Events
+    val rows = Events.scd2Intervals(spark, sfDir)
+      .filter(col("user_id") === Tables.events(spark, sfDir).select("user_id").head.getLong(0))
+      .orderBy(col("valid_from"), col("event_id")).collect()
+    assert(rows.nonEmpty)
+    // exactly the last interval is open/current
+    assert(rows.count(_.getBoolean(5)) == 1 && rows.last.getBoolean(5))
+    // each interval closes where the next opens (contiguous history)
+    rows.sliding(2).filter(_.size == 2).foreach { case Array(a, b) =>
+      assert(a.get(4) == b.get(3), s"gap between ${a.get(4)} and ${b.get(3)}")
+    }
+  }
 }

@@ -112,6 +112,25 @@ class StreamingSpec extends SparkSpecBase {
       want.filter(col("user_nationkey").isNotNull).count())
   }
 
+  test("streaming scd2 emits exactly the batch twin's closed intervals") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    val got = StreamOps.scd2Stream(ev).toDF()
+      .select(col("user_id"), col("event_id"), col("state"),
+        col("valid_from"), col("valid_to"))
+    // batch rows with a non-null valid_to = the closed intervals; the one
+    // open interval per user stays in streaming state (Append semantics)
+    val want = graft.queries.Events.scd2Intervals(spark, sfDir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_id"), col("state"),
+        col("valid_from").cast("timestamp").as("valid_from"),
+        col("valid_to").cast("timestamp").as("valid_to"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
