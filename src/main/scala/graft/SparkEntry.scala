@@ -27,12 +27,15 @@ object SparkEntry {
     "stream_window_agg" -> (Events.streamWindowAgg _),
     "stream_sessionize" -> (Events.streamSessionize _),
     "events_rolling"    -> (Events.eventsRolling _),
+    "hop_window_agg"    -> (Events.hopWindowAgg _),
+    "agg_incremental"   -> (Events.aggIncremental _),
     "scd2_intervals"    -> (Events.scd2Intervals _),
     // §2.E8-E11 temporal / interval / skew-safe relational operators
     "asof_join"        -> (Temporal.asofJoinQ _),
     "range_join_bands" -> (Temporal.rangeJoinBands _),
     "distinct_users_skewsafe" -> (Temporal.distinctUsersSkewsafe _),
     "distinct_user_digest" -> (Temporal.distinctUserDigest _),
+    "events_salted_join"   -> (Temporal.eventsSaltedJoin _),
     // HLL sketch twin of distinct_users_skewsafe: estimates are
     // implementation-defined → rows-only driver check; error bound vs the
     // exact operator is spec-asserted (AnalyticsSpec)
@@ -73,6 +76,7 @@ object SparkEntry {
     "dedup_incremental"   -> (graft.llm.Dedup.dedupIncremental _),
     "dedup_spans"         -> (graft.llm.Dedup.dedupSpans _),
     "corpus_clean"        -> (graft.llm.Corpus.corpusClean _),
+    "corpus_report"       -> (graft.llm.Corpus.corpusReport _),
     "sample_cap_domain"   -> (graft.llm.Sampling.sampleCapDomain _),
     "corpus_mixture"      -> (graft.llm.Sampling.corpusMixture _),
   ) ++ graft.capex.CapexQueries.queries
@@ -93,11 +97,14 @@ object SparkEntry {
     "stream_window_agg" -> Events.streamWindowAggSql,
     "stream_sessionize" -> Events.streamSessionizeSql,
     "events_rolling"    -> Events.eventsRollingSql,
+    "hop_window_agg"    -> Events.hopWindowAggSql,
+    "agg_incremental"   -> Events.aggIncrementalSql,
     "scd2_intervals"    -> Events.scd2IntervalsSql,
     "asof_join"        -> Temporal.asofJoinSql,
     "range_join_bands" -> Temporal.rangeJoinBandsSql,
     "distinct_users_skewsafe" -> Temporal.distinctUsersSkewsafeSql,
     "distinct_user_digest" -> Temporal.distinctUserDigestSql,
+    "events_salted_join"   -> Temporal.eventsSaltedJoinSql,
     "ann_lsh_multiprobe"   -> graft.llm.Ann.annLshMultiprobeSql,
     "price_quantiles"  -> Analytics.priceQuantilesSql,
     "dedup_exact"         -> graft.llm.Dedup.dedupExactSql,
@@ -127,6 +134,7 @@ object SparkEntry {
     "dedup_incremental"   -> graft.llm.Dedup.dedupIncrementalSql,
     "dedup_spans"         -> graft.llm.Dedup.dedupSpansSql,
     "corpus_clean"        -> graft.llm.Corpus.corpusCleanSql,
+    "corpus_report"       -> graft.llm.Corpus.corpusReportSql,
     "sample_cap_domain"   -> graft.llm.Sampling.sampleCapDomainSql,
     "corpus_mixture"      -> graft.llm.Sampling.corpusMixtureSql,
     "q1_rollup"           -> Analytics.q1RollupSql,

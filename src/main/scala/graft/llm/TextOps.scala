@@ -39,11 +39,11 @@ object TextOps {
   val StopFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans")
   val StopEs = Seq("el", "la", "los", "de", "y", "un", "una", "es", "para", "con")
 
-  private def stopCount(t: Column, stops: Seq[String]): Column = {
+  private[llm] def stopCount(t: Column, stops: Seq[String]): Column = {
     val arr = array(stops.map(lit): _*)
     size(filter(t, x => array_contains(arr, x)))
   }
-  private def stopCountSql(toksExpr: String, stops: Seq[String]): String = {
+  private[llm] def stopCountSql(toksExpr: String, stops: Seq[String]): String = {
     val arr = stops.map(s => s"'$s'").mkString("[", ", ", "]")
     s"len(list_filter($toksExpr, x -> list_contains($arr, x)))"
   }

@@ -156,4 +156,30 @@ object Relational {
     facts.filter(col(valueCol) >= lo && col(valueCol) < hi)
       .withColumn("band", element_at(labels, idx.cast("int")))
   }
+
+  /** Salted replicate join — the skew pattern for an equality join whose
+    * LEFT side has hot keys and whose RIGHT side is too big to broadcast
+    * but small enough to replicate `salts`×: each right row is exploded
+    * into every salt bucket, each left row picks ONE deterministic salt
+    * from `saltBy` (a content-derived column — NOT rand(), so retries and
+    * recomputed partitions land identically), and the join runs on
+    * (keys, salt). A key with s rows then occupies `salts` reducers at
+    * s/salts rows each instead of pinning one. Inner/left-outer semantics
+    * are identical to the unsalted join (property-tested); right-side
+    * shuffle volume grows by the replication factor — the explicit price,
+    * paid only when skew actually bounds the job. AQE's skew-join split
+    * handles sort-merge cases adaptively; this static form is for when
+    * the planner can't (first shuffle of a hot-keyed aggregate input, or
+    * disabled/ineffective AQE).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salts: Int, saltBy: Column,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      "salting replicates the right side: only inner/left joins are sound")
+    val l = left.withColumn("__salt", pmod(saltBy, lit(salts)).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

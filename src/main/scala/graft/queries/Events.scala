@@ -78,6 +78,86 @@ object Events {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id"""
 
+  val HopMinutes = 15
+  val HopWindowMinutes = 60
+
+  /** E16: hopping (sliding) window aggregation — 1-hour windows advancing
+    * every 15 min, the smoothing shape dashboards/alerting run. Stated as
+    * the same explicit slot expansion Spark's own `window(ts, "1 hour",
+    * "15 minutes")` plans (each event replicates into window/hop = 4
+    * slots map-side via explode — an Expand, not a join), then ONE
+    * partial-agg shuffle by (slot, type). The streaming twin
+    * (StreamOps.hopWindowAgg) is the native sliding window with a
+    * watermark; spec-matched to this mirror.
+    */
+  def hopWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val hopMs = HopMinutes * 60L * 1000L
+    val nSlots = HopWindowMinutes / HopMinutes
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    // slots whose [start, start+60min) contain ts: the nSlots hops ending
+    // at the one beginning at floor(ts/hop)*hop
+    val slotStarts = sequence(
+      (floor(ms / hopMs) - (nSlots - 1)) * hopMs, floor(ms / hopMs) * hopMs,
+      lit(hopMs))
+    Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
+      .withColumn("slot_ms", explode(slotStarts))
+      .groupBy(timestamp_millis(col("slot_ms")).cast("timestamp_ntz").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  }
+  val hopWindowAggSql: String = {
+    val hopMs = HopMinutes * 60L * 1000L
+    val nSlots = HopWindowMinutes / HopMinutes
+    s"""SELECT make_timestamp(slot_ms * 1000) AS window_start, event_type,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT event_type, value,
+        unnest(range((CAST(floor(epoch_ms(ts) / $hopMs) AS BIGINT) - ${nSlots - 1}) * $hopMs,
+                     CAST(floor(epoch_ms(ts) / $hopMs) AS BIGINT) * $hopMs + 1,
+                     $hopMs)) AS slot_ms
+      FROM events)
+    GROUP BY 1, 2"""
+  }
+
+  /** Modular split for the incremental-aggregation demonstration: every
+    * 20th event plays "today's arrivals" (mirrors Dedup.IncrementalBatchMod).
+    */
+  val AggBatchMod = 20
+
+  /** E17: incremental aggregate maintenance — refresh a per-(type, day)
+    * aggregate table from a new batch WITHOUT rescanning history: the
+    * stored aggregate (materialized, as a warehouse table would be) merges
+    * with the batch's partial aggregate by summing the mergeable states.
+    * The refresh's shuffle is bounded by |groups|, not |corpus| — the only
+    * corpus-linear work ever done was the original build; each day adds
+    * O(batch) scan + O(groups) merge. Works for any decomposable aggregate
+    * (count/sum here; min/max/HLL/bloom states the same way) — the
+    * materialized-view-maintenance twin of D22's incremental dedup.
+    */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
+    val ev = Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
+    val isBatch = col("event_id") % AggBatchMod === 0
+    // the stored aggregate: built once, materialized (stands in for the
+    // warehouse table a production refresh reads back)
+    val stored = graft.Checkpoints.cp(partial(ev.filter(!isBatch)))
+    val fresh = partial(ev.filter(isBatch))
+    stored.unionByName(fresh)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"), sum(col("sum_cents")).as("sum_cents"))
+  }
+  /** Oracle states the aggregate directly over all events — the merged
+    * refresh must be indistinguishable from a full recompute.
+    */
+  val aggIncrementalSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2"""
+
   val RollingFrame = 4 // current row + 4 preceding
 
   /** E14: rolling time-series features — per-user moving sum/count over the

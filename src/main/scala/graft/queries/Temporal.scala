@@ -136,6 +136,32 @@ object Temporal {
     FROM (SELECT DISTINCT event_type, user_id FROM events)
     GROUP BY event_type"""
 
+  val SkewSalts = 8
+
+  /** E18: salted-join enrichment — events joined to the customer dim
+    * through `Relational.saltedJoin` (replicate-right, content-salted
+    * left), then aggregated per nation. Stated with the dim REPLICATED
+    * 8× instead of broadcast to exercise the skew shape: a hot user's
+    * events spread across SkewSalts reducers instead of pinning one.
+    * (At this dim size broadcast is what production would pick — the
+    * query exists to keep the pattern oracle-checked end to end.)
+    */
+  def eventsSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey").as("nationkey"))
+    Relational.saltedJoin(ev, cust, Seq("user_id"), SkewSalts, col("event_id"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+  }
+  val eventsSaltedJoinSql: String =
+    """SELECT c.c_nationkey AS nationkey, count(*) AS n_events,
+      CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1"""
+
   /** E11's sketch twin (mirrors E10's approx-quantile pattern): HLL++
     * approximate count-distinct — the 100 TB path when even the two-stage
     * exact expansion shuffles too much. The sketch is a fixed-size,

@@ -42,6 +42,21 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** E16 streaming twin: native sliding windows (1 h every 15 min) with a
+    * watermark bounding the 4 concurrently-open windows per key. Same
+    * output shape as the batch slot-expansion mirror (queries.Events
+    * .hopWindowAgg), which the spec matches it against.
+    */
+  def hopWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_tz", col("ts").cast("timestamp"))
+      .withWatermark("ts_tz", "1 hour")
+      .groupBy(window(col("ts_tz"), "60 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Full-precision epoch micros of a Timestamp (getTime alone drops µs). */

@@ -357,6 +357,33 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(kept.size < Tables.documents(spark, sfDir).count())
   }
 
+  test("corpus report agrees with the per-doc operators it summarizes") {
+    import graft.llm.Corpus
+    val meta = Tables.documents(spark, sfDir).select("doc_id", "source", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val q = TextOps.textQuality(spark, sfDir).select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = TextOps.textTokens(spark, sfDir).select("doc_id", "n_bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Corpus.corpusReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    val groups = meta.keys.groupBy(meta)
+    assert(got.keySet == groups.keySet)
+    groups.foreach { case (key, ids0) =>
+      val ids = ids0.toSeq
+      val (nDocs, totTok, meanQ, medTok) = got(key)
+      assert(nDocs == ids.size)
+      assert(totTok == ids.map(t(_).toLong).sum)
+      // inline quality == text_quality's (micro-rounded, exact-int mean)
+      val wantMean = ids.map(d => math.round(q(d) * 1e6)).sum.toDouble / (ids.size * 1e6)
+      assert(meanQ == wantMean, s"$key mean: $meanQ vs $wantMean")
+      // type-1 median on (tokens, doc_id) order
+      val sorted = ids.sortBy(d => (t(d), d))
+      assert(medTok == t(sorted((ids.size - 1) / 2)).toLong)
+    }
+  }
+
   test("tfidf returns top-3 per doc, ranked by rounded score then term") {
     val t = TextOps.textTfidf(spark, sfDir)
     val perDoc = t.groupBy("doc_id").count()

@@ -77,6 +77,28 @@ class PartitioningSpec extends SparkSpecBase {
     assert(q.agg(sum("n")).head.getLong(0) == expect)
   }
 
+  test("range-clustered sink: files own pairwise-disjoint key slices") {
+    import graft.sources.SortedSink
+    val out = "/tmp/graft-test-sorted/events"
+    val src = Tables.events(spark, sfDir).select("event_id", "value")
+    SortedSink.writeSorted(src, out, Seq("value"), numFiles = 8)
+    val back = SortedSink.readSorted(spark, out)
+    assert(back.count() == src.count())
+    // per-file value ranges from the data itself (what the parquet footer
+    // min/max will say): disjoint ⇒ a range predicate prunes whole files
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).filter(_.length == 2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: hi=$hi > next lo=$lo")
+    }
+    // and the clustering is balanced despite the skewless-uniform testdata
+    val counts = back.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(counts.min > 0)
+  }
+
   test("partitioned round-trip preserves rows and the partition column") {
     ensureWritten()
     val src = Tables.documents(spark, sfDir)

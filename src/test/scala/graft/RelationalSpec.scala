@@ -230,6 +230,26 @@ class RelationalSpec extends SparkSpecBase {
     df.collect().foreach(r => assert(direct(r.getString(0)) == r.getLong(1)))
   }
 
+  test("salted join equals the plain join, inner and left, on skewed data") {
+    import spark.implicits._
+    // heavy skew: key 1 dominates; keys 4/5 unmatched on one side
+    val left = (1 to 200).map(i => (if (i <= 150) 1L else (i % 5).toLong, i.toLong))
+      .toDF("k", "lid")
+    val right = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (9L, "z"))
+      .toDF("k", "tag")
+    for (jt <- Seq("inner", "left")) {
+      val got = Relational.saltedJoin(left, right, Seq("k"), 4, col("lid"), jt)
+        .select("k", "lid", "tag")
+      val want = left.join(right, Seq("k"), jt).select("k", "lid", "tag")
+      assert(got.count() == want.count(), s"$jt count")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0, jt)
+    }
+    // and the salting really spreads the hot key across buckets
+    val salted = left.withColumn("s", pmod(col("lid"), lit(4)))
+      .filter(col("k") === 1).groupBy("s").count().collect()
+    assert(salted.length == 4)
+  }
+
   test("events_rolling: frame sums match a hand scan of one user's history") {
     import graft.queries.Events
     val out = Events.eventsRolling(spark, sfDir)

@@ -28,6 +28,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming hopping-window agg matches the batch slot-expansion mirror") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-hop-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      sdir.resolve("part-00000.parquet"))
+    val stream = StreamOps.readEventStream(spark, sdir.toString)
+    val got = StreamOps.runToMemory(spark, StreamOps.hopWindowAgg(stream),
+      "hop_agg_test", org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val want = Events.hopWindowAgg(spark, sfDir)
+      .select(col("window_start").cast("timestamp").cast("string"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps distinct docs") {
     // stage a docs-as-stream dir: duplicate every doc text under two ids
     val sdir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
