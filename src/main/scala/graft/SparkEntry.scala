@@ -36,6 +36,8 @@ object SparkEntry {
     "distinct_users_skewsafe" -> (Temporal.distinctUsersSkewsafe _),
     "distinct_user_digest" -> (Temporal.distinctUserDigest _),
     "events_salted_join"   -> (Temporal.eventsSaltedJoin _),
+    "skew_report"          -> (Temporal.skewReport _),
+    "embed_reduce"         -> (graft.llm.Ann.embedReduce _),
     // HLL sketch twin of distinct_users_skewsafe: estimates are
     // implementation-defined → rows-only driver check; error bound vs the
     // exact operator is spec-asserted (AnalyticsSpec)
@@ -77,6 +79,8 @@ object SparkEntry {
     "dedup_spans"         -> (graft.llm.Dedup.dedupSpans _),
     "corpus_clean"        -> (graft.llm.Corpus.corpusClean _),
     "corpus_report"       -> (graft.llm.Corpus.corpusReport _),
+    "quality_tiers"       -> (graft.llm.Corpus.qualityTiers _),
+    "top_docs"            -> (graft.llm.Corpus.topDocs _),
     "sample_cap_domain"   -> (graft.llm.Sampling.sampleCapDomain _),
     "corpus_mixture"      -> (graft.llm.Sampling.corpusMixture _),
   ) ++ graft.capex.CapexQueries.queries
@@ -105,6 +109,8 @@ object SparkEntry {
     "distinct_users_skewsafe" -> Temporal.distinctUsersSkewsafeSql,
     "distinct_user_digest" -> Temporal.distinctUserDigestSql,
     "events_salted_join"   -> Temporal.eventsSaltedJoinSql,
+    "skew_report"          -> Temporal.skewReportSql,
+    "embed_reduce"         -> graft.llm.Ann.embedReduceSql,
     "ann_lsh_multiprobe"   -> graft.llm.Ann.annLshMultiprobeSql,
     "price_quantiles"  -> Analytics.priceQuantilesSql,
     "dedup_exact"         -> graft.llm.Dedup.dedupExactSql,
@@ -135,6 +141,8 @@ object SparkEntry {
     "dedup_spans"         -> graft.llm.Dedup.dedupSpansSql,
     "corpus_clean"        -> graft.llm.Corpus.corpusCleanSql,
     "corpus_report"       -> graft.llm.Corpus.corpusReportSql,
+    "quality_tiers"       -> graft.llm.Corpus.qualityTiersSql,
+    "top_docs"            -> graft.llm.Corpus.topDocsSql,
     "sample_cap_domain"   -> graft.llm.Sampling.sampleCapDomainSql,
     "corpus_mixture"      -> graft.llm.Sampling.corpusMixtureSql,
     "q1_rollup"           -> Analytics.q1RollupSql,

@@ -471,4 +471,47 @@ object Ann {
                ORDER BY cos DESC, nb_id ASC) AS rank
       FROM cand) WHERE rank <= 5"""
   }
+
+  val ReduceDims = 16
+  /** Offset into the planeSign family so the projection matrix is disjoint
+    * from the LSH/banding planes (both are code-time deterministic).
+    */
+  val ReducePlaneBase = 1000
+
+  /** D30: random-projection dimensionality reduction (Johnson-Lindenstrauss
+    * with a ±1 sign matrix): embed 64-dim vectors into ReduceDims
+    * coordinates r_k = Σ_d sign(base+k, d)·x_d / √ReduceDims. A pure
+    * codegen'd projection — no shuffle, no state, the cheap pre-step that
+    * makes downstream ANN/clustering pay 4× less per distance. The sign
+    * matrix is the same md5-derived family the LSH planes bake in, so the
+    * oracle recomputes identical coordinates (identical left-to-right
+    * addition order; output rounded to 6 dp).
+    */
+  def embedReduce(spark: SparkSession, dir: String): DataFrame = {
+    val scale = math.sqrt(ReduceDims.toDouble)
+    val cols = (0 until ReduceDims).map { k =>
+      val proj = (0 until Dim).map { d =>
+        element_at(col("embedding"), d + 1).cast("double") *
+          planeSign(ReducePlaneBase + k, d)
+      }.reduce(_ + _)
+      round(proj / scale, 6).as(f"r$k%02d")
+    }
+    Tables.spreadIfNarrow(vecs(spark, dir), "vec_id")
+      .select(col("vec_id") +: cols: _*)
+  }
+  def embedReduceSql: String = {
+    val scale = math.sqrt(ReduceDims.toDouble)
+    val cols = (0 until ReduceDims).map { k =>
+      val proj = (0 until Dim).map { d =>
+        val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
+        val s = planeSign(ReducePlaneBase + k, d)
+        if (d == 0) { if (s > 0) term else s"(- $term)" }
+        else { if (s > 0) s"+ $term" else s"- $term" }
+      }.mkString(" ")
+      f"round(($proj) / $scale%.17g, 6) AS r$k%02d"
+    }.mkString(",\n      ")
+    s"""SELECT vec_id,
+      $cols
+    FROM embeddings"""
+  }
 }

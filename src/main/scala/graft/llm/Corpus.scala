@@ -70,15 +70,7 @@ object Corpus {
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = TextOps.toks(col("text"))
-    val nTokens = size(t)
-    val nChars = length(col("text"))
-    val nPunct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
-    val nStop = TextOps.stopCount(t, TextOps.StopEn)
-    val stopRatio = when(nTokens === 0, 0.0).otherwise(nStop.cast("double") / nTokens)
-    val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars)
-    val quality = stopRatio * 0.5 + (lit(1.0) - punctRatio) * 0.3 +
-      least(nTokens.cast("double") / 100, lit(1.0)) * 0.2
+    val quality = TextOps.qualityExpr(col("text"))
     val nBpe = size(regexp_extract_all(lower(col("text")),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
     val perDoc = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
@@ -104,13 +96,7 @@ object Corpus {
     s"""WITH per_doc AS (
       SELECT doc_id, source, lang,
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
-        CAST(round((
-          (CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE CAST(${TextOps.stopCountSql("toks", TextOps.StopEn)} AS DOUBLE) / len(toks) END) * 0.5
-          + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
-          + least(CAST(len(toks) AS DOUBLE) / 100, 1.0) * 0.2
-        ) * 1000000, 0) AS BIGINT) AS q_micros
+        CAST(round(${TextOps.qualityExprSql("toks")} * 1000000, 0) AS BIGINT) AS q_micros
       FROM (SELECT doc_id, source, lang, text, ${TextOps.toksSql} AS toks FROM documents)),
     w AS (
       SELECT *, row_number() OVER (PARTITION BY source, lang
@@ -122,4 +108,72 @@ object Corpus {
       CAST(sum(q_micros) AS DOUBLE) / (count(*) * 1000000.0) AS mean_quality,
       CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_bpe_tokens END) AS BIGINT) AS median_tokens
     FROM w GROUP BY source, lang"""
+
+  val QualityTiers = 10
+
+  /** D28: global quality-tier bucketing WITHOUT a global sort — the scale
+    * trap in "assign every doc its corpus-wide decile" is ntile() over an
+    * unpartitioned window (one reducer sorts the corpus). Instead the
+    * score is quantized to fixed precision (4 dp — the bounded-cardinality
+    * contract), the corpus does ONE partial-agg shuffle bounded by
+    * DISTINCT SCORES (≤ 10^4ish rows, not docs), exact cumulative ranks
+    * are computed by a window over that tiny frequency table, and the
+    * value→tier map broadcasts back over the scan. Ties share the tier of
+    * their value's first global rank (tier is a pure function of the
+    * value — the documented policy that keeps assignment rank-free).
+    */
+  def qualityTiers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"),
+        round(TextOps.qualityExpr(col("text")) * 10000).cast("bigint").as("q4"))
+    val freq = perDoc.groupBy(col("q4")).agg(count(lit(1)).as("cnt"))
+    // windows over the FREQUENCY TABLE (bounded by the quantized domain,
+    // not the corpus) — the unpartitioned order is deliberate and safe here
+    val byVal = Window.orderBy(col("q4").asc)
+    val all = Window.partitionBy()
+    val tiers = freq
+      .withColumn("cum_before", coalesce(
+        sum(col("cnt")).over(byVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .select(col("q4"),
+        least(lit(QualityTiers.toLong),
+          expr(s"cum_before * $QualityTiers div n") + 1).as("tier"))
+    perDoc.join(broadcast(tiers), Seq("q4"))
+      .select(col("doc_id"), col("q4"), col("tier"))
+  }
+  val qualityTiersSql: String =
+    s"""WITH per_doc AS (
+      SELECT doc_id, CAST(round(${TextOps.qualityExprSql("toks")} * 10000, 0) AS BIGINT) AS q4
+      FROM (SELECT doc_id, text, ${TextOps.toksSql} AS toks FROM documents)),
+    freq AS (SELECT q4, count(*) AS cnt FROM per_doc GROUP BY q4),
+    b AS (
+      SELECT q4,
+        coalesce(sum(cnt) OVER (ORDER BY q4 ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        sum(cnt) OVER () AS n
+      FROM freq),
+    t AS (SELECT q4, least($QualityTiers, cum_before * $QualityTiers // n + 1) AS tier FROM b)
+    SELECT p.doc_id, p.q4, CAST(t.tier AS BIGINT) AS tier
+    FROM per_doc p JOIN t USING (q4)"""
+
+  val TopDocs = 100
+
+  /** D29: global top-N by quality — orderBy(...).limit(N) deliberately,
+    * because Spark plans it as TakeOrderedAndProject: each partition keeps
+    * its local top N and only N·partitions rows ever reach the final
+    * selection — NO global sort, no full-corpus exchange (plan-audited).
+    * The anti-pattern it replaces is row_number() over an unpartitioned
+    * window + filter ≤ N, which sorts the corpus on one reducer.
+    */
+  def topDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextOps.qualityExpr(col("text")).as("quality_score"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .limit(TopDocs)
+  val topDocsSql: String =
+    s"""SELECT doc_id, source, lang, ${TextOps.qualityExprSql("toks")} AS quality_score
+    FROM (SELECT doc_id, source, lang, text, ${TextOps.toksSql} AS toks FROM documents)
+    ORDER BY quality_score DESC, doc_id ASC LIMIT $TopDocs"""
 }

@@ -73,6 +73,30 @@ object TextOps {
       FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""
   }
 
+  /** The D9 quality score as ONE Column expression over a text column —
+    * the same shapes textQuality computes via intermediate columns (its
+    * spec-pinned single source of truth for reuse by corpus_report /
+    * quality_tiers / top_docs, which need it inline in a single scan).
+    */
+  private[llm] def qualityExpr(text: Column): Column = {
+    val t = toks(text)
+    val nTokens = size(t)
+    val nChars = length(text)
+    val nPunct = length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))
+    val nStop = stopCount(t, StopEn)
+    val stopRatio = when(nTokens === 0, 0.0).otherwise(nStop.cast("double") / nTokens)
+    val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars)
+    stopRatio * 0.5 + (lit(1.0) - punctRatio) * 0.3 +
+      least(nTokens.cast("double") / 100, lit(1.0)) * 0.2
+  }
+  /** DuckDB mirror of qualityExpr; `toksExpr` names a token-list column. */
+  private[llm] def qualityExprSql(toksExpr: String): String =
+    s"""((CASE WHEN len($toksExpr) = 0 THEN 0.0
+          ELSE CAST(${stopCountSql(toksExpr, StopEn)} AS DOUBLE) / len($toksExpr) END) * 0.5
+      + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+          ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
+      + least(CAST(len($toksExpr) AS DOUBLE) / 100, 1.0) * 0.2)"""
+
   /** D9: quality scoring — length/punctuation/stopword ratios combined into
     * a [0,1] score. Ratios are double ops over exact integer counts, so the
     * oracle matches bit-for-bit.

@@ -136,6 +136,38 @@ object Temporal {
     FROM (SELECT DISTINCT event_type, user_id FROM events)
     GROUP BY event_type"""
 
+  val SkewTopK = 10
+
+  /** E19: key-skew diagnostics — the report run BEFORE choosing a skew
+    * remedy (salting, AQE hints, broadcast): the top-K heaviest join/group
+    * keys and each one's share of the table. Per-key counts are one
+    * map-side-combinable aggregate; the top-K is orderBy+limit (planned as
+    * TakeOrderedAndProject — per-partition local top-K, no global sort);
+    * the total arrives as a one-row scalar subquery; the rank window runs
+    * over K rows. Nothing in the plan is corpus-sorted or collected.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val total = counts.agg(sum(col("n_events")).cast("double").as("t"))
+    counts.orderBy(col("n_events").desc, col("user_id").asc).limit(SkewTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id").asc)).cast("bigint"))
+      .withColumn("pct", round(col("n_events") / total.scalar() * 100, 6))
+      .select(col("rank"), col("user_id"), col("n_events"), col("pct"))
+  }
+  val skewReportSql: String =
+    s"""WITH counts AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(n_events) AS DOUBLE) AS t FROM counts),
+    topk AS (SELECT * FROM counts
+             ORDER BY n_events DESC, user_id ASC LIMIT $SkewTopK)
+    SELECT row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank,
+      user_id, CAST(n_events AS BIGINT) AS n_events,
+      round(n_events / (SELECT t FROM t) * 100, 6) AS pct
+    FROM topk"""
+
   val SkewSalts = 8
 
   /** E18: salted-join enrichment — events joined to the customer dim

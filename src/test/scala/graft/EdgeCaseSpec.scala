@@ -31,14 +31,15 @@ class EdgeCaseSpec extends SparkSpecBase {
     "embed_centroids", "text_langid", "text_quality", "text_tokens",
     "text_fingerprint", "text_tfidf", "text_repetition", "text_redact_pii",
     "pack_sequences", "sample_stratified", "sample_cap_domain",
-    "corpus_mixture", "corpus_clean", "corpus_report", "mm_pipeline",
+    "corpus_mixture", "corpus_clean", "corpus_report", "quality_tiers",
+    "top_docs", "mm_pipeline",
     "decontaminate_bloom",
     // E-family: analytics, events, temporal
     "q1_agg", "q1_rollup", "q6_filter", "topk_per_group", "events_json",
     "stream_window_agg", "stream_sessionize", "asof_join",
     "range_join_bands", "distinct_users_skewsafe", "price_quantiles",
     "events_rolling", "scd2_intervals", "hop_window_agg", "agg_incremental",
-    "events_salted_join",
+    "events_salted_join", "skew_report", "embed_reduce",
     // the full rule pipeline and the validation aggregate
     "capex_pipeline", "validate_prf")
 

@@ -384,6 +384,73 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("embed_reduce: coordinates match a driver-side sign-matrix projection") {
+    import graft.llm.Ann
+    def sign(j: Int, d: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ((Integer.parseInt(hex.substring(0, 1), 16) & 1) == 1) 1 else -1
+    }
+    val emb = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val got = Ann.embedReduce(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (0 until Ann.ReduceDims).map(k => r.getDouble(k + 1)))
+      .toMap
+    val scale = math.sqrt(Ann.ReduceDims.toDouble)
+    emb.foreach { case (id, v) =>
+      (0 until Ann.ReduceDims).foreach { k =>
+        var proj = 0.0
+        (0 until Ann.Dim).foreach { d =>
+          proj += v(d).toDouble * sign(Ann.ReducePlaneBase + k, d)
+        }
+        val want = BigDecimal(proj / scale)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(id)(k) == want, s"vec $id coord $k")
+      }
+    }
+    // and the reduction plan is a pure projection: no exchange beyond the
+    // optional narrow-scan spread, no join, no aggregate
+    val p = Ann.embedReduce(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(400))
+  }
+
+  test("quality tiers: rank-free global deciles match a driver-side sort") {
+    import graft.llm.Corpus
+    val got = Corpus.qualityTiers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q = TextOps.textQuality(spark, sfDir).select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 10000)).toMap
+    assert(got.keySet == q.keySet)
+    // tier(v) = tier of the value's FIRST global rank (documented policy)
+    val n = q.size
+    val sorted = q.values.toSeq.sorted
+    val firstRankBefore = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2).min }
+    got.foreach { case (d, (q4, tier)) =>
+      assert(q4 == q(d), s"doc $d quantized score")
+      val want = math.min(Corpus.QualityTiers,
+        firstRankBefore(q4) * Corpus.QualityTiers / n + 1)
+      assert(tier == want, s"doc $d: tier $tier, want $want")
+    }
+    // every tier is populated on the testdata and sizes are ~balanced
+    val sizes = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (1L to Corpus.QualityTiers).toSet, sizes.toString)
+  }
+
+  test("top_docs takes the global quality top-N without a global sort") {
+    import graft.llm.Corpus
+    val df = Corpus.topDocs(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.length == Corpus.TopDocs)
+    // matches a driver-side sort of the per-doc operator's scores
+    val want = TextOps.textQuality(spark, sfDir).select("doc_id", "quality_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (d, s) => (-s, d) }.take(Corpus.TopDocs)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("tfidf returns top-3 per doc, ranked by rounded score then term") {
     val t = TextOps.textTfidf(spark, sfDir)
     val perDoc = t.groupBy("doc_id").count()

@@ -162,6 +162,40 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("hop_window_agg: map-side slot expansion (Generate), one partial-agg shuffle") {
+    val p = planOf(queries.Events.hopWindowAgg(spark, sfDir))
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(ids("Generate").nonEmpty, "slot explode must be a Generate")
+    val aggs = ids("HashAggregate"); val exchs = ids("Exchange")
+    // partial agg sits between the explode and the (single agg) exchange
+    assert(aggs.size >= 2, "expected partial+final agg")
+    assert(!p.contains("Join"), "hop expansion must not join")
+  }
+
+  test("agg_incremental: merge input is two aggregates, not a history rescan") {
+    val p = planOf(queries.Events.aggIncremental(spark, sfDir))
+    // the stored side arrives as a materialized checkpoint (LogicalRDD
+    // scan), not a re-aggregation of the raw events scan
+    assert(p.contains("Scan ExistingRDD"), "stored aggregate must be materialized")
+    assert(!p.contains("Join"), "merge is a union+agg, not a join")
+    Checkpoints.releaseAll()
+  }
+
+  test("corpus_report: one scan, no self-join of derived frames") {
+    val p = planOf(llm.Corpus.corpusReport(spark, sfDir))
+    assert(!p.contains("Join"), "per-doc features must be one projection")
+    // the rank and count windows must SHARE one (source, lang) exchange
+    // (plus at most the narrow-scan spread upstream of it)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange( .*)?""")) <= 2, p.take(700))
+  }
+
+  test("events_salted_join: right side replicated via Generate, no broadcast of the fact") {
+    val p = planOf(queries.Temporal.eventsSaltedJoin(spark, sfDir))
+    assert(p.contains("Generate"), "salt replication must be a Generate")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q1_rollup: single-pass grouping-sets expand, partial agg before its exchange") {
     val p = planOf(queries.Analytics.q1Rollup(spark, sfDir))
     def ids(name: String): Seq[Int] =

@@ -250,6 +250,22 @@ class RelationalSpec extends SparkSpecBase {
     assert(salted.length == 4)
   }
 
+  test("skew report: top-k keys and shares match a driver-side count, no global sort") {
+    val df = Temporal.skewReport(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val all = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = all.map(_._2).sum.toDouble
+    val want = all.sortBy { case (u, n) => (-n, u) }.take(Temporal.SkewTopK)
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case (((rk, u, n, pct), (wu, wn)), i) =>
+      assert(rk == i + 1 && u == wu && n == wn, s"row $i")
+      assert(math.abs(pct - n / total * 100) < 1e-6, s"row $i pct")
+    }
+  }
+
   test("events_rolling: frame sums match a hand scan of one user's history") {
     import graft.queries.Events
     val out = Events.eventsRolling(spark, sfDir)
