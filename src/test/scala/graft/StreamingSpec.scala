@@ -147,6 +147,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming scd2 state only advances across micro-batches") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-batches")
+    def stage(name: String, mtimeMs: Long,
+              rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    stage("b1.parquet", 1000000L, Seq((1L, ts(100), 7L, "view", 1.0)))
+    // batch 2: a LATE event behind the open interval (ignored, must not
+    // rewrite emitted history) and an advancing event (closes [100, 200))
+    stage("b2.parquet", 2000000L, Seq(
+      (2L, ts(50), 7L, "click", 2.0),
+      (3L, ts(200), 7L, "purchase", 9.0)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[StreamOps.Event]
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.scd2Stream(stream).toDF(), "scd2_batches_test")
+      .select("event_id", "state", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000, r.getTimestamp(3).getTime / 1000))
+    assert(got.toSeq == Seq((1L, "view", 100L, 200L)), got.mkString(", "))
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
