@@ -37,6 +37,7 @@ object SparkEntry {
     "distinct_user_digest" -> (Temporal.distinctUserDigest _),
     "events_salted_join"   -> (Temporal.eventsSaltedJoin _),
     "skew_report"          -> (Temporal.skewReport _),
+    "session_overlap"      -> (Temporal.sessionOverlap _),
     "embed_reduce"         -> (graft.llm.Ann.embedReduce _),
     // HLL sketch twin of distinct_users_skewsafe: estimates are
     // implementation-defined → rows-only driver check; error bound vs the
@@ -110,6 +111,7 @@ object SparkEntry {
     "distinct_user_digest" -> Temporal.distinctUserDigestSql,
     "events_salted_join"   -> Temporal.eventsSaltedJoinSql,
     "skew_report"          -> Temporal.skewReportSql,
+    "session_overlap"      -> Temporal.sessionOverlapSql,
     "embed_reduce"         -> graft.llm.Ann.embedReduceSql,
     "ann_lsh_multiprobe"   -> graft.llm.Ann.annLshMultiprobeSql,
     "price_quantiles"  -> Analytics.priceQuantilesSql,

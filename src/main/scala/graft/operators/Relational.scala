@@ -182,4 +182,30 @@ object Relational {
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Interval-overlap join (interval × interval — the class E9's bandedJoin
+    * specializes to point × interval): rows pair iff their CLOSED intervals
+    * [start, end] intersect, with equality `keys` co-partitioning. The
+    * scale shape: each interval explodes into the grid cells it covers
+    * (cells/interval ≈ length/gridWidth + 1 — size the grid near the
+    * typical interval length to keep replication ~2×), candidates come
+    * from ONE equality join on (keys, cell), the exact overlap predicate
+    * prunes false cell-mates, and `distinct` collapses pairs sharing
+    * several cells. Never a cross join, never an unbounded inequality
+    * join; a hot cell is bounded by intervals alive in one grid slot.
+    * Bounds are numeric (epoch ms long for time intervals).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String,
+                   gridWidth: Long): DataFrame = {
+    require(gridWidth > 0, "gridWidth must be positive")
+    def cells(s: Column, e: Column): Column =
+      sequence(floor(s / gridWidth).cast("long"), floor(e / gridWidth).cast("long"))
+    val l = left.withColumn("__cell", explode(cells(col(lStart), col(lEnd))))
+    val r = right.withColumn("__cell", explode(cells(col(rStart), col(rEnd))))
+    l.join(r, keys :+ "__cell")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__cell").distinct()
+  }
 }

@@ -136,6 +136,78 @@ object Temporal {
     FROM (SELECT DISTINCT event_type, user_id FROM events)
     GROUP BY event_type"""
 
+  val OverlapGridMs: Long = 60L * 60 * 1000 // 1 h cells ≈ session scale
+
+  /** Per-(type, user) gap sessions with epoch-ms bounds — E6's construction
+    * with event_type in the clustering, feeding the interval join below.
+    * Output columns carry `pfx` so the self-join's two sides stay distinct.
+    */
+  private def typedSessions(spark: SparkSession, dir: String,
+                            pfx: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.spread(Tables.events(spark, dir), "user_id")
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byKey))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > graft.queries.Events.SessionGapMinutes * 60L * 1000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("event_type"), col("user_id"), col("sid"))
+      .agg(min(col("ms")).as(s"${pfx}start"), max(col("ms")).as(s"${pfx}end"))
+      .select(col("event_type"), col("user_id").as(s"${pfx}uid"),
+        col("sid").as(s"${pfx}sid"), col(s"${pfx}start"), col(s"${pfx}end"))
+  }
+
+  /** E20: interval-overlap join — concurrent sessions: pairs of DIFFERENT
+    * users' same-type sessions that overlap in time (closed intervals),
+    * via `Relational.intervalJoin`: sessions explode onto a 1 h grid,
+    * candidates come from one equality join on (event_type, cell), the
+    * exact predicate prunes, pairs dedup, a < b orders the pair. The
+    * interval×interval class E9's point-in-band join can't express —
+    * stated without the unbounded inequality join a naive formulation
+    * would nest. Cell occupancy here IS the concurrency being measured:
+    * a hot hour costs that hour's candidate pairs, not the cross of the
+    * whole session tables.
+    */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val a = typedSessions(spark, dir, "a_")
+    val b = typedSessions(spark, dir, "b_")
+    Relational.intervalJoin(a, b, Seq("event_type"),
+      "a_start", "a_end", "b_start", "b_end", OverlapGridMs)
+      .filter(col("a_uid") < col("b_uid"))
+      .select(col("event_type"), col("a_uid"), col("a_sid"),
+        col("b_uid"), col("b_sid"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_ms"))
+  }
+  val sessionOverlapSql: String = {
+    val gapMs = graft.queries.Events.SessionGapMinutes * 60L * 1000L
+    s"""WITH s AS MATERIALIZED (
+      SELECT event_type, user_id, sid, min(ms) AS s_start, max(ms) AS s_end
+      FROM (
+        SELECT event_type, user_id, epoch_ms(ts) AS ms,
+          CAST(sum(is_new) OVER (PARTITION BY event_type, user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM (
+          SELECT event_type, user_id, event_id, ts,
+            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $gapMs
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts ASC, event_id ASC)))
+      GROUP BY event_type, user_id, sid)
+    SELECT a.event_type, a.user_id AS a_uid, a.sid AS a_sid,
+      b.user_id AS b_uid, b.sid AS b_sid,
+      CAST(least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start) AS BIGINT) AS overlap_ms
+    FROM s a JOIN s b ON a.event_type = b.event_type AND a.user_id < b.user_id
+      AND a.s_start <= b.s_end AND b.s_start <= a.s_end"""
+  }
+
   val SkewTopK = 10
 
   /** E19: key-skew diagnostics — the report run BEFORE choosing a skew

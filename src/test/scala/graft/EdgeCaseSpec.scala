@@ -39,7 +39,7 @@ class EdgeCaseSpec extends SparkSpecBase {
     "stream_window_agg", "stream_sessionize", "asof_join",
     "range_join_bands", "distinct_users_skewsafe", "price_quantiles",
     "events_rolling", "scd2_intervals", "hop_window_agg", "agg_incremental",
-    "events_salted_join", "skew_report", "embed_reduce",
+    "events_salted_join", "skew_report", "embed_reduce", "session_overlap",
     // the full rule pipeline and the validation aggregate
     "capex_pipeline", "validate_prf")
 

@@ -250,6 +250,58 @@ class RelationalSpec extends SparkSpecBase {
     assert(salted.length == 4)
   }
 
+  test("intervalJoin equals the brute-force inequality join on random intervals") {
+    import spark.implicits._
+    // deterministic pseudo-random closed intervals, incl. points and
+    // spans much longer than the grid
+    def gen(side: Int, n: Int) = (1 to n).map { i =>
+      val h = (i * 2654435761L + side * 97) & 0x7fffffff
+      val k = h % 3
+      val start = (h / 3) % 5000
+      val len = (h / 7) % (if (i % 5 == 0) 4000 else 300)
+      (k, i.toLong + side * 1000, start, start + len)
+    }
+    val left = gen(0, 80).toDF("k", "lid", "ls", "le")
+    val right = gen(1, 80).toDF("k", "rid", "rs", "re")
+    val got = Relational.intervalJoin(left, right, Seq("k"),
+      "ls", "le", "rs", "re", gridWidth = 500)
+      .select("k", "lid", "rid")
+    val want = left.join(right, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("k", "lid", "rid")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("session_overlap equals a driver-side brute force over typed sessions") {
+    val got = Temporal.sessionOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // driver-side: sessionize per (type, user), brute-force pair overlaps
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sessions = events.groupBy(e => (e._1, e._2)).toSeq.flatMap {
+      case ((et, uid), es) =>
+        val ms = es.map(_._3).sorted
+        val bounds = ms.tail.foldLeft(Vector(Vector(ms.head))) { (acc, t) =>
+          if (t - acc.last.last > 30L * 60 * 1000) acc :+ Vector(t)
+          else acc.init :+ (acc.last :+ t)
+        }
+        bounds.zipWithIndex.map { case (b, i) =>
+          (et, uid, i + 1L, b.min, b.max)
+        }
+    }
+    val want = (for {
+      a <- sessions; b <- sessions
+      if a._1 == b._1 && a._2 < b._2 && a._4 <= b._5 && b._4 <= a._5
+    } yield (a._1, a._2, a._3, b._2, b._3,
+      math.min(a._5, b._5) - math.max(a._4, b._4))).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    got.foreach { p => assert(p._6 >= 0, s"negative overlap: $p") }
+  }
+
   test("skew report: top-k keys and shares match a driver-side count, no global sort") {
     val df = Temporal.skewReport(spark, sfDir)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
