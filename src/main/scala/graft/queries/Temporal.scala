@@ -161,6 +161,7 @@ object Temporal {
       .select(col("event_type"), col("user_id").as(s"${pfx}uid"),
         col("sid").as(s"${pfx}sid"), col(s"${pfx}start"), col(s"${pfx}end"))
   }
+  // (pfx = "" yields the generic column names the self-join renames per side)
 
   /** E20: interval-overlap join — concurrent sessions: pairs of DIFFERENT
     * users' same-type sessions that overlap in time (closed intervals),
@@ -174,9 +175,14 @@ object Temporal {
     * whole session tables.
     */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val a = typedSessions(spark, dir, "a_")
-    val b = typedSessions(spark, dir, "b_")
-    Relational.intervalJoin(a, b, Seq("event_type"),
+    // sessionize ONCE, materialize, and join the table with itself — the
+    // same checkpointed-self-join pattern the dedup bucket joins use (both
+    // sides read the computed sessions instead of re-running the windows)
+    val s = graft.Checkpoints.cp(typedSessions(spark, dir, ""))
+    def side(p: String) = s.select(col("event_type"), col("uid").as(s"${p}uid"),
+      col("sid").as(s"${p}sid"), col("start").as(s"${p}start"),
+      col("end").as(s"${p}end"))
+    Relational.intervalJoin(side("a_"), side("b_"), Seq("event_type"),
       "a_start", "a_end", "b_start", "b_end", OverlapGridMs)
       .filter(col("a_uid") < col("b_uid"))
       .select(col("event_type"), col("a_uid"), col("a_sid"),
