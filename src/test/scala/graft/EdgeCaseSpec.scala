@@ -22,29 +22,14 @@ class EdgeCaseSpec extends SparkSpecBase {
     tmp
   }
 
-  private val battery = Seq(
-    // D-family: dedup, sampling, text, embeddings
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_components", "dedup_incremental", "dedup_spans", "decontaminate",
-    "dedup_best_rep",
-    "dedup_embedding", "ann_bruteforce", "ann_lsh", "ann_ivf", "embed_kmeans",
-    "embed_centroids", "text_langid", "text_quality", "text_tokens",
-    "text_fingerprint", "text_tfidf", "text_repetition", "text_redact_pii",
-    "pack_sequences", "sample_stratified", "sample_cap_domain",
-    "corpus_mixture", "corpus_clean", "corpus_report", "quality_tiers",
-    "top_docs", "mm_pipeline",
-    "decontaminate_bloom",
-    // E-family: analytics, events, temporal
-    "q1_agg", "q1_rollup", "q6_filter", "topk_per_group", "events_json",
-    "stream_window_agg", "stream_sessionize", "asof_join",
-    "range_join_bands", "distinct_users_skewsafe", "price_quantiles",
-    "events_rolling", "scd2_intervals", "hop_window_agg", "agg_incremental",
-    "events_salted_join", "skew_report", "embed_reduce", "session_overlap",
-    // the full rule pipeline and the validation aggregate
-    "capex_pipeline", "validate_prf")
+  // Every declared query must survive the all-empty dataset — the battery
+  // is the full SparkEntry catalog, not a curated subset, so a newly added
+  // operator is robustness-covered by construction.
+  private val fullBattery: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
 
   test("every operator evaluates on an all-empty dataset without throwing") {
-    battery.foreach { name =>
+    fullBattery.foreach { name =>
       val n = try SparkEntry.queries(name)(spark, emptyDir).count()
       catch {
         case e: Throwable =>
