@@ -10,12 +10,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headliners: one per engine area — scan/agg, joins, window, the full
-    * capex rule pipeline, near-dup + ANN, text ops, events + sessionization.
+    * capex rule pipeline, near-dup + ANN, text ops, events + sessionization,
+    * plus (r4) the five most expensive round-3 plans so a plan regression
+    * there shows up in the tracked wall-times.
     */
   val Headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_multijoin", "topk_per_group",
     "capex_pipeline", "dedup_minhash", "dedup_ngram_jaccard",
-    "ann_bruteforce", "text_quality", "events_json", "stream_sessionize")
+    "ann_bruteforce", "text_quality", "events_json", "stream_sessionize",
+    "dedup_spans", "corpus_clean", "session_overlap",
+    "decontaminate_bloom", "embed_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,9 +30,38 @@ object Checkpoints {
 
   private val tracked = new scala.collection.mutable.ArrayBuffer[WeakReference[DataFrame]]
 
-  /** Eager localCheckpoint, weakly registered for explicit release. */
+  /** Barrier mode, per-session via `graft.barrier`:
+    *  - `local` (default): eager localCheckpoint — fastest, but lineage is
+    *    truncated onto executor-local blocks, so a lost executor makes the
+    *    partitions irrecoverable. Right for single-JVM / local runs.
+    *  - `cache`: eager persist — the plan keeps its lineage, so a lost
+    *    executor recomputes the partition from source. The cache boundary
+    *    still stops Catalyst project-collapse (CacheManager substitutes
+    *    InMemoryRelation at planning time). Right default for clusters.
+    *  - `reliable`: eager reliable checkpoint to `graft.checkpointDir`
+    *    (HDFS/S3 on a cluster) — survives executor AND block loss at the
+    *    cost of a write+read of the barrier frame. Right for very long
+    *    lineages (iterative label propagation) on flaky fleets.
+    * Same call sites, no query changes — the mode is operational posture.
+    */
+  private def mode(df: DataFrame): String =
+    df.sparkSession.conf.get("graft.barrier", "local")
+
+  /** Eager barrier (mode-dependent), weakly registered for explicit release. */
   def cp(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(true)
+    val out = mode(df) match {
+      case "cache" =>
+        val c = df.cache()
+        c.count() // eager, matching localCheckpoint(true) semantics
+        c
+      case "reliable" =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            df.sparkSession.conf.get("graft.checkpointDir", "/tmp/graft-checkpoints"))
+        df.checkpoint(true)
+      case _ => df.localCheckpoint(true)
+    }
     tracked.synchronized { tracked += new WeakReference(out) }
     out
   }

@@ -171,8 +171,11 @@ object Ann {
     * candidates are restricted to the query's bucket (rows-only oracle:
     * recall is approximate by construction).
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshOf(vecs(spark, dir))
+
+  private[graft] def annLshOf(v: DataFrame): DataFrame = {
+    val all = v.withColumn("bucket", lshBucket(col("embedding")))
     val q = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
     val c = all.select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("bucket"))
@@ -193,8 +196,11 @@ object Ann {
     * and duplicate (q, neighbor) matches collapse via max(cos) (a pair can
     * meet in several probed buckets). Fully deterministic → hash-checked.
     */
-  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    annLshMultiprobeOf(vecs(spark, dir))
+
+  private[graft] def annLshMultiprobeOf(v: DataFrame): DataFrame = {
+    val all = v.withColumn("bucket", lshBucket(col("embedding")))
     val probes = (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val q = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),

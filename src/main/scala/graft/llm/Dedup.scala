@@ -432,10 +432,18 @@ object Dedup {
     * whole corpus. This is the shape a 100 TB pipeline actually runs daily:
     * the index side (corpus band signatures) is a stored table that never
     * recomputes or shuffles for the probe — the batch's bands are hashed
-    * fresh and BROADCAST (a day's crawl is ≪ the corpus), so the only work
-    * linear in the corpus is one scan of the signature index. A batch doc
-    * is a duplicate iff some band bucket collides with an index doc and the
-    * estimated signature similarity clears the same 0.5 threshold as D2.
+    * fresh, so the only work linear in the corpus is one scan of the
+    * signature index. A batch doc is a duplicate iff some band bucket
+    * collides with an index doc and the estimated signature similarity
+    * clears the same 0.5 threshold as D2.
+    *
+    * The batch side carries NO hard broadcast hint: the demonstration's
+    * modular split makes "the batch" 1/5 of all signatures, and a real
+    * day's crawl can also spike, so an unconditional broadcast would OOM
+    * exactly when it matters. AQE sees the runtime size and picks the
+    * broadcast join whenever the batch genuinely fits (plan-audited on the
+    * ADAPTIVE executed plan), degrading gracefully to a shuffled join when
+    * it doesn't — the size decision belongs to the engine, not the query.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir).transform(graft.Checkpoints.cp)
@@ -449,16 +457,17 @@ object Dedup {
     val est = (1 to NumHashes).map(j =>
       when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
       .reduce(_ + _).cast("double") / NumHashes
-    val dups = index.join(broadcast(batch), Seq("band_idx", "band_hash"))
+    val dups = index.join(batch, Seq("band_idx", "band_hash"))
       .filter(est >= 0.5)
       .select(col("batch_id"), col("index_id")).distinct()
       .groupBy(col("batch_id")).agg(count(lit(1)).as("n_index_dups"))
-    // every batch doc reports, including short docs with no signature;
-    // the dup-count table is bounded by the batch → broadcast it back
+    // every batch doc reports, including short docs with no signature; the
+    // dup-count table is one row per duplicated batch doc — AQE broadcasts
+    // it back when it fits (same no-hard-hint posture as the band join)
     Tables.documents(spark, dir)
       .filter(col("doc_id") % IncrementalBatchMod === 0)
       .select(col("doc_id"))
-      .join(broadcast(dups.withColumnRenamed("batch_id", "doc_id")), Seq("doc_id"), "left")
+      .join(dups.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"))
       .withColumn("is_new", col("n_index_dups") === 0)
   }

@@ -26,9 +26,16 @@ object Multimodal {
 
   /** Media frame derived from documents: text bytes as the opaque payload,
     * metadata from deterministic fields.
+    *
+    * spreadIfNarrow, not spread: everything downstream is map-only
+    * (mapPartitions decode / resize projection / frame explode) with no
+    * clustering requirement, so an unconditional repartition would shuffle
+    * the binary payload column — the heaviest bytes in the table — for
+    * nothing. On a cluster the scan arrives multi-split and no exchange is
+    * added; only the single-file local testdata gets spread for core use.
     */
   def mediaFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(spark, dir), "doc_id").select(
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id").as("media_id"),
       coalesce(col("text"), lit("")).cast("binary").as("payload"),
       (col("n_chars") % 640).cast("int").as("width"),

@@ -178,7 +178,11 @@ object Relational {
     require(salts > 0, "salts must be positive")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       "salting replicates the right side: only inner/left joins are sound")
-    val l = left.withColumn("__salt", pmod(saltBy, lit(salts)).cast("int"))
+    // NULL saltBy must not strand the row (NULL pmod → NULL salt matches no
+    // replica): coalesce to bucket 0, which holds a full right replica, so
+    // inner/left semantics stay identical to the unsalted join for every row
+    val l = left.withColumn("__salt",
+      coalesce(pmod(saltBy, lit(salts)), lit(0)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
@@ -190,10 +194,15 @@ object Relational {
     * (cells/interval ≈ length/gridWidth + 1 — size the grid near the
     * typical interval length to keep replication ~2×), candidates come
     * from ONE equality join on (keys, cell), the exact overlap predicate
-    * prunes false cell-mates, and `distinct` collapses pairs sharing
-    * several cells. Never a cross join, never an unbounded inequality
-    * join; a hot cell is bounded by intervals alive in one grid slot.
-    * Bounds are numeric (epoch ms long for time intervals).
+    * prunes false cell-mates, and each pair is emitted EXACTLY ONCE by the
+    * canonical-cell rule: a pair only survives in the cell containing
+    * max(lStart, rStart) — a cell both intervals cover iff they overlap —
+    * so multi-cell pairs dedup by construction, with no distinct() pass
+    * (which would also have collapsed genuinely duplicate input rows;
+    * input multiplicity is preserved exactly). Never a cross join, never
+    * an unbounded inequality join; a hot cell is bounded by intervals
+    * alive in one grid slot. Bounds are numeric (epoch ms long for time
+    * intervals).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    lStart: String, lEnd: String,
@@ -206,6 +215,8 @@ object Relational {
     val r = right.withColumn("__cell", explode(cells(col(rStart), col(rEnd))))
     l.join(r, keys :+ "__cell")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .drop("__cell").distinct()
+      .filter(col("__cell") ===
+        floor(greatest(col(lStart), col(rStart)) / gridWidth).cast("long"))
+      .drop("__cell")
   }
 }

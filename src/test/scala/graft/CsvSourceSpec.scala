@@ -31,6 +31,23 @@ class CsvSourceSpec extends SparkSpecBase {
     assert(df.filter(df("name") === "café").count() == 1)
   }
 
+  test("mixed-encoding directory: per-file probe, lossless union (cp1252 + utf-8)") {
+    // one cp1252 part and one utf-8 part in the SAME directory — the
+    // reference decodes per uploaded file (app.py:25-38); a whole-dir
+    // single-encoding scan would mojibake the minority file
+    val dir = Files.createTempDirectory("graft-csv-mixed")
+    Files.write(dir.resolve("part-a.csv"),
+      "id,name\n1,naïve café\n".getBytes(Charset.forName("windows-1252")))
+    Files.write(dir.resolve("part-b.csv"),
+      "id,name\n2,café ☕\n".getBytes("UTF-8")) // ☕ not encodable in cp1252
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray) // must be skipped
+    val groups = CsvSource.detectEncodings(spark, dir.toString)
+    assert(groups.size == 2, groups)
+    val df = CsvSource.readWithFallback(spark, dir.toString)
+    val names = df.collect().map(r => r.get(0).toString -> r.getString(1)).toMap
+    assert(names == Map("1" -> "naïve café", "2" -> "café ☕"), names)
+  }
+
   test("strict decode probe rejects invalid utf-8 and accepts latin1") {
     val bad = Array[Byte]('a', 0xE9.toByte, 'b')
     assert(!CsvSource.strictlyDecodes(bad, "UTF-8"))

@@ -95,24 +95,35 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(refined >= 0.8, f"refined recall floor: $refined%.3f")
   }
 
-  test("Lloyd refinement recovers true prototypes and recall on a clustered corpus") {
-    import spark.implicits._
-    // deterministic clustered corpus: 16 random ±1 prototypes, 512 vectors
-    // = prototype + uniform noise; cluster membership md5-assigned so the
-    // 16 seed vectors (ids 0-15) cover only SOME clusters, imperfectly —
-    // the realistic bad-seed case Lloyd iteration exists for
-    def h(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    }
-    val protos = (0 until Ann.NumCells).map(c =>
-      (0 until Ann.Dim).map(d => if ((h(s"p$c:$d") & 1L) == 1L) 1.0f else -1.0f).toArray)
-    val corpus = (0 until 512).map { i =>
-      val c = (h(s"c$i") % Ann.NumCells).toInt
+  // deterministic clustered corpus: 16 random ±1 prototypes, 512 vectors
+  // = prototype + uniform noise; cluster membership md5-assigned so the
+  // 16 seed vectors (ids 0-15) cover only SOME clusters, imperfectly —
+  // the realistic bad-seed case Lloyd iteration exists for. Shared by the
+  // Lloyd-refinement test and the recall-floor battery: the driver
+  // testdata's embeddings are UNIFORM random (no neighbor structure), so
+  // bucketed-ANN recall there is noise — floors are only meaningful on a
+  // corpus where true neighbors exist to be found.
+  private def mdHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+  private lazy val clusterProtos: Seq[Array[Float]] =
+    (0 until Ann.NumCells).map(c =>
+      (0 until Ann.Dim).map(d =>
+        if ((mdHash(s"p$c:$d") & 1L) == 1L) 1.0f else -1.0f).toArray)
+  private lazy val clusteredCorpus: Seq[(Long, Array[Float])] =
+    (0 until 512).map { i =>
+      val c = (mdHash(s"c$i") % Ann.NumCells).toInt
       i.toLong -> (0 until Ann.Dim).map { d =>
-        protos(c)(d) + 0.8f * (2f * (h(s"n$i:$d").toFloat / 4294967296.0f) - 1f)
+        clusterProtos(c)(d) +
+          0.8f * (2f * (mdHash(s"n$i:$d").toFloat / 4294967296.0f) - 1f)
       }.toArray
     }
+
+  test("Lloyd refinement recovers true prototypes and recall on a clustered corpus") {
+    import spark.implicits._
+    val protos = clusterProtos
+    val corpus = clusteredCorpus
     val vdf = corpus.toDF("vec_id", "embedding")
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
@@ -140,6 +151,32 @@ class LlmOpsSpec extends SparkSpecBase {
       f"refined centroids should align to prototypes: $refAlign%.4f vs $seedAlign%.4f")
     assert(refinedRecall >= seededRecall,
       f"refined recall $refinedRecall%.3f < seeded $seededRecall%.3f")
+  }
+
+  test("recall@5 floors vs brute force on the clustered corpus (SURVEY §4)") {
+    import spark.implicits._
+    // floors are pinned on the clustered corpus where true neighbors exist;
+    // the stated floors sit well under the measured values so the spec is
+    // robust to small determinism-preserving parameter changes but catches
+    // a refactor that guts recall while staying deterministic
+    val vdf = clusteredCorpus.toDF("vec_id", "embedding")
+    val bf = Ann.annBruteforceOf(vdf).select("q_id", "nb_id")
+    val n = bf.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "nb_id").intersect(bf).count() / n
+    val lsh = recall(Ann.annLshOf(vdf))
+    val multi = recall(Ann.annLshMultiprobeOf(vdf))
+    val ivf = recall(Ann.annIvfOf(vdf, refined = true))
+    Checkpoints.releaseAll()
+    info(f"recall@5 lsh=$lsh%.3f multiprobe=$multi%.3f ivf=$ivf%.3f")
+    // measured on this corpus: lsh=0.22 (8-plane single-bucket probing
+    // fragments clusters — the documented cost of the cheapest variant),
+    // multiprobe=0.68 (Hamming-1 probes recover most of it), ivf=1.00
+    // (nprobe=2/16 covers the true cell). Floors sit ~30% under measured.
+    assert(lsh >= 0.15, f"plain LSH recall floor: $lsh%.3f")
+    assert(multi >= 0.5, f"multi-probe LSH recall floor: $multi%.3f")
+    assert(ivf >= 0.9, f"IVF recall floor: $ivf%.3f")
+    assert(multi > lsh, "probing Hamming-1 buckets must add recall here")
   }
 
   test("text quality/tokens/langid/fingerprint produce full coverage") {

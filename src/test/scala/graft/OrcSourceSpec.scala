@@ -8,12 +8,16 @@ import graft.sources.OrcSource
   */
 class OrcSourceSpec extends SparkSpecBase {
 
-  private val path = "/tmp/graft-test-orc/documents"
-
-  private def ensureWritten(): Unit = {
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-      OrcSource.writeOrc(Tables.documents(spark, sfDir), path)
+  // per-run temp dir: a fixture from an older code/schema version must
+  // never be reused across runs (it would validate against stale files)
+  private lazy val path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-test-orc")
+      .resolve("documents").toString
+    OrcSource.writeOrc(Tables.documents(spark, sfDir), p)
+    p
   }
+
+  private def ensureWritten(): Unit = { val _ = path }
 
   test("orc round-trip preserves rows and values") {
     ensureWritten()

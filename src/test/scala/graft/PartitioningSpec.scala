@@ -11,13 +11,16 @@ import graft.sources.PartitionedSink
   */
 class PartitioningSpec extends SparkSpecBase {
 
-  private val path = "/tmp/graft-test-partitioned/documents"
-
-  private def ensureWritten(): Unit = {
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-      PartitionedSink.writePartitioned(
-        Tables.documents(spark, sfDir), path, Seq("lang"))
+  // per-run temp dir: a fixture from an older code/schema version must
+  // never be reused across runs (it would validate against stale files)
+  private lazy val path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-test-partitioned")
+      .resolve("documents").toString
+    PartitionedSink.writePartitioned(Tables.documents(spark, sfDir), p, Seq("lang"))
+    p
   }
+
+  private def ensureWritten(): Unit = { val _ = path }
 
   test("lang filter prunes the scan to one partition directory") {
     ensureWritten()
@@ -43,19 +46,19 @@ class PartitioningSpec extends SparkSpecBase {
     // the full 100 TB layout: directory partitions prune the low-cardinality
     // filter, buckets satisfy the high-cardinality clustering — one query
     // exercises both
-    if (!spark.catalog.tableExists("docs_pb")) {
-      val loc = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "docs_pb")
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(loc)
-        try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-        finally walk.close()
-      }
-      Tables.documents(spark, sfDir).write.mode("overwrite")
-        .partitionBy("lang").bucketBy(4, "doc_id").format("parquet")
-        .saveAsTable("docs_pb")
+    // rebuild unconditionally each run — same staleness rule as `path`
+    spark.sql("DROP TABLE IF EXISTS docs_pb")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "docs_pb")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
+    Tables.documents(spark, sfDir).write.mode("overwrite")
+      .partitionBy("lang").bucketBy(4, "doc_id").format("parquet")
+      .saveAsTable("docs_pb")
     val q = spark.table("docs_pb").filter(col("lang") === "en")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // the agg plan is AQE-wrapped (unlike the plain filter above) — unwrap

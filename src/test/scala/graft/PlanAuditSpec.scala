@@ -117,10 +117,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p.take(600))
   }
 
-  test("dedup_incremental: batch bands broadcast, index side never self-joined") {
-    val p = planOf(llm.Dedup.dedupIncremental(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"), "batch bands must broadcast")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(600))
+  test("dedup_incremental: AQE broadcasts the small batch side at runtime") {
+    // no hard broadcast hint in the query (a spiking crawl must not OOM) —
+    // the property is that AQE's runtime sizing picks the broadcast join
+    // when the batch genuinely fits, so audit the ADAPTIVE executed plan
+    val df = llm.Dedup.dedupIncremental(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
     Checkpoints.releaseAll()
   }
 
@@ -194,6 +199,19 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = planOf(queries.Temporal.eventsSaltedJoin(spark, sfDir))
     assert(p.contains("Generate"), "salt replication must be a Generate")
     assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("mm_resize: map-only plan, zero exchanges over a pre-split input") {
+    // simulate a cluster scan: a multi-file parquet directory arrives with
+    // >= cores/2 splits, so spreadIfNarrow must be a no-op and the resize
+    // stays a pure projection — no shuffle of the binary payload column
+    val dir = java.nio.file.Files.createTempDirectory("graft-presplit").toString
+    Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = planOf(llm.Multimodal.mmResize(spark, dir))
+    assert(!p.contains("Exchange"), p.take(700))
+    assert(!p.contains("Join"), "resize must be a projection")
   }
 
   test("q1_rollup: single-pass grouping-sets expand, partial agg before its exchange") {

@@ -245,6 +245,111 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Map(3L -> Some(1L), 4L -> None))
   }
 
+  test("sessionizer recovers from its checkpoint after a mid-stream kill (RocksDB state)") {
+    import scala.jdk.CollectionConverters._
+    // The recovery property a 100 TB/day stream actually exercises: a query
+    // dies with sessions OPEN in state, restarts from the checkpoint, and
+    // the recovered state must continue those sessions — not restart them.
+    // A clean stop() exercises the same recovery path as a crash: resume
+    // reads only the checkpoint (offsets + RocksDB state), never the dead
+    // query's memory. Parity target: the same input processed uninterrupted.
+    // positive epoch base: Spark's watermark starts at epoch 0, so an event
+    // AT epoch 0 is already "late" and silently dropped
+    val baseMs = 1767225600000L // 2026-01-01 00:00 UTC
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60 * 1000)
+    // part A (run 1): u1 opens a session (2 events), u2 opens one
+    val partA = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(10), 1L, "view", 1.0),
+      (3L, ts(0), 2L, "view", 1.0))
+    // part B (run 2): u1 CONTINUES the session recovered from the
+    // checkpoint (20 min < 30 min gap); u2's 4 h event closes their first
+    // session by gap
+    val partB = Seq((4L, ts(20), 1L, "view", 1.0), (5L, ts(240), 2L, "view", 1.0))
+    // part C (run 2): watermark pusher — at batch C start the watermark
+    // (4 h - 1 h) is far past u1's 50-min timeout, so the spanning session
+    // must emit with ALL THREE events
+    val partC = Seq((6L, ts(600), 9L, "view", 1.0))
+    def stage(dir: java.nio.file.Path, name: String, mtimeMs: Long,
+              rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-recov-stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val schema = partA.toDF("event_id", "ts", "user_id", "event_type", "value").schema
+    // file sink, not memory: the memory sink refuses checkpoint recovery;
+    // the parquet sink is the recoverable exactly-once production shape
+    def runAvailable(dir: String, cp: String, outDir: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .as[StreamOps.Event]
+      val q = StreamOps.sessionize(stream).toDF().writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t_start",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("t_end",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_value",
+        org.apache.spark.sql.types.DoubleType)))
+    def readOut(outDir: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.schema(outSchema).parquet(outDir).collect().map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime - baseMs) / 60000,
+        (r.getTimestamp(2).getTime - baseMs) / 60000,
+        r.getLong(3))).toSeq
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // interrupted: run 1 sees only part A, dies; parts B+C land while the
+      // query is down; run 2 resumes from the same checkpoint
+      val iDir = java.nio.file.Files.createTempDirectory("graft-recov-in")
+      val iCp = java.nio.file.Files.createTempDirectory("graft-recov-cp").toString
+      val iOut = java.nio.file.Files.createTempDirectory("graft-recov-out").toString
+      stage(iDir, "a.parquet", 1000000L, partA)
+      runAvailable(iDir.toString, iCp, iOut) // run 1 dies with sessions open
+      stage(iDir, "b.parquet", 2000000L, partB)
+      stage(iDir, "c.parquet", 3000000L, partC)
+      runAvailable(iDir.toString, iCp, iOut) // run 2 resumes the checkpoint
+      val resumed = readOut(iOut)
+      // uninterrupted twin: same three files, same per-file batching, one run
+      val uDir = java.nio.file.Files.createTempDirectory("graft-recov-un")
+      val uCp = java.nio.file.Files.createTempDirectory("graft-recov-ucp").toString
+      val uOut = java.nio.file.Files.createTempDirectory("graft-recov-uout").toString
+      stage(uDir, "a.parquet", 1000000L, partA)
+      stage(uDir, "b.parquet", 2000000L, partB)
+      stage(uDir, "c.parquet", 3000000L, partC)
+      runAvailable(uDir.toString, uCp, uOut)
+      val outU = readOut(uOut)
+      assert(resumed.sorted == outU.sorted,
+        s"resumed=${resumed.sorted} uninterrupted=${outU.sorted}")
+      // and the session SPANNING the kill emitted with all three events —
+      // direct evidence the open-session state was recovered, not reset
+      assert(resumed.contains((1L, 0L, 20L, 3L)),
+        s"u1 spanning session missing/split: ${resumed.sorted}")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful sessionizer matches window-function sessionization") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
