@@ -68,6 +68,9 @@ object SparkEntry {
     "sample_stratified"   -> (graft.llm.Sampling.sampleStratified _),
     "embed_centroids"     -> (graft.llm.Ann.embedCentroids _),
     "embed_kmeans"        -> (graft.llm.Ann.embedKmeans _),
+    "dedup_semantic"      -> (graft.llm.Ann.dedupSemantic _),
+    "text_lm_score"       -> (graft.llm.TextOps.textLmScore _),
+    "split_holdout"       -> (graft.llm.Sampling.splitHoldout _),
     "text_tfidf"          -> (graft.llm.TextOps.textTfidf _),
     "text_repetition"     -> (graft.llm.TextOps.textRepetition _),
     "text_redact_pii"     -> (graft.llm.TextOps.textRedactPii _),
@@ -131,6 +134,9 @@ object SparkEntry {
     "sample_stratified"   -> graft.llm.Sampling.sampleStratifiedSql,
     "embed_centroids"     -> graft.llm.Ann.embedCentroidsSql,
     "embed_kmeans"        -> graft.llm.Ann.embedKmeansSql,
+    "dedup_semantic"      -> graft.llm.Ann.dedupSemanticSql,
+    "text_lm_score"       -> graft.llm.TextOps.textLmScoreSql,
+    "split_holdout"       -> graft.llm.Sampling.splitHoldoutSql,
     "text_tfidf"          -> graft.llm.TextOps.textTfidfSql,
     "text_repetition"     -> graft.llm.TextOps.textRepetitionSql,
     "text_redact_pii"     -> graft.llm.TextOps.textRedactPiiSql,

@@ -398,6 +398,61 @@ object Ann {
     sz AS (SELECT cluster, count(*) AS cluster_size FROM asg GROUP BY cluster)
     SELECT vec_id, cluster, cluster_size FROM asg JOIN sz USING (cluster)"""
 
+  /** Semantic-dedup cosine threshold: pairs at or above it inside one
+    * k-means cell are semantic duplicates. 0.35 is deliberately permissive
+    * because the synthetic embeddings are uniform random (measured max
+    * pairwise cos ≈ 0.48 at sf0.001 — a 0.9 SemDeDup-style threshold
+    * would be vacuously all-kept); the operator contract is the shape,
+    * the threshold is data policy.
+    */
+  val SemDedupCos = 0.35
+
+  /** D31: semantic dedup (SemDeDup-style): k-means-cluster the embedding
+    * space, then mark a vector as a semantic duplicate iff some LOWER-id
+    * vector in the SAME cell has cosine ≥ SemDedupCos — near-duplicate
+    * meaning, not byte similarity, which is what doc-level minhash misses
+    * (paraphrases, templated rewrites). Output: one row per vector with
+    * its cluster, min duplicate anchor (null if kept) and keep flag.
+    *
+    * Scale shape: reuses the k-means machinery (broadcast centroids, one
+    * corpus pass for assignment); pair generation is confined to cells by
+    * the (cell) equality self-join of the checkpointed assignment — the
+    * SemDeDup insight is exactly that K bounds the candidate quadratic:
+    * at 100 TB, K scales with the corpus (cells of ~thousands) so
+    * per-cell pair work stays constant while the shuffle stays one
+    * exchange keyed by cell. Fully deterministic (exact-decimal Lloyd
+    * step + bit-identical dot folds) → hash-checked oracle.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .transform(graft.Checkpoints.cp)
+    val lo = asg.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("cell"))
+    val hi = asg.select(col("vec_id"), col("embedding").as("vb"), col("cell"))
+    val cos = dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))
+    val dups = lo.join(hi, Seq("cell"))
+      .filter(col("a_id") < col("vec_id") && cos >= SemDedupCos)
+      .groupBy(col("vec_id")).agg(min(col("a_id")).as("dup_of"))
+    asg.select(col("vec_id"), col("cell").as("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("is_kept"))
+  }
+
+  val dedupSemanticSql: String = {
+    val cos = s"${dotSql("a.embedding", "b.embedding")}" +
+      s" / (${normSql("a.embedding")} * ${normSql("b.embedding")})"
+    s"""WITH $ivfRankedCtes,
+    asg AS MATERIALIZED (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+    dups AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE $cos >= $SemDedupCos
+      GROUP BY b.vec_id)
+    SELECT v.vec_id, v.cell AS cluster, d.dup_of, d.dup_of IS NULL AS is_kept
+    FROM asg v LEFT JOIN dups d USING (vec_id)"""
+  }
+
   /** D14: per-label mean embedding (long format: one row per (label, dim))
     * — the class-prototype / centroid build used for embedding dedup and
     * cluster seeding. posexplode then aggregate: partial (map-side) sums

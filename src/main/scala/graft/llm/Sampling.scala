@@ -121,6 +121,56 @@ object Sampling {
     * Scale: two map-side-combinable aggregates bounded by #languages, the
     * rate table broadcast back over the corpus scan. Nothing else shuffles.
     */
+  /** Holdout split percentages: buckets [0,90) train, [90,95) val, rest test. */
+  val SplitTrainPct = 90
+  val SplitValPct = 5
+
+  /** D33: leakage-safe train/val/test holdout split. The naive per-doc
+    * random split leaks evaluation data through duplicates: a near-copy of
+    * a test doc lands in train and the eval is contaminated. Here the
+    * split key is the doc's NEAR-DUP COMPONENT (D19's min-label cluster)
+    * when it has one, else its exact-content hash — so every member of a
+    * duplicate cluster, and every byte-identical doc, lands in the SAME
+    * split by construction. Assignment is the same content-keyed md5
+    * bucket sampleStratified uses (deterministic, retry/partitioning-
+    * independent, engine-independent).
+    *
+    * Scale shape: component membership is a tiny fraction of the corpus
+    * (only docs with near-dup edges) → broadcast left join onto one
+    * documents scan; bucketing and the split label are pure projections.
+    */
+  def splitHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.dedupComponents(spark, dir)
+      .select(col("doc_id"), col("component_id"))
+    val key = coalesce(
+      concat(lit("c"), col("component_id").cast("string")),
+      md5(TextOps.normText(col("text")).cast("binary")))
+    val bucket = conv(substring(md5(concat(lit("holdout:"), key)), 1, 6), 16, 10)
+      .cast("bigint") % 100
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < SplitTrainPct, "train")
+          .when(col("bucket") < SplitTrainPct + SplitValPct, "val")
+          .otherwise("test").as("split"))
+  }
+  def splitHoldoutSql: String =
+    s"""WITH comp AS MATERIALIZED (
+      SELECT doc_id, component_id FROM (${Dedup.dedupComponentsSql}) cc),
+    keyed AS (
+      SELECT d.doc_id,
+        CAST('0x' || substr(md5('holdout:' ||
+          coalesce('c' || CAST(c.component_id AS VARCHAR),
+                   md5(${TextOps.normTextSql}))), 1, 6) AS BIGINT) % 100 AS bucket
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, bucket,
+      CASE WHEN bucket < $SplitTrainPct THEN 'train'
+           WHEN bucket < ${SplitTrainPct + SplitValPct} THEN 'val'
+           ELSE 'test' END AS split
+    FROM keyed"""
+
   def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),

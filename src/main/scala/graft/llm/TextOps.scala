@@ -190,6 +190,91 @@ object TextOps {
                  ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
     SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3"""
 
+  /** Char-bigram LM alphabet: a-z + digit-class '0' + space = 28 symbols
+    * (tokens are [a-z0-9]+, digits collapse to '0', tokens join on ' '). */
+  val LmAlphabetSize = 28
+  val LmNano = 1000000000L
+
+  /** Normalized char stream the bigram LM runs over: tokens joined by
+    * single spaces, digits collapsed to their class. Built FROM the token
+    * array (not raw text) so both engines share one normal form with no
+    * regex-dialect drift beyond the already-mirrored tokenizer.
+    */
+  private def lmNorm(text: Column): Column =
+    regexp_replace(array_join(toks(text), " "), "[0-9]", "0")
+  private val lmNormSql: String =
+    s"regexp_replace(array_to_string($toksSql, ' '), '[0-9]', '0', 'g')"
+
+  private def lmBigrams(s: Column): Column =
+    when(length(s) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s) - 1),
+        i => substring(s, i, lit(2))))
+  private def lmBigramsSql(sExpr: String): String =
+    s"list_transform(range(1, greatest(length($sExpr) - 1, 0) + 1), " +
+      s"i -> substr($sExpr, CAST(i AS INT), 2))"
+
+  /** D32: corpus-trained char-bigram LM score — the CCNet-style
+    * perplexity-proxy quality filter: gibberish/boilerplate scores low
+    * against the corpus's own character statistics, natural prose scores
+    * high. Two passes: (1) bigram counts over the whole corpus — one
+    * partial-agg exchange bounded by the ALPHABET² (≤784 rows), reduced to
+    * the driver exactly like a broadcast dim (this is a bounded aggregate,
+    * never fact rows); (2) one map-only scoring pass where each doc folds
+    * its bigram list over the baked probability-map literal — zero joins,
+    * zero shuffles, whole-stage codegen.
+    *
+    * Deliberately LOG-FREE: per-bigram add-1 likelihoods are quantized to
+    * integer nano-units with pure integer arithmetic ((c+1)·1e9 div
+    * (total+V)), so per-doc sums are exact and the final mean is one
+    * double division of two exact integers — bit-identical in Spark and
+    * DuckDB, where ln() last-ulp differences would flake the hash gate.
+    * Monotone in the geometric-mean-likelihood ranking a log-space LM
+    * would give for near-uniform docs; the FILTER contract (rank docs by
+    * typicality, cut a tail) is what the operator exports.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    textLmScoreOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  /** Corpus-parametric core over a (doc_id, text, …) frame. */
+  private[graft] def textLmScoreOf(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(lmBigrams(lmNorm(col("text")))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)) // ≤ V² rows
+    val total = counts.map(_._2).sum
+    def pNano(c: Long): Long =
+      ((BigInt(c) + 1) * LmNano / (BigInt(total) + LmAlphabetSize * LmAlphabetSize)).toLong
+    val probs = counts.map { case (b, c) => b -> pNano(c) }.toMap
+    val p0 = pNano(0) // unseen bigram (empty-corpus / safety path)
+    val probLit =
+      if (probs.isEmpty) typedLit(Map("" -> p0)) else typedLit(probs)
+    val bg = lmBigrams(lmNorm(col("text")))
+    val n = size(bg)
+    val sumP = aggregate(bg, lit(0L),
+      (acc, b) => acc + coalesce(element_at(probLit, b), lit(p0)))
+    docs.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_bigrams"),
+      when(n > 0, sumP.cast("double") / n).otherwise(0.0).as("typicality"))
+  }
+  val textLmScoreSql: String = {
+    val v2 = LmAlphabetSize * LmAlphabetSize
+    s"""WITH t AS (SELECT doc_id, $lmNormSql AS s FROM documents),
+    bg AS (SELECT doc_id, unnest(${lmBigramsSql("s")}) AS b FROM t),
+    cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    tot AS (SELECT coalesce(sum(c), 0) AS tc FROM cnt),
+    probs AS (SELECT b,
+        CAST((CAST(c AS HUGEINT) + 1) * $LmNano // (tc + $v2) AS BIGINT) AS p
+      FROM cnt, tot),
+    persum AS (
+      SELECT doc_id, count(*) AS n, sum(p) AS sp
+      FROM bg JOIN probs USING (b) GROUP BY doc_id)
+    SELECT t.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+      CASE WHEN coalesce(n, 0) > 0 THEN CAST(sp AS DOUBLE) / n ELSE 0.0 END
+        AS typicality
+    FROM t LEFT JOIN persum USING (doc_id)"""
+  }
+
   /** D17: repetition-based quality signals (the C4/Gopher-style filters):
     * per-document fraction of word-bigram instances that are duplicated,
     * and the share of the single most-frequent bigram. Explode → count per

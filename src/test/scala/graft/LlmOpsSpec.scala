@@ -573,6 +573,70 @@ class LlmOpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("dedup_semantic: full coverage, anchors are lower-id same-cluster, non-vacuous") {
+    val r = Ann.dedupSemantic(spark, sfDir)
+      .selectExpr("vec_id", "cast(cluster as long) cluster", "dup_of", "is_kept")
+    val rows = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2),
+        x.getBoolean(3)))
+    Checkpoints.releaseAll()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == nVecs, "one verdict per vector")
+    val byId = rows.map(x => x._1 -> x).toMap
+    rows.filter(!_._4).foreach { case (vid, cluster, dupOf, _) =>
+      assert(dupOf >= 0 && dupOf < vid, s"anchor must be a lower id: $vid -> $dupOf")
+      assert(byId(dupOf)._2 == cluster, s"anchor in another cluster: $vid -> $dupOf")
+    }
+    rows.filter(_._4).foreach { case (vid, _, dupOf, _) =>
+      assert(dupOf == -1L, s"kept vector with an anchor: $vid")
+    }
+    // the permissive threshold must actually bite on this corpus — a
+    // vacuously all-kept output would not test the pair join at all
+    assert(rows.exists(!_._4), "expected at least one semantic duplicate")
+    assert(rows.exists(_._4), "expected at least one kept vector")
+  }
+
+  test("text_lm_score: full coverage; corpus-typical text outscores rare-bigram text") {
+    import spark.implicits._
+    val full = TextOps.textLmScore(spark, sfDir)
+    assert(full.count() == Tables.documents(spark, sfDir).count())
+    assert(full.filter(col("n_bigrams") > 0 && col("typicality") <= 0).count() == 0)
+    // hand corpus: "the cat sat" patterns dominate, so a doc reusing those
+    // bigrams must outscore a doc of bigrams seen nowhere else
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the hat"),
+      (3L, "the bat sat on the cat"), (4L, "xqzj vwkp fyhg")
+    ).toDF("doc_id", "text")
+    val scored = TextOps.textLmScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1) > scored(4),
+      s"typical ${scored(1)} must beat gibberish ${scored(4)}")
+    assert(scored(2) > scored(4) && scored(3) > scored(4))
+  }
+
+  test("split_holdout: total cover, deterministic, near-dup clusters never straddle splits") {
+    val s = llm.Sampling.splitHoldout(spark, sfDir)
+    val rows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    Checkpoints.releaseAll()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { case (_, b, sp) =>
+      val want = if (b < llm.Sampling.SplitTrainPct) "train"
+        else if (b < llm.Sampling.SplitTrainPct + llm.Sampling.SplitValPct) "val"
+        else "test"
+      assert(sp == want)
+    }
+    // the leakage guarantee: every near-dup component is split-pure
+    val bySplit = rows.map(r => r._1 -> r._3).toMap
+    val comps = llm.Dedup.dedupComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Checkpoints.releaseAll()
+    comps.groupBy(_._2).foreach { case (cid, members) =>
+      val splits = members.map(m => bySplit(m._1)).distinct
+      assert(splits.length == 1, s"component $cid straddles splits: $splits")
+    }
+    assert(rows.map(_._3).distinct.length >= 2, "expected more than one split bucket")
+  }
+
   test("corpus_mixture: integer keep rates, over-represented language downsampled") {
     val r = Sampling.corpusMixture(spark, sfDir)
     // the filter is exactly bucket < rate

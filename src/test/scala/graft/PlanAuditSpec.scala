@@ -65,6 +65,14 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("dedup_semantic: pair join keyed by cell, never all-pairs") {
+    val p = planOf(llm.Ann.dedupSemantic(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "within-cell join degraded to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate join must be an equality join on cell")
+    Checkpoints.releaseAll()
+  }
+
   test("text_redact_pii: map-only plan — no join, window or aggregate") {
     val p = planOf(llm.TextOps.textRedactPii(spark, sfDir))
     assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
