@@ -205,10 +205,6 @@ object TextOps {
   private val lmNormSql: String =
     s"regexp_replace(array_to_string($toksSql, ' '), '[0-9]', '0', 'g')"
 
-  private def lmBigrams(s: Column): Column =
-    when(length(s) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(s) - 1),
-        i => substring(s, i, lit(2))))
   private def lmBigramsSql(sExpr: String): String =
     s"list_transform(range(1, greatest(length($sExpr) - 1, 0) + 1), " +
       s"i -> substr($sExpr, CAST(i AS INT), 2))"
@@ -235,24 +231,45 @@ object TextOps {
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     textLmScoreOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
 
-  /** Corpus-parametric core over a (doc_id, text, …) frame. */
-  private[graft] def textLmScoreOf(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(explode(lmBigrams(lmNorm(col("text")))).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)) // ≤ V² rows
-    val total = counts.map(_._2).sum
+  /** Corpus-parametric core over a (doc_id, text, …) frame.
+    *
+    * Hot-path engineering (measured): per-position `substring(s, i, 2)`
+    * re-scans the string from byte 0 every call (UTF8String char-offset
+    * walk) — O(len²) per doc — and a map-literal lookup is a linear scan
+    * of all V² entries per bigram. Instead the doc is split ONCE into a
+    * per-char code array (a-z → 0-25, '0' → 26, ' ' → 27; one O(len)
+    * pass, barriered so project-collapse can't inline the split back into
+    * per-element accesses), bigram slots are O(1) int arithmetic over it,
+    * and probabilities ship as a V²-slot ARRAY literal indexed by slot.
+    */
+  private[graft] def textLmScoreOf(docs0: DataFrame): DataFrame = {
+    val v = LmAlphabetSize
+    // one O(len) pass: normalized text → per-char code array. split(s, "")
+    // may emit stray empty strings at the ends depending on regex engine —
+    // filter guards it; after lmNorm only [a-z0 ] chars remain.
+    val codeArr = transform(
+      filter(split(lmNorm(col("text")), ""), c => length(c) === 1),
+      c => when(c === " ", 27).when(c === "0", 26)
+        .otherwise(ascii(c) - 97).cast("int"))
+    val codes = graft.Checkpoints.cp(
+      docs0.select(col("doc_id"), codeArr.as("codes")))
+    def slots(cs: Column): Column =
+      when(size(cs) < 2, array().cast("array<int>"))
+        .otherwise(transform(sequence(lit(1), size(cs) - 1), i =>
+          element_at(cs, i) * v + element_at(cs, i + 1)))
+    val counts = codes
+      .select(explode(slots(col("codes"))).as("slot"))
+      .groupBy(col("slot")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ V² rows
+    val total = counts.valuesIterator.sum
     def pNano(c: Long): Long =
-      ((BigInt(c) + 1) * LmNano / (BigInt(total) + LmAlphabetSize * LmAlphabetSize)).toLong
-    val probs = counts.map { case (b, c) => b -> pNano(c) }.toMap
-    val p0 = pNano(0) // unseen bigram (empty-corpus / safety path)
-    val probLit =
-      if (probs.isEmpty) typedLit(Map("" -> p0)) else typedLit(probs)
-    val bg = lmBigrams(lmNorm(col("text")))
-    val n = size(bg)
-    val sumP = aggregate(bg, lit(0L),
-      (acc, b) => acc + coalesce(element_at(probLit, b), lit(p0)))
-    docs.select(
+      ((BigInt(c) + 1) * LmNano / (BigInt(total) + v * v)).toLong
+    val probLit = typedLit(
+      (0 until v * v).map(i => pNano(counts.getOrElse(i, 0L))))
+    val n = greatest(size(col("codes")) - 1, lit(0))
+    val sumP = aggregate(slots(col("codes")), lit(0L),
+      (acc, s) => acc + element_at(probLit, s + 1))
+    codes.select(
       col("doc_id"),
       n.cast("bigint").as("n_bigrams"),
       when(n > 0, sumP.cast("double") / n).otherwise(0.0).as("typicality"))
