@@ -423,8 +423,12 @@ object Ann {
     * exchange keyed by cell. Fully deterministic (exact-decimal Lloyd
     * step + bit-identical dot folds) → hash-checked oracle.
     */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val asg = ivfRanked(spark, dir).filter(col("rn") === 1)
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticOf(vecs(spark, dir))
+
+  /** Corpus-parametric core (spec harnesses feed synthetic frames). */
+  private[graft] def dedupSemanticOf(v: DataFrame): DataFrame = {
+    val asg = ivfRankedOf(v, refined = true).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .transform(graft.Checkpoints.cp)
     val lo = asg.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("cell"))

@@ -614,6 +614,37 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(scored(2) > scored(4) && scored(3) > scored(4))
   }
 
+  test("dedup_semantic equals a driver-side brute force on the clustered corpus") {
+    import spark.implicits._
+    // semantics check independent of the DuckDB oracle: within each
+    // engine-assigned cell, a vector's anchor must be exactly the MIN
+    // lower-id cell-mate at cosine >= threshold (computed driver-side)
+    val vdf = clusteredCorpus.toDF("vec_id", "embedding")
+    val asg = Ann.ivfRankedOf(vdf, refined = true).filter(col("rn") === 1)
+      .selectExpr("vec_id", "cast(cell as long) cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = clusteredCorpus.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      dot / (math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x)) *
+        math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x)))
+    }
+    val want = clusteredCorpus.map { case (id, v) =>
+      val anchors = clusteredCorpus.collect {
+        case (oid, ov) if oid < id && asg(oid) == asg(id) &&
+          cos(ov, v) >= Ann.SemDedupCos => oid
+      }
+      id -> (if (anchors.isEmpty) -1L else anchors.min)
+    }.toMap
+    val got = Ann.dedupSemanticOf(vdf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    Checkpoints.releaseAll()
+    assert(got.size == want.size)
+    val diffs = want.collect { case (id, w) if got(id) != w => (id, w, got(id)) }
+    assert(diffs.isEmpty, s"anchor mismatches (id, want, got): ${diffs.take(5)}")
+    assert(want.valuesIterator.count(_ >= 0) > 0, "clustered corpus must have dups")
+  }
+
   test("split_holdout: total cover, deterministic, near-dup clusters never straddle splits") {
     val s = llm.Sampling.splitHoldout(spark, sfDir)
     val rows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

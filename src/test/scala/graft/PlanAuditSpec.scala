@@ -73,6 +73,24 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("text_lm_score: scoring pass is map-only over the code barrier") {
+    // pass 1 (bounded alphabet² aggregate) runs at construction; the plan
+    // the engine executes per-corpus is the scoring fold — a projection
+    // over the checkpointed code arrays with the probability table baked
+    // as an array literal: no join, no exchange, no aggregate
+    val p = planOf(llm.TextOps.textLmScore(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("Exchange") &&
+      !p.contains("HashAggregate"), p.take(700))
+    Checkpoints.releaseAll()
+  }
+
+  test("split_holdout: component membership broadcast onto one scan") {
+    val p = planOf(llm.Sampling.splitHoldout(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "comp membership must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(700))
+    Checkpoints.releaseAll()
+  }
+
   test("text_redact_pii: map-only plan — no join, window or aggregate") {
     val p = planOf(llm.TextOps.textRedactPii(spark, sfDir))
     assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
