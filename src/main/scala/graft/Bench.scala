@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver. Results are written to the `noop`
@@ -27,23 +26,11 @@ object Bench {
     // default to every core: the round driver's machine is local[32] and it
     // may not set SPARK_GRAFT_CPUS — an 8-thread default would 4× the bench
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // the 11 headline queries + warmup generate far more than the default
-      // 100 cached codegen classes; eviction forces Janino recompile + fresh
-      // JIT of identical code (measured as progressive slowdown)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // bypass-merge shuffle opens maps×reducers files; at 32×32 the file
-      // opens dominate small shuffles (thread-dump measured). Sort shuffle
-      // writes one file+index per map task.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    // GraftSession carries the measured-systemics config (codegen cache
+    // sized above the catalog working set, sort shuffle for small wide
+    // shuffles, AQE on) — see that object's scaladoc for the rationale.
+    val spark = GraftSession.create(cpus)
     // Untimed warmup passes: drive every query's codegen + JIT (AQE picks
     // the same plans it will pick in the measured run, so the exact
     // generated classes are compiled) — standard JVM steady-state

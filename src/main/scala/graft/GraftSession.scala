@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's user-facing session factory: one place for the
+  * engine-recommended configuration that Bench/Verify/specs previously
+  * each duplicated, plus the `GraftExtensions` registration that makes
+  * the native expressions (`graft_fdot`, the bloom bridge) available to
+  * SQL users.
+  *
+  * Measured-systemics defaults (SURVEY §5):
+  *  - shuffle partitions = cores for local runs (a cluster deployment
+  *    overrides with cores×executors; AQE coalesces down from there),
+  *  - codegen class cache sized above the query-catalog working set
+  *    (eviction forces Janino recompiles + fresh JIT of identical code),
+  *  - sort shuffle instead of bypass-merge (maps×reducers file opens
+  *    dominate small wide shuffles at high core counts),
+  *  - UTC session timezone (oracle comparability; override per deploy).
+  *
+  * `graft.barrier` stays at its per-session default ("local"); cluster
+  * runs set "cache" or "reliable" (see Checkpoints).
+  */
+object GraftSession {
+
+  /** Builder preloaded with the recommended config; caller may override
+    * any entry before `getOrCreate()` (later `.config` wins in Spark).
+    */
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .withExtensions(new graft.functions.GraftExtensions)
+
+  /** Convenience: build, quiet the logs, return the session. */
+  def create(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

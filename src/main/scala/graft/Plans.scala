@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-audit main: prints the formatted physical plan of selected queries
   * (default: the bench headliners) so scan pruning (`PushedFilters`,
   * `ReadSchema`), join strategies (broadcast vs shuffle), and
@@ -13,11 +11,7 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else Bench.Headliners
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.create(4)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n================ $name ================")
