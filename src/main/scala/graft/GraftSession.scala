@@ -34,6 +34,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // reliable-mode barriers (graft.barrier=reliable) write checkpoint
+      // files; without this they accumulate for the session's lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .withExtensions(new graft.functions.GraftExtensions)
 
   /** Convenience: build, quiet the logs, return the session. */
