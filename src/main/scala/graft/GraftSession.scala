@@ -37,6 +37,11 @@ object GraftSession {
       // reliable-mode barriers (graft.barrier=reliable) write checkpoint
       // files; without this they accumulate for the session's lifetime
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // streaming state that outgrows the heap (100 TB/day sessionization)
+      // belongs in RocksDB, not the default in-memory HDFS-backed store;
+      // kill-and-resume recovery under this provider is spec-proven
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .withExtensions(new graft.functions.GraftExtensions)
 
   /** Convenience: build, quiet the logs, return the session. */

@@ -167,7 +167,8 @@ object Temporal {
     * users' same-type sessions that overlap in time (closed intervals),
     * via `Relational.intervalJoin`: sessions explode onto a 1 h grid,
     * candidates come from one equality join on (event_type, cell), the
-    * exact predicate prunes, pairs dedup, a < b orders the pair. The
+    * exact predicate prunes, the canonical-cell rule emits each pair
+    * exactly once (no dedup pass), a < b orders the pair. The
     * interval×interval class E9's point-in-band join can't express —
     * stated without the unbounded inequality join a naive formulation
     * would nest. Cell occupancy here IS the concurrency being measured:
