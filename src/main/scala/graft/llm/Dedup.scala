@@ -387,18 +387,21 @@ object Dedup {
   /** D19b: quality-aware cluster representative — per near-dup component,
     * keep the HIGHEST-QUALITY member (tie: min doc_id) instead of D19's
     * arbitrary min-id keeper; the selection real cleaning pipelines run
-    * after clustering. Cluster membership (a tiny fraction of the corpus)
-    * broadcasts into the quality scan; the per-component window's frames
-    * are bounded by cluster size, so the ranking shuffle carries only
-    * cluster members. Scores are bit-identical across engines (the same
-    * expression shapes text_quality hash-checks), so argmax is exact.
+    * after clustering. Cluster membership joins into the quality scan with
+    * no hard broadcast hint — AQE broadcasts it when it fits (usual case)
+    * and falls back to the doc_id-keyed shuffle join on a heavily-
+    * duplicated corpus whose membership table outgrows the broadcast
+    * threshold. The per-component window's frames are bounded by cluster
+    * size, so the ranking shuffle carries only cluster members. Scores
+    * are bit-identical across engines (the same expression shapes
+    * text_quality hash-checks), so argmax is exact.
     */
   def dedupBestRep(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val members = dedupComponents(spark, dir).select(col("doc_id"), col("component_id"))
     val scored = TextOps.textQuality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
-      .join(broadcast(members), Seq("doc_id"))
+      .join(members, Seq("doc_id"))
     val byComp = Window.partitionBy(col("component_id"))
     val ranked = scored
       .withColumn("rk", row_number().over(

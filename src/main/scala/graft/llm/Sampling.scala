@@ -135,9 +135,13 @@ object Sampling {
     * bucket sampleStratified uses (deterministic, retry/partitioning-
     * independent, engine-independent).
     *
-    * Scale shape: component membership is a tiny fraction of the corpus
-    * (only docs with near-dup edges) → broadcast left join onto one
-    * documents scan; bucketing and the split label are pure projections.
+    * Scale shape: component membership (docs with near-dup edges) joins
+    * onto one documents scan with NO hard broadcast hint — on a lightly-
+    * duplicated corpus AQE broadcasts it (plan-audited on the adaptive
+    * plan), but a heavily-duplicated web crawl can put 30-50% of all docs
+    * in components, where an unconditional broadcast would OOM and the
+    * doc_id-keyed shuffle join is the right shape. Bucketing and the
+    * split label are pure projections either way.
     */
   def splitHoldout(spark: SparkSession, dir: String): DataFrame = {
     val comp = Dedup.dedupComponents(spark, dir)
@@ -149,7 +153,7 @@ object Sampling {
       .cast("bigint") % 100
     Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("text"))
-      .join(broadcast(comp), Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
       .withColumn("bucket", bucket)
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < SplitTrainPct, "train")

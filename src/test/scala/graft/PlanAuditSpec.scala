@@ -84,10 +84,15 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
-  test("split_holdout: component membership broadcast onto one scan") {
-    val p = planOf(llm.Sampling.splitHoldout(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"), "comp membership must broadcast")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(700))
+  test("split_holdout: AQE broadcasts the small membership side at runtime") {
+    // no hard hint (a heavily-duplicated crawl's membership table must not
+    // OOM a broadcast) — the property is that AQE's runtime sizing picks
+    // the broadcast join when membership genuinely fits
+    val df = llm.Sampling.splitHoldout(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
     Checkpoints.releaseAll()
   }
 
