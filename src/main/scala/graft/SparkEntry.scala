@@ -87,6 +87,16 @@ object SparkEntry {
     "top_docs"            -> (graft.llm.Corpus.topDocs _),
     "sample_cap_domain"   -> (graft.llm.Sampling.sampleCapDomain _),
     "corpus_mixture"      -> (graft.llm.Sampling.corpusMixture _),
+    // §2.E21-E24 behavioral event analytics
+    "funnel_steps"      -> (Behavior.funnelSteps _),
+    "retention_cohorts" -> (Behavior.retentionCohorts _),
+    "events_anomaly"    -> (Behavior.eventsAnomaly _),
+    "events_throttle"   -> (Behavior.eventsThrottle _),
+    // §2.D34-D36 + D20c embedding/corpus extensions
+    "contamination_frac" -> (graft.llm.Dedup.contaminationFrac _),
+    "embed_quantize"     -> (graft.llm.Ann.embedQuantize _),
+    "embed_knn_classify" -> (graft.llm.Ann.embedKnnClassify _),
+    "text_ngram_freq"    -> (graft.llm.TextOps.textNgramFreq _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -154,5 +164,13 @@ object SparkEntry {
     "sample_cap_domain"   -> graft.llm.Sampling.sampleCapDomainSql,
     "corpus_mixture"      -> graft.llm.Sampling.corpusMixtureSql,
     "q1_rollup"           -> Analytics.q1RollupSql,
+    "funnel_steps"        -> Behavior.funnelStepsSql,
+    "retention_cohorts"   -> Behavior.retentionCohortsSql,
+    "events_anomaly"      -> Behavior.eventsAnomalySql,
+    "events_throttle"     -> Behavior.eventsThrottleSql,
+    "contamination_frac"  -> graft.llm.Dedup.contaminationFracSql,
+    "embed_quantize"      -> graft.llm.Ann.embedQuantizeSql,
+    "embed_knn_classify"  -> graft.llm.Ann.embedKnnClassifySql,
+    "text_ngram_freq"     -> graft.llm.TextOps.textNgramFreqSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

@@ -579,4 +579,100 @@ object Ann {
       $cols
     FROM embeddings"""
   }
+
+  /** D34: symmetric int8 quantization — the storage/serving compression
+    * step of an embedding pipeline (4× smaller vectors, SIMD-friendly
+    * integer dot products downstream). Per vector: scale = max|x|/127
+    * (floored at 1e-12 so a zero vector quantizes to zeros instead of
+    * NaN), q_i = round-half-up(x_i/scale). A pure codegen'd projection —
+    * no shuffle, no state; every arithmetic step (float→double widen, abs,
+    * max, divide, floor) is IEEE-deterministic, so both the int codes AND
+    * the double scale are bit-identical across engines and fully
+    * hash-checked.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.spreadIfNarrow(vecs(spark, dir), "vec_id")
+      .withColumn("scale",
+        greatest(array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))), lit(1e-12)) / lit(127))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("int")).as("q"))
+      .withColumn("nnz", size(filter(col("q"), e => e =!= 0)))
+  val embedQuantizeSql: String =
+    """WITH s AS (
+      SELECT vec_id, embedding,
+        greatest(list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127 AS scale
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id, scale,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS q
+      FROM s)
+    SELECT vec_id, scale, q,
+      CAST(len(list_filter(q, x -> x != 0)) AS INT) AS nnz
+    FROM qz"""
+
+  val KnnK = 5
+
+  /** D35: k-NN majority-vote classification — label each held-out query
+    * vector (vec_id ≡ 0 mod 10) by the majority label of its KnnK cosine
+    * neighbors in the labeled corpus (ties → smaller label). The standard
+    * auto-labeling / label-propagation step when extending a small
+    * hand-labeled seed set over a large corpus. Same brute-force shape as
+    * D6 (query set broadcast, corpus scanned once, per-query top-k
+    * window); at production scale the candidate step swaps to the IVF/LSH
+    * variants (D7/D7b) unchanged, since voting only consumes (q, nb,
+    * label) rows.
+    */
+  def embedKnnClassify(spark: SparkSession, dir: String): DataFrame =
+    embedKnnClassifyOf(Tables.embeddings(spark, dir))
+
+  /** Core over any (vec_id, embedding, label) frame (spec harnesses feed
+    * synthetic labeled corpora).
+    */
+  private[graft] def embedKnnClassifyOf(v: DataFrame): DataFrame = {
+    val q = v.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("true_label"))
+    val c = v.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("cv"),
+        col("label").as("nb_label"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("votes").desc, col("nb_label").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= KnnK)
+      .groupBy(col("q_id"), col("true_label"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(byVotes))
+      .filter(col("r") === 1)
+      .select(col("q_id"), col("nb_label").as("pred_label"), col("votes"),
+        col("true_label"),
+        (col("nb_label") === col("true_label")).as("correct"))
+  }
+  val embedKnnClassifySql: String =
+    s"""WITH top AS (
+      SELECT q_id, true_label, nb_label FROM (
+        SELECT q.vec_id AS q_id, q.label AS true_label,
+               c.vec_id AS nb_id, c.label AS nb_label,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                   / (${normSql("q.embedding")} * ${normSql("c.embedding")}) DESC,
+                   c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id % 10 = 0 AND c.vec_id % 10 != 0)
+      WHERE rank <= $KnnK),
+    votes AS (
+      SELECT q_id, true_label, nb_label, count(*) AS votes
+      FROM top GROUP BY q_id, true_label, nb_label)
+    SELECT q_id, nb_label AS pred_label, votes, true_label,
+           nb_label = true_label AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY votes DESC, nb_label ASC) AS r FROM votes)
+    WHERE r = 1"""
 }

@@ -409,4 +409,26 @@ object TextOps {
     s"""SELECT doc_id, md5($normTextSql) AS exact_fp,
       list_min(list_transform(${shinglesSql(toksSql)}, s -> md5(s))) AS shingle_fp
     FROM documents"""
+
+  val NgramFreqTopN = 100
+
+  /** D36: corpus n-gram frequency — the top-N word-3-grams by total
+    * occurrence count. The corpus-statistics pass behind boilerplate
+    * detection and contamination-index construction (the most frequent
+    * shingles are the ones worth a stop-list). One explode → one partial-agg
+    * count shuffle → TakeOrderedAndProject (per-partition top-N partials,
+    * N rows to the driver — never a global sort of the shingle table).
+    * Total order (n DESC, shingle ASC) makes the cut boundary exact.
+    */
+  def textNgramFreq(spark: SparkSession, dir: String): DataFrame =
+    Dedup.docsWithToks(spark, dir)
+      .select(explode(shingles(col("toks"))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("shingle").asc)
+      .limit(NgramFreqTopN)
+  val textNgramFreqSql: String =
+    s"""SELECT s AS shingle, count(*) AS n FROM (
+      SELECT unnest(${shinglesSql("toks")}) AS s
+      FROM (SELECT $toksSql AS toks FROM documents))
+    GROUP BY s ORDER BY n DESC, s ASC LIMIT $NgramFreqTopN"""
 }

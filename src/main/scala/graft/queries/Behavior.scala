@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** User-behavior analytics over the events stream: ordered funnels, cohort
+  * retention, statistical anomaly flagging, and rate-limit throttling.
+  * These are the classic product-analytics shapes a warehouse engine serves
+  * (reference scope: the capex app's events have no behavioral queries, so
+  * these extend SURVEY.md §2.E with the standard event-analytics family).
+  *
+  * Scale posture: every operator shuffles only on user_id (funnel,
+  * retention, throttle — the natural clustering a 100 TB event table is
+  * already bucketed by) or aggregates to a tiny stats table that broadcasts
+  * back (anomaly). No windows partitioned by low-cardinality keys, no
+  * driver-side state.
+  */
+object Behavior {
+
+  /** E21: three-step ordered funnel (view → click after the first view →
+    * purchase after that click), counted per stage. Each stage is a
+    * per-user min-timestamp aggregate; stages chain through co-partitioned
+    * user_id joins, so the whole funnel is ONE user_id clustering reused by
+    * three aggregations and two joins — the scalable alternative to the
+    * per-user sort a sequence-match window would force.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelStepsOf(Tables.spread(Tables.events(spark, dir), "user_id"))
+
+  /** Core over any (user_id, event_type, ts) frame (spec harnesses feed
+    * synthetic events).
+    */
+  private[graft] def funnelStepsOf(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    def stage(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1, "view")
+      .unionByName(stage(c, 2, "click_after_view"))
+      .unionByName(stage(p, 3, "purchase_after_click"))
+  }
+  val funnelStepsSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+         JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+         WHERE e.event_type = 'click' GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+         JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+         WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+     SELECT 1 AS step, 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+     UNION ALL
+     SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+     UNION ALL
+     SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)"""
+
+  /** E22: weekly cohort retention — users bucketed by first-seen week
+    * (days-since-epoch/7, not date_trunc, so week boundaries are
+    * engine-agnostic), counted distinct per (cohort_week, week_offset).
+    * First-seen is a user_id aggregate; the join back is co-partitioned on
+    * the spread key; the final count_distinct is Spark's two-phase expand
+    * (partials keyed by (cohort, offset, user) — no single-reducer
+    * distinct).
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(Tables.spread(Tables.events(spark, dir), "user_id"))
+
+  private[graft] def retentionCohortsOf(ev0: DataFrame): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val ev = ev0.select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    ev.join(first, Seq("user_id"))
+      .select(
+        col("user_id"),
+        floor(datediff(col("d0"), epoch) / 7).cast("int").as("cohort_week"),
+        floor(datediff(col("d"), col("d0")) / 7).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+  val retentionCohortsSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+         FROM events GROUP BY user_id),
+       x AS (SELECT e.user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01', f.d0) / 7) AS INT) AS cohort_week,
+         CAST(floor(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7) AS INT) AS week_offset
+         FROM events e JOIN f USING (user_id))
+     SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+     FROM x GROUP BY cohort_week, week_offset"""
+
+  val AnomalyZ = 3.0
+
+  /** E23: per-type z-score anomaly flags. Two passes over the facts — a
+    * partial-agg stats pass (count + exact-decimal sum/sum-of-squares, so
+    * mean/variance are bit-identical across engines) and a broadcast-stats
+    * scoring pass — instead of a window partitioned by the 5-value
+    * event_type (which would funnel 100 TB through 5 reducers). z is
+    * reported quantized to 1e-4 (floor(z·1e4 + 0.5)): every arithmetic step
+    * below is IEEE-deterministic from the exact decimal stats, and the
+    * quantization keeps the gate independent of display formatting.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsAnomalyOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id"))
+
+  private[graft] def eventsAnomalyOf(ev0: DataFrame): DataFrame = {
+    val dec = col("value").cast("decimal(18,2)")
+    val stats = ev0
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("ssq"))
+    val mean = col("s") / col("n")
+    val variance = col("ssq") / col("n") - mean * mean
+    val z = (col("value") - mean) / sqrt(variance)
+    ev0
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) > AnomalyZ)
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("z") * 10000 + 0.5).cast("bigint").as("z_e4"))
+  }
+  val eventsAnomalySql: String =
+    s"""WITH st AS (
+       SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ssq
+       FROM events GROUP BY event_type),
+     sc AS (
+       SELECT e.event_id, e.event_type, e.value,
+         (e.value - st.s / st.n)
+           / sqrt(st.ssq / st.n - (st.s / st.n) * (st.s / st.n)) AS z
+       FROM events e JOIN st USING (event_type))
+     SELECT event_id, event_type, value,
+       CAST(floor(z * 10000 + 0.5) AS BIGINT) AS z_e4
+     FROM sc WHERE abs(z) > $AnomalyZ"""
+
+  val ThrottleMs = 60000L
+
+  /** E24: rate-limit throttle — drop an event landing within 60 s of the
+    * previous event of the same (user, type). One lag window clustered by
+    * (user_id, event_type); the repartition below feeds exactly that
+    * clustering so the window adds no second exchange. This is the batch
+    * twin of streaming dedup-in-watermark with a time tolerance instead of
+    * exact identity.
+    */
+  def eventsThrottle(spark: SparkSession, dir: String): DataFrame =
+    eventsThrottleOf(Tables.events(spark, dir))
+
+  private[graft] def eventsThrottleOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.repartition(ev.sparkSession.sparkContext.defaultParallelism,
+        col("user_id"), col("event_type"))
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_ms").isNull || col("ms") - col("prev_ms") > ThrottleMs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+  }
+  val eventsThrottleSql: String =
+    s"""SELECT event_id, user_id, event_type, ts FROM (
+       SELECT event_id, user_id, event_type, ts,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts ASC, event_id ASC) AS gap_ms
+       FROM events)
+     WHERE gap_ms IS NULL OR gap_ms > $ThrottleMs"""
+}

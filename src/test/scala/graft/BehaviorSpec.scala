@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.Behavior
+
+/** Semantic tests for the behavioral event-analytics family (funnel,
+  * retention, anomaly, throttle) on synthetic frames where the expected
+  * answer is countable by hand, plus contract checks on the real testdata.
+  */
+class BehaviorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Long) = s"2024-01-01 00:${"%02d".format(minute / 60)}:${"%02d".format(minute % 60)}"
+  private def evFrame(rows: Seq[(Long, Long, String, Long)]): DataFrame =
+    // (event_id, user_id, event_type, second-offset)
+    rows.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("sec")).cast("timestamp_ntz"))
+      .withColumn("value", lit(1.0))
+      .drop("sec")
+
+  test("funnel counts only strictly-ordered view -> click -> purchase chains") {
+    // user 1: full ordered chain; user 2: click precedes its only view
+    // (drops at stage 2); user 3: purchase precedes its click (drops at
+    // stage 3); user 4: view only.
+    val ev = evFrame(Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "purchase", 30L),
+      (4L, 2L, "click", 10L), (5L, 2L, "view", 20L),
+      (6L, 3L, "view", 10L), (7L, 3L, "purchase", 20L), (8L, 3L, "click", 30L),
+      (9L, 4L, "view", 10L)))
+    val out = Behavior.funnelStepsOf(ev).orderBy("step")
+      .select("n_users").as[Long].collect().toSeq
+    assert(out === Seq(4L, 2L, 1L))
+  }
+
+  test("funnel stage counts are monotone non-increasing on testdata") {
+    val out = Behavior.funnelSteps(spark, sfDir).orderBy("step")
+      .select("n_users").as[Long].collect().toSeq
+    assert(out.size === 3)
+    assert(out === out.sorted.reverse, s"funnel grew downstream: $out")
+  }
+
+  test("retention buckets by first-seen week and week offset") {
+    // user 1 first seen day 0, returns day 8 (offset week 1) and day 20
+    // (offset week 2); user 2 first seen day 9 (cohort week 1), returns
+    // day 10 (offset 0)
+    def day(d: Int, u: Long, id: Long) = (id, u, "view", d * 86400L)
+    val ev = evFrame(Seq(day(0, 1L, 1L), day(8, 1L, 2L), day(20, 1L, 3L),
+      day(9, 2L, 4L), day(10, 2L, 5L)))
+    val out = Behavior.retentionCohortsOf(ev)
+      .orderBy("cohort_week", "week_offset")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(out === Seq((0, 0, 1L), (0, 1, 1L), (0, 2, 1L), (1, 0, 1L)))
+  }
+
+  test("anomaly flags exactly the injected outlier") {
+    // 100 unit values + one huge outlier: z(outlier) >> 3, z(units) < 3
+    val base = (1L to 100L).map(i => (i, 1L, "click", i))
+    val ev = evFrame(base :+ (999L, 2L, "click", 5000L))
+      .withColumn("value", when(col("event_id") === 999L, 1000.0).otherwise(1.0))
+    val out = Behavior.eventsAnomalyOf(ev)
+      .select("event_id", "z_e4").as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(999L))
+    assert(out.head._2 > 30000L, s"outlier z_e4 ${out.head._2}")
+  }
+
+  test("throttle keeps an event only when >60s after the previous same-key event") {
+    // same (user, type) at 0s, 30s, 70s, 200s: 30s drops (gap 30), 70s
+    // drops too (gap to the PREVIOUS EVENT is 40 — lag semantics, not
+    // gap-to-last-kept), 200s keeps (gap 130). Other key unaffected.
+    val ev = evFrame(Seq(
+      (1L, 1L, "click", 0L), (2L, 1L, "click", 30L),
+      (3L, 1L, "click", 70L), (4L, 1L, "click", 200L),
+      (5L, 1L, "view", 10L), (6L, 2L, "click", 15L)))
+    val kept = Behavior.eventsThrottleOf(ev)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L))
+  }
+
+  test("throttle on testdata: kept set contains every key's first event") {
+    val ev = Tables.events(spark, sfDir)
+    val firsts = ev.groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("f.event_id")).as[Long].collect().toSet
+    val kept = Behavior.eventsThrottle(spark, sfDir)
+      .select("event_id").as[Long].collect().toSet
+    assert(firsts.subsetOf(kept))
+  }
+}

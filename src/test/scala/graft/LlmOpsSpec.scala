@@ -680,4 +680,63 @@ class LlmOpsSpec extends SparkSpecBase {
     // under-represented langs are NOT upsampled (cap at keep-everything)
     assert(rates.exists(_._2 == 100L))
   }
+
+  test("embed_quantize: codes bounded, reconstruction within half a step") {
+    import spark.implicits._
+    val q = Ann.embedQuantize(spark, sfDir)
+    val joined = Tables.embeddings(spark, sfDir)
+      .join(q, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        array_max(zip_with(col("embedding"), col("q"),
+          (x, qi) => abs(x.cast("double") - qi * col("scale")))).as("max_err"),
+        array_max(transform(col("q"), c => abs(c))).as("max_code"))
+    val bad = joined.filter(col("max_err") > col("scale") * 0.5 + 1e-12 ||
+      col("max_code") > 127).count()
+    assert(bad === 0)
+    assert(q.filter(col("nnz") <= 0).count() === 0)
+  }
+
+  test("embed_knn_classify recovers labels on a label-separable corpus") {
+    import spark.implicits._
+    // 3 well-separated prototypes; every vector = its prototype, so each
+    // query's 5 nearest neighbors all vote its own label
+    val protos = Map(0 -> Array(1f, 0f, 0f), 1 -> Array(0f, 1f, 0f), 2 -> Array(0f, 0f, 1f))
+    val v = (0L until 60L).map(i => (i, protos((i % 3).toInt), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.embedKnnClassifyOf(v)
+      .select("q_id", "pred_label", "true_label", "votes", "correct")
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+    assert(out.length === 6) // vec_id ≡ 0 mod 10
+    assert(out.forall(_._5), s"misclassified: ${out.filterNot(_._5).toSeq}")
+    assert(out.forall(_._4 === 5L), "separable corpus must vote 5-0")
+  }
+
+  test("embed_knn_classify on testdata: one verdict per query, votes in [1,5]") {
+    val out = Ann.embedKnnClassify(spark, sfDir)
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 1).count() === 0)
+    assert(out.filter(col("votes") < 1 || col("votes") > Ann.KnnK).count() === 0)
+  }
+
+  test("contamination_frac agrees with binary decontaminate") {
+    val frac = Dedup.contaminationFrac(spark, sfDir)
+      .select(col("doc_id"), col("n_hits").as("h_frac"), col("frac_bp"))
+    val bin = Dedup.decontaminate(spark, sfDir)
+      .select(col("doc_id"), col("n_hits").as("h_bin"), col("contaminated"))
+    val j = frac.join(bin, Seq("doc_id"), "full")
+    assert(j.filter(col("h_frac").isNull || col("h_bin").isNull).count() === 0)
+    assert(j.filter(col("h_frac") =!= col("h_bin")).count() === 0)
+    assert(j.filter(col("frac_bp") > 0 && !col("contaminated")).count() === 0)
+    // basis points stay in [0, 10000]
+    assert(frac.filter(col("frac_bp") < 0 || col("frac_bp") > 10000).count() === 0)
+  }
+
+  test("text_ngram_freq: descending counts, shingles actually occur") {
+    import spark.implicits._
+    val top = TextOps.textNgramFreq(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(top.nonEmpty && top.size <= TextOps.NgramFreqTopN)
+    assert(top.map(_._2) === top.map(_._2).sorted.reverse)
+    assert(top.forall(_._2 >= 1))
+    assert(top.forall(_._1.split(" ").length === 3), "word-3-gram shape")
+  }
 }

@@ -257,4 +257,42 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(aggs.size >= 2 && exchs.nonEmpty, p.take(600))
     assert(exp.min < aggs.min && aggs.min < exchs.max, p.take(600))
   }
+
+  test("events_anomaly: stats table broadcasts back, no sort-merge or window") {
+    val p = planOf(queries.Behavior.eventsAnomaly(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "5-row stats table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "scoring join degraded to sort-merge")
+    // scoring must not be a window partitioned by the 5-value event_type
+    assert(!p.contains("Window"), "z-scoring must be a broadcast join, not a window")
+  }
+
+  test("events_throttle: the lag window reuses the repartition's clustering") {
+    val p = planOf(queries.Behavior.eventsThrottle(spark, sfDir))
+    // exactly one exchange: the explicit (user_id, event_type) repartition;
+    // the window's required clustering is satisfied by it
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange( .*)?""")) == 1, p.take(700))
+    assert(p.contains("Window"), "throttle is a lag window")
+  }
+
+  test("text_ngram_freq: top-N via TakeOrderedAndProject, never a global sort") {
+    val p = planOf(llm.TextOps.textNgramFreq(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    Checkpoints.releaseAll()
+  }
+
+  test("embed_quantize: map-only plan, zero exchanges over a pre-split input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-presplit-emb").toString
+    Tables.embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p = planOf(llm.Ann.embedQuantize(spark, dir))
+    assert(!p.contains("Exchange"), p.take(700))
+    assert(!p.contains("Join"), "quantization must be a projection")
+  }
+
+  test("funnel_steps: stage joins stay keyed, no cartesian") {
+    val p = planOf(queries.Behavior.funnelSteps(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "stage joins must be equality joins")
+  }
 }
