@@ -19,7 +19,8 @@ object Bench {
     "ann_bruteforce", "text_quality", "events_json", "stream_sessionize",
     "dedup_spans", "corpus_clean", "session_overlap",
     "decontaminate_bloom", "embed_kmeans",
-    "dedup_semantic", "text_lm_score", "split_holdout")
+    "dedup_semantic", "text_lm_score", "split_holdout",
+    "funnel_steps", "text_ngram_freq", "contamination_frac")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

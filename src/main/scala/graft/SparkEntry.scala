@@ -92,6 +92,7 @@ object SparkEntry {
     "retention_cohorts" -> (Behavior.retentionCohorts _),
     "events_anomaly"    -> (Behavior.eventsAnomaly _),
     "events_throttle"   -> (Behavior.eventsThrottle _),
+    "merge_upsert"      -> (Merge.mergeUpsert _),
     // §2.D34-D36 + D20c embedding/corpus extensions
     "contamination_frac" -> (graft.llm.Dedup.contaminationFrac _),
     "embed_quantize"     -> (graft.llm.Ann.embedQuantize _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "retention_cohorts"   -> Behavior.retentionCohortsSql,
     "events_anomaly"      -> Behavior.eventsAnomalySql,
     "events_throttle"     -> Behavior.eventsThrottleSql,
+    "merge_upsert"        -> Merge.mergeUpsertSql,
     "contamination_frac"  -> graft.llm.Dedup.contaminationFracSql,
     "embed_quantize"      -> graft.llm.Ann.embedQuantizeSql,
     "embed_knn_classify"  -> graft.llm.Ann.embedKnnClassifySql,

@@ -177,6 +177,46 @@ object StreamOps {
       }
   }
 
+  case class ThrottleState(lastMs: Long)
+  case class ThrottleOut(event_id: Long, user_id: Long, event_type: String,
+                         ts: Timestamp)
+
+  /** Streaming twin of the batch rate-limit throttle (E24,
+    * queries.Behavior.eventsThrottle): keep an event only when it lands
+    * more than ThrottleMs after the previous event of the same
+    * (user, type). State is ONE epoch-millis long per active key —
+    * O(keys), advance-only — and compares at the same unix-millis
+    * granularity as the batch lag window. Within a micro-batch events are
+    * processed in (ts, event_id) order — identical tie rules to the batch
+    * window. Cross-batch, state only advances: a LATE event (older than
+    * the stored last) is judged against the advanced state instead of
+    * retro-inserting into the sequence (Append semantics — the documented
+    * delta from batch; an in-order stream matches the batch twin exactly,
+    * spec-asserted).
+    */
+  def throttleStream(events: Dataset[Event]): Dataset[ThrottleOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ThrottleState, ThrottleOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[Event], state: GroupState[ThrottleState]) =>
+          val sorted = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[ThrottleOut]
+          sorted.foreach { e =>
+            val ms = microsOf(e.ts) / 1000
+            if (last.forall(s => ms - s.lastMs > graft.queries.Behavior.ThrottleMs))
+              out += ThrottleOut(e.event_id, key._1, key._2, e.ts)
+            // the batch lag compares to the previous EVENT, kept or not —
+            // state advances on every event, not just on kept ones
+            if (last.forall(_.lastMs <= ms)) last = Some(ThrottleState(ms))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class Scd2State(eventId: Long, state: String, tsUs: Long)
   case class Scd2Out(user_id: Long, event_id: Long, state: String,
                      valid_from: Timestamp, valid_to: Timestamp)

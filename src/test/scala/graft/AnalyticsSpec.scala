@@ -51,4 +51,27 @@ class AnalyticsSpec extends SparkSpecBase {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("merge_upsert applies deletes, updates and inserts exactly") {
+    import org.apache.spark.sql.functions._
+    val t = Tables.orders(spark, sfDir)
+    val merged = queries.Merge.mergeUpsert(spark, sfDir)
+    val k = col("o_orderkey")
+    val nDel = t.filter(k % 13 === 0).count()
+    val nIns = t.filter(k % 11 === 0).count()
+    assert(merged.count() === t.count() - nDel + nIns)
+    // deletes gone; inserts present with status N; updates re-statused
+    assert(merged.filter(k % 13 === 0 && k < queries.Merge.InsertKeyOffset).count() === 0)
+    assert(merged.filter(k >= queries.Merge.InsertKeyOffset).count() === nIns)
+    assert(merged.filter(k >= queries.Merge.InsertKeyOffset &&
+      col("o_orderstatus") =!= "N").count() === 0)
+    assert(merged.filter(k % 7 === 0 && k % 13 =!= 0 && k < queries.Merge.InsertKeyOffset &&
+      col("o_orderstatus") =!= "X").count() === 0)
+    // untouched rows pass through byte-identical
+    val untouched = t.filter(k % 7 =!= 0 && k % 13 =!= 0)
+    val mergedUntouched = merged.filter(k % 7 =!= 0 && k % 13 =!= 0 &&
+      k < queries.Merge.InsertKeyOffset)
+    assert(mergedUntouched.exceptAll(untouched).count() === 0)
+    assert(untouched.exceptAll(mergedUntouched).count() === 0)
+  }
 }

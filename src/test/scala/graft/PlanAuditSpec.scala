@@ -295,4 +295,11 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(600))
     assert(!p.contains("BroadcastNestedLoopJoin"), "stage joins must be equality joins")
   }
+
+  test("merge_upsert: one keyed full-outer apply, no cartesian") {
+    val p = planOf(queries.Merge.mergeUpsert(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "merge must join on the key")
+    assert(p.contains("FullOuter"), "CDC apply is a full-outer key join")
+  }
 }

@@ -372,4 +372,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.count() == closedBatch.count())
     assert(got.exceptAll(closedBatch).count() == 0)
   }
+
+  test("streaming throttle emits exactly the batch twin's kept events") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    // in-order input (single batch): the advance-only state delta never
+    // triggers, so parity with the batch lag window must be exact
+    val got = StreamOps.throttleStream(ev).toDF()
+      .select(col("event_id")).as[Long].collect().toSet
+    val batch = queries.Behavior.eventsThrottle(spark, sfDir)
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(got === batch)
+  }
 }
