@@ -93,6 +93,8 @@ object SparkEntry {
     "events_anomaly"    -> (Behavior.eventsAnomaly _),
     "events_throttle"   -> (Behavior.eventsThrottle _),
     "merge_upsert"      -> (Merge.mergeUpsert _),
+    "events_winsorize"  -> (Behavior.eventsWinsorize _),
+    "unpivot_lineitem"  -> (Analytics.unpivotLineitem _),
     // §2.D34-D36 + D20c embedding/corpus extensions
     "contamination_frac" -> (graft.llm.Dedup.contaminationFrac _),
     "embed_quantize"     -> (graft.llm.Ann.embedQuantize _),
@@ -170,6 +172,8 @@ object SparkEntry {
     "events_anomaly"      -> Behavior.eventsAnomalySql,
     "events_throttle"     -> Behavior.eventsThrottleSql,
     "merge_upsert"        -> Merge.mergeUpsertSql,
+    "events_winsorize"    -> Behavior.eventsWinsorizeSql,
+    "unpivot_lineitem"    -> Analytics.unpivotLineitemSql,
     "contamination_frac"  -> graft.llm.Dedup.contaminationFracSql,
     "embed_quantize"      -> graft.llm.Ann.embedQuantizeSql,
     "embed_knn_classify"  -> graft.llm.Ann.embedKnnClassifySql,

@@ -231,4 +231,28 @@ object Analytics {
            max(CASE WHEN rn = (n-1)//2 + 1 THEN cents END) AS q50_cents,
            max(CASE WHEN rn = (3*(n-1))//4 + 1 THEN cents END) AS q75_cents
     FROM r GROUP BY l_returnflag"""
+
+  /** E27: unpivot (melt) — the inverse of B8's pivot: four measure columns
+    * fold into (measure, amount) rows. Plans as a map-side Expand (each
+    * input row replicates into 4 output rows in place) — zero shuffle,
+    * zero joins, the reshaping step that feeds long-format consumers
+    * (plotting, ML feature tables) without a 4-way self-union rescan.
+    * Values pass through untouched (no arithmetic), so the oracle matches
+    * bit-for-bit; duplicate (orderkey, linenumber) identities are fine —
+    * the gate compares multisets.
+    */
+  def unpivotLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "amount")
+  val unpivotLineitemSql: String =
+    """UNPIVOT (SELECT l_orderkey, l_linenumber, l_returnflag,
+                       l_quantity, l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+       ON l_quantity, l_extendedprice, l_discount, l_tax
+       INTO NAME measure VALUE amount"""
 }

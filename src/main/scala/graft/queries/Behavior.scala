@@ -146,6 +146,58 @@ object Behavior {
        CAST(floor(z * 10000 + 0.5) AS BIGINT) AS z_e4
      FROM sc WHERE abs(z) > $AnomalyZ"""
 
+  /** E26: p99 winsorization — clamp outlier values to the per-type 99th
+    * percentile. The threshold comes from the D28 bounded-cardinality
+    * pattern, NOT a per-type sort: values are 2-decimal money (distinct
+    * cents ≪ rows by contract), so one partial-agg shuffle builds the
+    * (type, cents) frequency table, a window over that TINY table finds
+    * the type-1 p99 (smallest value with 100·cum ≥ 99·n — exact integer
+    * arithmetic), and the per-type thresholds broadcast back onto one
+    * scan. No 5-reducer per-type sort of the fact table at any point.
+    */
+  def eventsWinsorize(spark: SparkSession, dir: String): DataFrame =
+    eventsWinsorizeOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id"))
+
+  private[graft] def eventsWinsorizeOf(ev0: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val ev = ev0.select(col("event_id"), col("event_type"), cents.as("cents"))
+    val freq = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("cents").asc)
+    val overType = Window.partitionBy(col("event_type"))
+    val thr = freq
+      .withColumn("cum", sum(col("cnt")).over(
+        byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(overType))
+      .filter(col("cum") * 100 >= col("n") * 99)
+      .groupBy(col("event_type")).agg(min(col("cents")).as("p99_cents"))
+    ev.join(broadcast(thr), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        least(col("cents"), col("p99_cents")).as("cents_w"),
+        (col("cents") > col("p99_cents")).as("clamped"))
+  }
+  val eventsWinsorizeSql: String =
+    """WITH c AS (
+       SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       FROM events),
+     freq AS (
+       SELECT event_type, cents, count(*) AS cnt
+       FROM c GROUP BY event_type, cents),
+     cum AS (
+       SELECT event_type, cents,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+       FROM freq),
+     thr AS (
+       SELECT event_type, min(cents) AS p99_cents FROM cum
+       WHERE cum * 100 >= n * 99 GROUP BY event_type)
+     SELECT c.event_id, c.event_type, c.cents,
+       least(c.cents, t.p99_cents) AS cents_w,
+       c.cents > t.p99_cents AS clamped
+     FROM c JOIN thr t USING (event_type)"""
+
   val ThrottleMs = 60000L
 
   /** E24: rate-limit throttle — drop an event landing within 60 s of the

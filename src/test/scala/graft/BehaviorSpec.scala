@@ -77,6 +77,31 @@ class BehaviorSpec extends SparkSpecBase {
     assert(kept === Set(1L, 4L, 5L, 6L))
   }
 
+  test("winsorize clamps exactly the top percent, type-1 threshold") {
+    // 100 events at 1.00 + one at 1000.00 (n=101): smallest cents with
+    // 100·cum ≥ 99·101 is 100 (cum 100 ≥ 99.99) → the outlier clamps to
+    // 1.00 and nothing else changes
+    val base = (1L to 100L).map(i => (i, 1L, "click", i))
+    val ev = evFrame(base :+ (999L, 2L, "click", 5000L))
+      .withColumn("value", when(col("event_id") === 999L, 1000.0).otherwise(1.0))
+    val out = Behavior.eventsWinsorizeOf(ev)
+    assert(out.filter(col("clamped")).select("event_id").as[Long].collect().toSeq === Seq(999L))
+    assert(out.filter(col("event_id") === 999L).select("cents_w").as[Long].head() === 100L)
+    assert(out.filter(!col("clamped") && col("cents_w") =!= col("cents")).count() === 0)
+  }
+
+  test("winsorize on testdata: clamps at most 1% per type, threshold respected") {
+    val out = Behavior.eventsWinsorize(spark, sfDir)
+    val per = out.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("clamped"), 1L).otherwise(0L)).as("n_clamped"))
+      .as[(String, Long, Long)].collect()
+    assert(per.nonEmpty)
+    // type-1 p99: strictly-above-threshold rows are < 1% of the group
+    per.foreach { case (t, n, c) => assert(c * 100 < n, s"$t clamped $c of $n") }
+    assert(out.filter(col("cents_w") > col("cents")).count() === 0)
+  }
+
   test("throttle on testdata: kept set contains every key's first event") {
     val ev = Tables.events(spark, sfDir)
     val firsts = ev.groupBy("user_id", "event_type")

@@ -296,6 +296,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "stage joins must be equality joins")
   }
 
+  test("events_winsorize: thresholds broadcast back, fact never type-sorted") {
+    val p = planOf(queries.Behavior.eventsWinsorize(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "per-type thresholds must broadcast")
+    assert(!p.contains("SortMergeJoin"), "clamp join degraded to sort-merge")
+  }
+
+  test("unpivot_lineitem: map-side Expand, zero exchanges") {
+    val p = planOf(queries.Analytics.unpivotLineitem(spark, sfDir))
+    assert(p.contains("Expand"), "unpivot must plan as Expand")
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(!p.contains("Union"), "unpivot must not rescan per measure")
+  }
+
   test("merge_upsert: one keyed full-outer apply, no cartesian") {
     val p = planOf(queries.Merge.mergeUpsert(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(600))
