@@ -29,10 +29,11 @@ object Behavior {
   def funnelSteps(spark: SparkSession, dir: String): DataFrame =
     funnelStepsOf(Tables.spread(Tables.events(spark, dir), "user_id"))
 
-  /** Core over any (user_id, event_type, ts) frame (spec harnesses feed
-    * synthetic events).
+  /** Per-user funnel milestones (t_view; t_click, t_purchase nullable
+    * until reached) — the intermediate both funnelSteps and the streaming
+    * twin's parity spec consume.
     */
-  private[graft] def funnelStepsOf(ev0: DataFrame): DataFrame = {
+  private[graft] def funnelMilestonesOf(ev0: DataFrame): DataFrame = {
     val ev = ev0.select(col("user_id"), col("event_type"), col("ts"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
@@ -44,13 +45,20 @@ object Behavior {
       .join(c, Seq("user_id"))
       .filter(col("ts") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    def stage(df: DataFrame, step: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
-    stage(v, 1, "view")
-      .unionByName(stage(c, 2, "click_after_view"))
-      .unionByName(stage(p, 3, "purchase_after_click"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
   }
+
+  /** Core over any (user_id, event_type, ts) frame (spec harnesses feed
+    * synthetic events): stage counts are the non-null milestone counts,
+    * reshaped to rows by one stack (Expand) over the single-row aggregate.
+    */
+  private[graft] def funnelStepsOf(ev0: DataFrame): DataFrame =
+    funnelMilestonesOf(ev0)
+      .agg(count(col("t_view")).as("n1"), count(col("t_click")).as("n2"),
+        count(col("t_purchase")).as("n3"))
+      .select(expr(
+        "stack(3, 1, 'view', n1, 2, 'click_after_view', n2," +
+          " 3, 'purchase_after_click', n3) AS (step, stage, n_users)"))
   val funnelStepsSql: String =
     """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
          WHERE event_type = 'view' GROUP BY user_id),

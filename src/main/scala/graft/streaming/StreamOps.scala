@@ -177,6 +177,52 @@ object StreamOps {
       }
   }
 
+  case class FunnelState(view: Option[Long], click: Option[Long],
+                         purchase: Option[Long])
+  case class FunnelOut(user_id: Long, stage: String, ts: Timestamp)
+
+  /** Streaming twin of the batch funnel (E21, queries.Behavior
+    * .funnelMilestonesOf): emits one row per user per milestone the moment
+    * it first completes (view → first click strictly after the view →
+    * first purchase strictly after that click). State is one 3-slot
+    * Option[Long] struct per user, monotone — a slot fills once and never
+    * changes, so cross-batch there is no late-data regression to document
+    * beyond the family's usual advance-only rule (a late EARLIER view
+    * cannot retro-replace the recorded first view; in-order input matches
+    * the batch milestones exactly, spec-asserted). Within a micro-batch
+    * events process in (ts, event_id) order — the first qualifying event
+    * in ascending order IS the batch min.
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = Seq.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            val us = microsOf(e.ts)
+            e.event_type match {
+              case "view" if st.view.isEmpty =>
+                st = st.copy(view = Some(us))
+                out += FunnelOut(userId, "view", e.ts)
+              case "click" if st.click.isEmpty && st.view.exists(_ < us) =>
+                st = st.copy(click = Some(us))
+                out += FunnelOut(userId, "click_after_view", e.ts)
+              case "purchase" if st.purchase.isEmpty && st.click.exists(_ < us) =>
+                st = st.copy(purchase = Some(us))
+                out += FunnelOut(userId, "purchase_after_click", e.ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class ThrottleState(lastMs: Long)
   case class ThrottleOut(event_id: Long, user_id: Long, event_type: String,
                          ts: Timestamp)

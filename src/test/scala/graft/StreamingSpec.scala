@@ -373,6 +373,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(closedBatch).count() == 0)
   }
 
+  test("streaming funnel emits exactly the batch milestone frame") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    val got = StreamOps.funnelStream(ev).toDF()
+      .select(col("user_id"), col("stage"), col("ts").cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    val m = queries.Behavior.funnelMilestonesOf(
+      Tables.events(spark, sfDir)).cache()
+    def stageRows(c: String, name: String) = m.filter(col(c).isNotNull)
+      .select(col("user_id"), lit(name).as("stage"),
+        col(c).cast("timestamp").cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    val want = stageRows("t_view", "view") ++
+      stageRows("t_click", "click_after_view") ++
+      stageRows("t_purchase", "purchase_after_click")
+    m.unpersist()
+    assert(got === want)
+  }
+
   test("streaming throttle emits exactly the batch twin's kept events") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
