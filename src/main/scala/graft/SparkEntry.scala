@@ -100,6 +100,7 @@ object SparkEntry {
     "embed_quantize"     -> (graft.llm.Ann.embedQuantize _),
     "embed_knn_classify" -> (graft.llm.Ann.embedKnnClassify _),
     "text_ngram_freq"    -> (graft.llm.TextOps.textNgramFreq _),
+    "source_overlap"     -> (graft.llm.Corpus.sourceOverlap _),
   ) ++ graft.capex.CapexQueries.queries
 
   /** DuckDB equivalents for the driver's correctness gate — every query,
@@ -178,5 +179,6 @@ object SparkEntry {
     "embed_quantize"      -> graft.llm.Ann.embedQuantizeSql,
     "embed_knn_classify"  -> graft.llm.Ann.embedKnnClassifySql,
     "text_ngram_freq"     -> graft.llm.TextOps.textNgramFreqSql,
+    "source_overlap"      -> graft.llm.Corpus.sourceOverlapSql,
   ) ++ graft.capex.CapexQueries.oracleSql
 }

@@ -109,6 +109,52 @@ object Corpus {
       CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_bpe_tokens END) AS BIGINT) AS median_tokens
     FROM w GROUP BY source, lang"""
 
+  /** D37: cross-source overlap matrix — for every source pair, the count
+    * of distinct word-3-gram shingle hashes present in BOTH, plus an
+    * overlap coefficient in integer basis points (shared·10000 div
+    * min(|a|,|b|)). The corpus-provenance diagnostic behind "which feeds
+    * duplicate each other" decisions (what to crawl less, what to dedup
+    * against what). Shape: one distinct (source, hash) inverted index —
+    * the shuffle is bounded by distinct (source, shingle) pairs, and the
+    * per-hash self-join fans out at most sources²/2 rows per shingle
+    * (sources is a bounded catalog, not data-scale); the corpus is never
+    * joined to itself at doc granularity.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("source"), explode(
+        array_distinct(TextOps.shingles(TextOps.toks(col("text"))))).as("s"))
+      .select(col("source"), md5(col("s").cast("binary")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source").as("source_a"), col("h"))
+    val b = sh.select(col("source").as("source_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 10000 div least(n_a, n_b)").as("overlap_bp"))
+  }
+  val sourceOverlapSql: String =
+    s"""WITH sh AS MATERIALIZED (
+      SELECT DISTINCT source, md5(s) AS h FROM (
+        SELECT source, unnest(list_distinct(${TextOps.shinglesSql("toks")})) AS s
+        FROM (SELECT source, ${TextOps.toksSql} AS toks FROM documents))),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT p.source_a, p.source_b, p.n_shared,
+      sa.n_sh AS n_a, sb.n_sh AS n_b,
+      (p.n_shared * 10000) // least(sa.n_sh, sb.n_sh) AS overlap_bp
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b"""
+
   val QualityTiers = 10
 
   /** D28: global quality-tier bucketing WITHOUT a global sort — the scale

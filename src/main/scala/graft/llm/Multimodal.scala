@@ -38,8 +38,10 @@ object Multimodal {
     Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id").as("media_id"),
       coalesce(col("text"), lit("")).cast("binary").as("payload"),
-      (col("n_chars") % 640).cast("int").as("width"),
-      ((col("n_chars") * 7) % 480).cast("int").as("height"))
+      // null metadata degrades to a zero-area frame (fail-open, same
+      // posture as the CSV/JSONL sources), never a null in the typed row
+      (coalesce(col("n_chars"), lit(0L)) % 640).cast("int").as("width"),
+      ((coalesce(col("n_chars"), lit(0L)) * 7) % 480).cast("int").as("height"))
 
   /** Batched "decode": groups each partition's rows into fixed-size batches
     * (the shape a vectorized decoder needs) and emits per-row features.
@@ -94,8 +96,10 @@ object Multimodal {
       greatest(1, CAST(floor(width * $ResizeBox / m) AS INT)) AS out_w,
       greatest(1, CAST(floor(height * $ResizeBox / m) AS INT)) AS out_h
     FROM (SELECT doc_id AS media_id,
-        CAST(n_chars % 640 AS INT) AS width, CAST((n_chars * 7) % 480 AS INT) AS height,
-        greatest(CAST(n_chars % 640 AS INT), CAST((n_chars * 7) % 480 AS INT), 1) AS m
+        CAST(coalesce(n_chars, 0) % 640 AS INT) AS width,
+        CAST((coalesce(n_chars, 0) * 7) % 480 AS INT) AS height,
+        greatest(CAST(coalesce(n_chars, 0) % 640 AS INT),
+                 CAST((coalesce(n_chars, 0) * 7) % 480 AS INT), 1) AS m
       FROM documents)"""
 
   val FrameBytes = 100
@@ -144,6 +148,7 @@ object Multimodal {
       octet_length(encode(coalesce(text, ''))) AS n_bytes,
       CASE WHEN octet_length(encode(coalesce(text, ''))) > 0
            THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) ELSE -1 END AS first_byte,
-      CAST(n_chars % 640 AS BIGINT) * CAST((n_chars * 7) % 480 AS BIGINT) AS area
+      CAST(coalesce(n_chars, 0) % 640 AS BIGINT)
+        * CAST((coalesce(n_chars, 0) * 7) % 480 AS BIGINT) AS area
     FROM documents"""
 }

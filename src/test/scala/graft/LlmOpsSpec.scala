@@ -730,6 +730,16 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(frac.filter(col("frac_bp") < 0 || col("frac_bp") > 10000).count() === 0)
   }
 
+  test("source_overlap: ordered pairs, shared bounded by the smaller side") {
+    import graft.llm.Corpus
+    val o = Corpus.sourceOverlap(spark, sfDir)
+    assert(o.filter(col("source_a") >= col("source_b")).count() === 0)
+    assert(o.filter(col("n_shared") > least(col("n_a"), col("n_b"))).count() === 0)
+    assert(o.filter(col("overlap_bp") < 0 || col("overlap_bp") > 10000).count() === 0)
+    // the synthetic corpus shares vocabulary across sources — non-vacuous
+    assert(o.filter(col("n_shared") > 0).count() > 0)
+  }
+
   test("text_ngram_freq: descending counts, shingles actually occur") {
     import spark.implicits._
     val top = TextOps.textNgramFreq(spark, sfDir)
