@@ -94,6 +94,8 @@ object SparkEntry {
     "events_throttle"   -> (Behavior.eventsThrottle _),
     "merge_upsert"      -> (Merge.mergeUpsert _),
     "events_winsorize"  -> (Behavior.eventsWinsorize _),
+    "events_gap_fill"   -> (Events.eventsGapFill _),
+    "events_twap"       -> (Events.eventsTwap _),
     "unpivot_lineitem"  -> (Analytics.unpivotLineitem _),
     // §2.D34-D36 + D20c embedding/corpus extensions
     "contamination_frac" -> (graft.llm.Dedup.contaminationFrac _),
@@ -174,6 +176,8 @@ object SparkEntry {
     "events_throttle"     -> Behavior.eventsThrottleSql,
     "merge_upsert"        -> Merge.mergeUpsertSql,
     "events_winsorize"    -> Behavior.eventsWinsorizeSql,
+    "events_gap_fill"     -> Events.eventsGapFillSql,
+    "events_twap"         -> Events.eventsTwapSql,
     "unpivot_lineitem"    -> Analytics.unpivotLineitemSql,
     "contamination_frac"  -> graft.llm.Dedup.contaminationFracSql,
     "embed_quantize"      -> graft.llm.Ann.embedQuantizeSql,

@@ -214,4 +214,83 @@ object Events {
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 
   /** E3 companion already in Analytics; E2's q3/q5 likewise. */
+
+  /** E28: time-series gap filling (sparse → dense resampling): every user
+    * gets one row per hour of their active span, zero-filled where no
+    * events landed — the densification step dashboards and forecasting
+    * models need before windowed features make sense. Hours are integer
+    * epoch-hours (engine-agnostic bucket math). Shape: per-user span
+    * aggregate → map-side sequence explode (fan-out bounded by span hours,
+    * not events) → co-partitioned left join of the hourly counts; all
+    * three legs share the user_id clustering.
+    */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val eh = (unix_millis(col("ts").cast("timestamp")) / lit(3600000L))
+      .cast("bigint")
+    val h = Tables.spread(Tables.events(spark, dir), "user_id")
+      .select(col("user_id"), eh.as("epoch_hour"))
+    val span = h.groupBy(col("user_id"))
+      .agg(min(col("epoch_hour")).as("h0"), max(col("epoch_hour")).as("h1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("epoch_hour"))
+    val counts = h.groupBy(col("user_id"), col("epoch_hour"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(counts, Seq("user_id", "epoch_hour"), "left")
+      .select(col("user_id"), col("epoch_hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+  val eventsGapFillSql: String =
+    """WITH h AS (
+       SELECT user_id, epoch_ms(ts) // 3600000 AS epoch_hour FROM events),
+     span AS (
+       SELECT user_id, min(epoch_hour) AS h0, max(epoch_hour) AS h1
+       FROM h GROUP BY user_id),
+     grid AS (
+       SELECT user_id, unnest(range(h0, h1 + 1)) AS epoch_hour FROM span),
+     c AS (
+       SELECT user_id, epoch_hour, count(*) AS n
+       FROM h GROUP BY user_id, epoch_hour)
+     SELECT g.user_id, g.epoch_hour, coalesce(c.n, 0) AS n_events
+     FROM grid g LEFT JOIN c USING (user_id, epoch_hour)"""
+
+  /** E29: time-weighted average value per user (TWAP): each value holds
+    * until the next event; weights are whole seconds (integer floor of the
+    * gap), the weighted sum runs in exact integer cents·seconds (bounded
+    * by max_cents · span_seconds — long-safe for any realistic span), and
+    * the result is integer micro-value units ((Σ cents·dt)·10⁴ div Σ dt).
+    * One lead window over the user clustering; single-event users (zero
+    * total hold time) are excluded by contract.
+    */
+  def eventsTwap(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.spread(Tables.events(spark, dir), "user_id")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .withColumn("dt_s",
+        ((lead(col("ms"), 1).over(byUser) - col("ms")) / lit(1000L)).cast("bigint"))
+      .filter(col("dt_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("dt_s")).as("sum_cd"),
+        sum(col("dt_s")).as("sum_dt"))
+      .filter(col("sum_dt") > 0)
+      .select(col("user_id"), col("sum_dt"),
+        expr("sum_cd * 10000 div sum_dt").as("twap_micro"))
+  }
+  val eventsTwapSql: String =
+    """WITH x AS (
+       SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         (lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) - epoch_ms(ts)) // 1000 AS dt_s
+       FROM events),
+     agg AS (
+       -- DuckDB sums integers into HUGEINT; pin BIGINT to match Spark
+       SELECT user_id, CAST(sum(cents * dt_s) AS BIGINT) AS sum_cd,
+              CAST(sum(dt_s) AS BIGINT) AS sum_dt
+       FROM x WHERE dt_s IS NOT NULL GROUP BY user_id)
+     SELECT user_id, sum_dt,
+       CAST((sum_cd * 10000) // sum_dt AS BIGINT) AS twap_micro
+     FROM agg WHERE sum_dt > 0"""
 }

@@ -102,6 +102,35 @@ class BehaviorSpec extends SparkSpecBase {
     assert(out.filter(col("cents_w") > col("cents")).count() === 0)
   }
 
+  test("gap fill densifies every user's span exactly, counts preserved") {
+    import graft.queries.Events
+    val g = Events.eventsGapFill(spark, sfDir)
+    // per user: rows == h1-h0+1 (dense), sum(n_events) == user's events
+    val ev = Tables.events(spark, sfDir)
+    val spans = g.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"),
+        (max("epoch_hour") - min("epoch_hour") + 1).as("span"),
+        sum("n_events").as("total"))
+    assert(spans.filter(col("rows") =!= col("span")).count() === 0)
+    val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val j = spans.join(perUser, "user_id")
+    assert(j.filter(col("total") =!= col("n")).count() === 0)
+  }
+
+  test("twap lies within each user's value range") {
+    import graft.queries.Events
+    val t = Events.eventsTwap(spark, sfDir)
+    val bounds = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .groupBy("user_id")
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+    val j = t.join(bounds, "user_id")
+    // micro-units: lo*1e4 ≤ twap_micro ≤ hi*1e4 (weighted mean bound)
+    assert(j.filter(col("twap_micro") < col("lo") * 10000 ||
+      col("twap_micro") > col("hi") * 10000).count() === 0)
+  }
+
   test("throttle on testdata: kept set contains every key's first event") {
     val ev = Tables.events(spark, sfDir)
     val firsts = ev.groupBy("user_id", "event_type")
