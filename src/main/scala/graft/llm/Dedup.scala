@@ -247,6 +247,60 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+  /** D4b: prefix-filtered Jaccard pairs (PPJoin-family) — IDENTICAL output
+    * to D4 (same oracle), sharper 100 TB shape. D4 indexes EVERY shingle,
+    * so a pair sharing k shingles costs k candidate rows and hot shingles
+    * fan out quadratically. Here each doc indexes only its PREFIX under a
+    * global (document-frequency asc, hash asc) order — length
+    * |S| - ⌈t·|S|⌉ + 1, the classic prefix-filter bound: two sets with
+    * J ≥ t MUST share a prefix element, so recall is exact by theorem, and
+    * the rarest-first order makes the indexed shingles precisely the ones
+    * with the smallest fan-out. ⌈t·|S|⌉ runs in exact integer arithmetic
+    * ((3·n + 9) div 10 at t = 0.3). Candidates dedup, the exact Jaccard
+    * confirms on the full (checkpointed) sets, and the final expression
+    * tree is byte-for-byte D4's — the result is bit-identical.
+    */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithShingles(spark, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val freq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc shingle hashes in rarest-first canonical order (df, then
+    // hash); checkpointed — both the prefix index and the exact confirm
+    // read it
+    val ordered = graft.Checkpoints.cp(
+      inv.join(freq, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+        .select(col("doc_id"),
+          transform(col("ord"), e => e.getField("h")).as("hs"),
+          size(col("ord")).as("n_sh")))
+    val prefix = ordered
+      .withColumn("plen", col("n_sh") - expr("(3 * n_sh + 9) div 10") + 1)
+      .select(col("doc_id"), explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(ordered.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("bigint"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+  /** Prefix filtering never drops a qualifying pair (prefix-filter
+    * theorem) and the confirm recomputes D4's exact expression — so the
+    * oracle is D4's, verbatim.
+    */
+  def dedupJaccardPrefixSql: String = dedupNgramJaccardSql
+
   /** D20: benchmark decontamination — flag corpus documents sharing any
     * word-3-gram with the "benchmark" set (deterministic stand-in: every
     * 50th doc plays the eval set). The standard pretraining hygiene step:

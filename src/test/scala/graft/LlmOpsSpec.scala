@@ -730,6 +730,25 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(frac.filter(col("frac_bp") < 0 || col("frac_bp") > 10000).count() === 0)
   }
 
+  test("dedup_jaccard_prefix equals D4 exactly and indexes strictly fewer rows") {
+    val full = Dedup.dedupNgramJaccard(spark, sfDir)
+    val pref = Dedup.dedupJaccardPrefix(spark, sfDir)
+    assert(pref.exceptAll(full).count() === 0)
+    assert(full.exceptAll(pref).count() === 0)
+    // the prefix index is a strict subset of D4's full inverted index
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(array_distinct(TextOps.shingles(TextOps.toks(col("text"))))).as("n"))
+      .filter(col("n") > 0)
+    val fullIndexRows = toks.agg(sum("n")).head.getLong(0)
+    val prefixIndexRows = toks
+      .select((col("n") - expr("(3 * n + 9) div 10") + 1).as("p"))
+      .agg(sum("p")).head.getLong(0)
+    assert(prefixIndexRows < fullIndexRows,
+      s"prefix $prefixIndexRows !< full $fullIndexRows")
+    Checkpoints.releaseAll()
+  }
+
   test("source_overlap: ordered pairs, shared bounded by the smaller side") {
     import graft.llm.Corpus
     val o = Corpus.sourceOverlap(spark, sfDir)
