@@ -121,18 +121,29 @@ object Behavior {
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
     eventsAnomalyOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id"))
 
-  private[graft] def eventsAnomalyOf(ev0: DataFrame): DataFrame = {
+  private[graft] def eventsAnomalyOf(ev0: DataFrame): DataFrame =
+    anomalyScoreOn(ev0, anomalyStats(ev0))
+
+  /** The per-type stats table (count + exact-decimal sum / sum-of-squares). */
+  private[graft] def anomalyStats(ev0: DataFrame): DataFrame = {
     val dec = col("value").cast("decimal(18,2)")
-    val stats = ev0
-      .groupBy(col("event_type"))
+    ev0.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(dec).cast("double").as("s"),
         sum(dec * dec).cast("double").as("ssq"))
+  }
+
+  /** Stateless scoring pass against a precomputed stats table — the same
+    * projection runs unchanged over a STREAM with static (batch-built)
+    * stats: the standard model-scoring-on-a-stream shape (stream-static
+    * broadcast join + codegen'd arithmetic, no state), spec-matched to the
+    * batch operator in StreamingSpec.
+    */
+  private[graft] def anomalyScoreOn(ev: DataFrame, stats: DataFrame): DataFrame = {
     val mean = col("s") / col("n")
     val variance = col("ssq") / col("n") - mean * mean
     val z = (col("value") - mean) / sqrt(variance)
-    ev0
-      .select(col("event_id"), col("event_type"), col("value"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
       .join(broadcast(stats), Seq("event_type"))
       .withColumn("z", z)
       .filter(abs(col("z")) > AnomalyZ)

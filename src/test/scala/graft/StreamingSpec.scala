@@ -373,6 +373,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(closedBatch).count() == 0)
   }
 
+  test("anomaly scoring runs on a stream against static batch stats") {
+    // the operational split: thresholds/stats built batch-side (static),
+    // live events scored as a stateless stream-static broadcast join
+    val batchEv = Tables.events(spark, sfDir)
+    val stats = queries.Behavior.anomalyStats(batchEv)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-anom-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      sdir.resolve("part-00000.parquet"))
+    val stream = StreamOps.readEventStream(spark, sdir.toString)
+    val got = StreamOps.runToMemory(spark,
+      queries.Behavior.anomalyScoreOn(stream, stats), "anomaly_stream_test")
+      .select(col("event_id"), col("z_e4"))
+      .as[(Long, Long)].collect().toSet
+    val want = queries.Behavior.eventsAnomaly(spark, sfDir)
+      .select(col("event_id"), col("z_e4"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming funnel emits exactly the batch milestone frame") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
