@@ -87,4 +87,49 @@ object Merge {
       CASE WHEN dl.op IN ('U','I') THEN dl.d_priority ELSE t.o_orderpriority END AS o_orderpriority
     FROM orders t FULL JOIN delta dl ON t.o_orderkey = dl.d_key
     WHERE dl.op IS NULL OR dl.op != 'D'"""
+
+  /** E30: snapshot diff — the INVERSE of E25: given yesterday's and
+    * today's keyed snapshots, emit the change feed (op ∈ I/U/D) that
+    * turns one into the other. One full-outer key join; unchanged rows
+    * (null-safe full-payload struct equality) are dropped, so the output
+    * is bounded by the churn, not the table. Self-verifying on the
+    * testdata: diffing the base snapshot against E25's merged snapshot
+    * must recover exactly the delta E25 synthesized (spec-asserted).
+    * Deletes carry the key with null payload (the CDC-feed convention).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val oldS = Tables.spreadIfNarrow(Tables.orders(spark, dir), "o_orderkey")
+      .select(col("o_orderkey").as("k"),
+        struct(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")).as("o"))
+    val newS = mergeUpsert(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        struct(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")).as("n"))
+    oldS.join(newS, Seq("k"), "full")
+      .filter(!(col("o") <=> col("n")))
+      .select(
+        when(col("o").isNull, "I").when(col("n").isNull, "D").otherwise("U").as("op"),
+        col("k").as("o_orderkey"),
+        col("n.o_custkey").as("o_custkey"),
+        col("n.o_orderstatus").as("o_orderstatus"),
+        col("n.o_totalprice").as("o_totalprice"),
+        col("n.o_orderdate").as("o_orderdate"),
+        col("n.o_orderpriority").as("o_orderpriority"))
+  }
+  val snapshotDiffSql: String =
+    s"""WITH merged AS ($mergeUpsertSql)
+    SELECT
+      CASE WHEN o.o_orderkey IS NULL THEN 'I'
+           WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op,
+      coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate,
+      n.o_orderpriority
+    FROM orders o FULL JOIN merged n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR (o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+           o.o_orderpriority)
+          IS DISTINCT FROM
+          (n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate,
+           n.o_orderpriority)"""
 }

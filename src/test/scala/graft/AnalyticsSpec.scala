@@ -74,4 +74,25 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(mergedUntouched.exceptAll(untouched).count() === 0)
     assert(untouched.exceptAll(mergedUntouched).count() === 0)
   }
+
+  test("snapshot_diff recovers exactly the merge's synthesized change feed") {
+    import org.apache.spark.sql.functions._
+    val t = Tables.orders(spark, sfDir)
+    val diff = queries.Merge.snapshotDiff(spark, sfDir)
+    val k = col("o_orderkey")
+    // class membership mirrors the merge's delta construction exactly
+    val nDel = t.filter(k % 13 === 0).count()
+    val nUpd = t.filter(k % 7 === 0 && k % 13 =!= 0).count()
+    val nIns = t.filter(k % 11 === 0).count()
+    val byOp = diff.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp === Map("D" -> nDel, "U" -> nUpd, "I" -> nIns))
+    assert(diff.filter(col("op") === "D" && (k % 13 =!= 0)).count() === 0)
+    assert(diff.filter(col("op") === "I" &&
+      k < queries.Merge.InsertKeyOffset).count() === 0)
+    // delete rows carry null payload (CDC convention)
+    assert(diff.filter(col("op") === "D" && col("o_custkey").isNotNull).count() === 0)
+    // update rows carry the NEW payload
+    assert(diff.filter(col("op") === "U" && col("o_orderstatus") =!= "X").count() === 0)
+  }
 }
