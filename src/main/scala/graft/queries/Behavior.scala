@@ -217,6 +217,47 @@ object Behavior {
        c.cents > t.p99_cents AS clamped
      FROM c JOIN thr t USING (event_type)"""
 
+  /** E31: market-basket pair mining — which event types co-occur in the
+    * same user's history, with support counts (the 2-itemset core of
+    * association mining; items generalize to products/features). Shape:
+    * ONE distinct (user, item) projection, a self-join keyed by user
+    * (fan-out bounded by items²/2 per user — the item catalog, not the
+    * event count), then a bounded pair aggregate. Support threshold keeps
+    * the output to genuinely associated pairs.
+    */
+  val BasketMinSupport = 5L
+
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairsOf(Tables.spread(Tables.events(spark, dir), "user_id"))
+
+  private[graft] def basketPairsOf(ev0: DataFrame): DataFrame = {
+    val items = ev0.select(col("user_id"), col("event_type").as("item")).distinct()
+    // 1-row population count rides along as a broadcast, no driver action
+    val total = items.agg(count_distinct(col("user_id")).as("n_users_total"))
+    items.select(col("user_id"), col("item").as("item_a"))
+      .join(items.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= BasketMinSupport)
+      .crossJoin(broadcast(total))
+      // support in exact integer basis points of the user population
+      .select(col("item_a"), col("item_b"), col("n_users"),
+        expr("n_users * 10000 div n_users_total").as("support_bp"))
+  }
+  val basketPairsSql: String =
+    s"""WITH items AS (
+       SELECT DISTINCT user_id, event_type AS item FROM events),
+     n AS (SELECT count(DISTINCT user_id) AS n_users_total FROM items),
+     pairs AS (
+       SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+       FROM items a JOIN items b
+         ON a.user_id = b.user_id AND a.item < b.item
+       GROUP BY a.item, b.item)
+     SELECT item_a, item_b, n_users,
+       (n_users * 10000) // (SELECT n_users_total FROM n) AS support_bp
+     FROM pairs WHERE n_users >= $BasketMinSupport"""
+
   val ThrottleMs = 60000L
 
   /** E24: rate-limit throttle — drop an event landing within 60 s of the
