@@ -162,6 +162,48 @@ class BehaviorSpec extends SparkSpecBase {
       col("twap_micro") > col("hi") * 10000).count() === 0)
   }
 
+  test("throttle matches a brute-force reference on tie-heavy random data") {
+    // small time domain → many same-second and boundary-exact gaps, the
+    // cases where lag semantics and strict >60s comparisons bite first
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, s"t${rnd.nextInt(3)}", rnd.nextInt(300).toLong)
+    }
+    val kept = Behavior.eventsThrottleOf(evFrame(rows))
+      .select("event_id").as[Long].collect().toSet
+    val want = rows.groupBy(r => (r._2, r._3)).values.flatMap { group =>
+      val sorted = group.sortBy(r => (r._4, r._1))
+      sorted.zip(None +: sorted.map(r => Some(r._4)).init).collect {
+        case (r, prev) if prev.forall(p => (r._4 - p) * 1000 > Behavior.ThrottleMs) => r._1
+      }
+    }.toSet
+    assert(kept === want)
+  }
+
+  test("winsorize thresholds match a brute-force type-1 p99 on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (i.toLong, 1L, s"t${rnd.nextInt(3)}", i.toLong)
+    }
+    // values on a small grid so threshold ties are exercised
+    val ev = evFrame(rows).withColumn("value",
+      (col("event_id") % 17).cast("double") / 4.0)
+    val out = Behavior.eventsWinsorizeOf(ev)
+      .select("event_id", "cents_w").as[(Long, Long)].collect().toMap
+    val byType = rows.groupBy(_._3)
+    val cents = rows.map(r => r._1 -> ((r._1 % 17) * 100 / 4)).toMap
+    byType.foreach { case (_, group) =>
+      val vs = group.map(r => cents(r._1)).sorted
+      val n = vs.size
+      // smallest value with 100·cum ≥ 99·n over the sorted multiset
+      val thr = vs(((99 * n + 99) / 100) - 1) // index of ceil(0.99n)-th element
+      group.foreach { r =>
+        assert(out(r._1) === math.min(cents(r._1), thr),
+          s"event ${r._1}: got ${out(r._1)}, thr $thr")
+      }
+    }
+  }
+
   test("throttle on testdata: kept set contains every key's first event") {
     val ev = Tables.events(spark, sfDir)
     val firsts = ev.groupBy("user_id", "event_type")

@@ -315,4 +315,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "merge must join on the key")
     assert(p.contains("FullOuter"), "CDC apply is a full-outer key join")
   }
+
+  test("snapshot_diff: keyed joins only, no cartesian") {
+    val p = planOf(queries.Merge.snapshotDiff(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "diff must join on the key")
+    assert(p.contains("FullOuter"), "diff is a full-outer key join")
+  }
+
+  test("events_twap: the lead window reuses the spread's user clustering") {
+    val p = planOf(queries.Events.eventsTwap(spark, sfDir))
+    // the explicit user spread feeds BOTH the window and the per-user agg:
+    // no second wide exchange of the facts
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange( .*)?""")) <= 1, p.take(700))
+    assert(p.contains("Window"), "twap is a lead window")
+  }
+
+  test("events_gap_fill / retention: keyed equality joins only") {
+    for (df <- Seq(queries.Events.eventsGapFill(spark, sfDir),
+                   queries.Behavior.retentionCohorts(spark, sfDir))) {
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), p.take(600))
+      assert(!p.contains("BroadcastNestedLoopJoin"), "span/first-seen joins must be keyed")
+    }
+  }
+
+  test("basket_pairs: user-keyed self-join; only the 1-row total broadcasts wide") {
+    val p = planOf(queries.Behavior.basketPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the single permitted nested-loop join is the broadcast of the 1-row
+    // population count onto the bounded pair table
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin( .*)?""")) <= 1, p.take(700))
+  }
 }
