@@ -258,6 +258,78 @@ object Behavior {
        (n_users * 10000) // (SELECT n_users_total FROM n) AS support_bp
      FROM pairs WHERE n_users >= $BasketMinSupport"""
 
+  /** E32: robust anomaly flags via MAD (median absolute deviation) — the
+    * outlier detector that survives what breaks E23's z-score: heavy tails
+    * and the outliers themselves inflating the standard deviation. Both
+    * the per-type median and the MAD come from the D28 bounded-cardinality
+    * pattern (type-1 order statistics over the TINY (type, cents)
+    * frequency table — the deviation table derives from the same frequency
+    * rows, no second fact scan), and the flag is exact integer arithmetic:
+    * 10000·|cents − med| > 44478·mad (3σ-equivalent under normality,
+    * 1.4826·3 scaled to 1e4). No per-type sort of the facts, no floats
+    * anywhere in the gate.
+    */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    eventsAnomalyMadOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id"))
+
+  private[graft] def eventsAnomalyMadOf(ev0: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val ev = ev0.select(col("event_id"), col("event_type"), cents.as("cents"))
+    val freq = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    def typeOneMedian(f: DataFrame, valueCol: String, out: String): DataFrame = {
+      val byType = Window.partitionBy(col("event_type")).orderBy(col(valueCol).asc)
+      val overType = Window.partitionBy(col("event_type"))
+      f.withColumn("cum", sum(col("cnt")).over(
+          byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(overType))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
+    }
+    val med = typeOneMedian(freq, "cents", "med")
+    val devFreq = freq.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("cents") - col("med")).as("dev"), col("cnt"))
+      .groupBy(col("event_type"), col("dev")).agg(sum(col("cnt")).as("cnt"))
+    val mad = typeOneMedian(devFreq, "dev", "mad")
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .filter(abs(col("cents") - col("med")) * 10000 > col("mad") * 44478)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        abs(col("cents") - col("med")).as("dev"), col("med"), col("mad"))
+  }
+  val eventsAnomalyMadSql: String =
+    """WITH c AS (
+       SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       FROM events),
+     freq AS (
+       SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+     medc AS (
+       SELECT event_type, min(cents) AS med FROM (
+         SELECT event_type, cents,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY cents ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+         FROM freq)
+       WHERE cum * 2 >= n GROUP BY event_type),
+     devfreq AS (
+       SELECT f.event_type, abs(f.cents - m.med) AS dev,
+         CAST(sum(f.cnt) AS BIGINT) AS cnt
+       FROM freq f JOIN medc m USING (event_type)
+       GROUP BY f.event_type, abs(f.cents - m.med)),
+     madc AS (
+       SELECT event_type, min(dev) AS mad FROM (
+         SELECT event_type, dev,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY dev ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+         FROM devfreq)
+       WHERE cum * 2 >= n GROUP BY event_type)
+     SELECT c.event_id, c.event_type, c.cents,
+       abs(c.cents - m.med) AS dev, m.med, d.mad
+     FROM c JOIN medc m USING (event_type) JOIN madc d USING (event_type)
+     WHERE abs(c.cents - m.med) * 10000 > d.mad * 44478"""
+
   val ThrottleMs = 60000L
 
   /** E24: rate-limit throttle — drop an event landing within 60 s of the

@@ -108,6 +108,33 @@ class BehaviorSpec extends SparkSpecBase {
     assert(reported === direct)
   }
 
+  test("MAD anomaly flags the injected outlier and matches brute-force stats") {
+    // 100 units + one huge outlier: the MEDIAN and MAD ignore the outlier
+    // entirely (that's the point of robust stats), so it flags cleanly
+    val base = (1L to 100L).map(i => (i, 1L, "click", i))
+    val ev = evFrame(base :+ (999L, 2L, "click", 5000L))
+      .withColumn("value", when(col("event_id") === 999L, 1000.0).otherwise(1.0))
+    val out = Behavior.eventsAnomalyMadOf(ev)
+      .select("event_id", "med", "mad").as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq(999L))
+    assert(out.head._2 === 100L && out.head._3 === 0L) // med=1.00, MAD=0
+    // brute-force agreement on the real data: per-type median and MAD
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    // type-1 median: the ceil(n/2)-th order statistic
+    def med(vs: Seq[Long]): Long = { val s = vs.sorted; s((s.size + 1) / 2 - 1) }
+    val gotStats = Behavior.eventsAnomalyMad(spark, sfDir)
+      .select("event_type", "med", "mad").distinct()
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    gotStats.foreach { case (t, (m, d)) =>
+      val vs = cents(t).map(_._2).toSeq
+      assert(m === med(vs), s"$t median")
+      assert(d === med(vs.map(v => math.abs(v - med(vs)))), s"$t mad")
+    }
+  }
+
   test("winsorize clamps exactly the top percent, type-1 threshold") {
     // 100 events at 1.00 + one at 1000.00 (n=101): smallest cents with
     // 100·cum ≥ 99·101 is 100 (cum 100 ≥ 99.99) → the outlier clamps to
