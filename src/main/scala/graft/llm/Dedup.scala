@@ -664,4 +664,105 @@ object Dedup {
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3"""
+
+  val EditK = 4                 // max edit distance
+  val EditSegs = EditK + 1      // pigeonhole: K edits can't touch K+1 segments
+
+  /** D31: edit-distance similarity join (all pairs with Levenshtein ≤ K) —
+    * the CHARACTER-level near-dup detector that complements the token-level
+    * family (D2 minhash / D3 simhash / D4 jaccard): it catches small typo /
+    * OCR / re-encode variants whose token sets barely overlap shingle-wise.
+    *
+    * Scale shape (PassJoin-family segment blocking, exact and complete —
+    * never an all-pairs cartesian with a levenshtein predicate):
+    *  - INDEX side: each doc of length l is split into K+1 contiguous
+    *    segments (the standard even partition). If ed(a,b) ≤ K, at least
+    *    one of b's K+1 segments survives untouched by any edit, appears
+    *    EXACTLY in a, and its start position shifts by at most K.
+    *  - PROBE side: each doc emits every substring that could equal
+    *    segment i of a partner of length tl ∈ [l−K, l+K] at a shift ≤ K —
+    *    a code-time-bounded (K+1)·(2K+1)² ≈ 405 short probes per doc.
+    *  - Candidates come from ONE equality shuffle on (segment, i, tl);
+    *    an exact levenshtein(a,b) ≤ K confirm makes the output independent
+    *    of the blocking, so the result EQUALS the brute-force join
+    *    (property-tested in LlmOpsSpec).
+    * Bucket sizes are bounded by docs sharing an identical (segment text,
+    * position, length) triple — rare in natural corpora ONCE EXACT DUPS
+    * ARE REMOVED (D1 first is the documented contract; a corpus of byte-
+    * identical docs would put every copy in one bucket).
+    */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
+    dedupEditDistanceOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  private[graft] def dedupEditDistanceOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("text").as("t"),
+        length(col("text")).as("l"))
+      .transform(graft.Checkpoints.cp) // reused by segs, probes, and confirm
+    val segs = d
+      .withColumn("i", explode(sequence(lit(0), lit(EditSegs - 1))))
+      .select(col("doc_id"), col("l"), col("i"),
+        expr(s"substring(t, i * (l div $EditSegs) + least(i, l % $EditSegs) + 1," +
+          s" (l div $EditSegs) + if(i < l % $EditSegs, 1, 0))").as("seg"))
+    val probes = d
+      .withColumn("tl", explode(sequence(greatest(col("l") - EditK, lit(0)), col("l") + EditK)))
+      .withColumn("i", explode(sequence(lit(0), lit(EditSegs - 1))))
+      .withColumn("sb", expr(s"i * (tl div $EditSegs) + least(i, tl % $EditSegs)"))
+      .withColumn("sl", expr(s"(tl div $EditSegs) + if(i < tl % $EditSegs, 1, 0)"))
+      // Spark's sequence(lo, hi) DESCENDS when lo > hi — guard to empty
+      // (an over-short doc simply has no probe window for that segment)
+      .withColumn("p", explode(expr(
+        s"if(least(sb + $EditK, l - sl) >= greatest(sb - $EditK, 0)," +
+        s" sequence(greatest(sb - $EditK, 0), least(sb + $EditK, l - sl)), array())")))
+      .select(col("doc_id").as("a_id"), col("tl"), col("i"),
+        expr("substring(t, p + 1, sl)").as("seg"))
+    val cand = probes.join(segs,
+        probes("tl") === segs("l") && probes("i") === segs("i") &&
+        probes("seg") === segs("seg") && probes("a_id") =!= segs("doc_id"))
+      .select(least(col("a_id"), col("doc_id")).as("doc_a"),
+        greatest(col("a_id"), col("doc_id")).as("doc_b"))
+      .distinct()
+    cand // candidates are tiny (near-dups + rare collisions): AQE broadcasts
+      .join(d.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .filter(levenshtein(col("ta"), col("tb")) <= EditK)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("bigint").as("dist"))
+  }
+  /** The oracle mirrors the blocking (a brute-force levenshtein over all
+    * sf0.1 pairs would dominate the whole gate's runtime); because the
+    * confirm step makes the result blocking-independent, this still
+    * verifies the full pair semantics, and the spec property-tests the
+    * Spark side against literal brute force on random strings.
+    */
+  def dedupEditDistanceSql: String =
+    s"""WITH d AS MATERIALIZED (
+      SELECT doc_id, text AS t, length(text) AS l FROM documents),
+    segs AS (
+      SELECT doc_id, l, i,
+        substr(t, i * (l // $EditSegs) + least(i, l % $EditSegs) + 1,
+               (l // $EditSegs) + CASE WHEN i < l % $EditSegs THEN 1 ELSE 0 END) AS seg
+      FROM (SELECT doc_id, t, l, unnest([${(0 until EditSegs).mkString(",")}]) AS i FROM d)),
+    pr1 AS (
+      SELECT doc_id, t, l, tl, unnest([${(0 until EditSegs).mkString(",")}]) AS i
+      FROM (SELECT doc_id, t, l,
+              unnest(generate_series(greatest(l - $EditK, 0), l + $EditK)) AS tl FROM d)),
+    pr2 AS (
+      SELECT doc_id, t, l, tl, i,
+        i * (tl // $EditSegs) + least(i, tl % $EditSegs) AS sb,
+        (tl // $EditSegs) + CASE WHEN i < tl % $EditSegs THEN 1 ELSE 0 END AS sl
+      FROM pr1),
+    probes AS (
+      SELECT doc_id AS a_id, tl, i, substr(t, p + 1, sl) AS seg
+      FROM (SELECT *, unnest(generate_series(greatest(sb - $EditK, 0),
+                                             least(sb + $EditK, l - sl))) AS p
+            FROM pr2)),
+    cand AS (
+      SELECT DISTINCT least(p.a_id, s.doc_id) AS doc_a,
+                      greatest(p.a_id, s.doc_id) AS doc_b
+      FROM probes p JOIN segs s
+        ON p.tl = s.l AND p.i = s.i AND p.seg = s.seg AND p.a_id <> s.doc_id)
+    SELECT c.doc_a, c.doc_b, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM cand c JOIN d a ON c.doc_a = a.doc_id JOIN d b ON c.doc_b = b.doc_id
+    WHERE levenshtein(a.t, b.t) <= $EditK"""
 }

@@ -749,6 +749,59 @@ class LlmOpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("dedup_edit_distance equals brute-force levenshtein join on mutated strings") {
+    // deterministic corpus engineered around the K=4 boundary: a base pool
+    // plus per-base mutants at 1..6 edits (substitutions, inserts, deletes),
+    // so both sides of the ≤4 threshold and every edit kind are exercised
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = "abcdefgh"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val i = rnd.nextInt(math.max(cur.length, 1))
+        rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur = cur.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cur = cur.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + cur.substring(i)
+          case _ if cur.nonEmpty => cur = cur.substring(0, i) + cur.substring(math.min(i + 1, cur.length))
+          case _ => cur = randStr(1)
+        }
+      }
+      cur
+    }
+    val bases = (0 until 12).map(i => (i.toLong * 100, randStr(8 + rnd.nextInt(40))))
+    val mutants = bases.flatMap { case (id, s) =>
+      (1 to 6).map(e => (id + e, mutate(s, e)))
+    }
+    val all = (bases ++ mutants) :+ (9999L, "") // empty text must not throw
+    import spark.implicits._
+    val df = all.toDF("doc_id", "text")
+    val got = Dedup.dedupEditDistanceOf(df)
+      .as[(Long, Long, Long)].collect().toSet
+    // literal brute force over all pairs
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => i + j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      d = lev(ta, tb) if d <= Dedup.EditK
+    } yield (ia, ib, d.toLong)).toSet
+    assert(want.nonEmpty && want.exists(_._3 > 0), "test corpus must span the threshold")
+    assert(got === want)
+    Checkpoints.releaseAll()
+  }
+
+  test("dedup_edit_distance on testdata: symmetric-free ordered pairs within K") {
+    val r = Dedup.dedupEditDistance(spark, sfDir)
+    assert(r.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(r.filter(col("dist") > Dedup.EditK).count() === 0)
+    Checkpoints.releaseAll()
+  }
+
   test("source_overlap: ordered pairs, shared bounded by the smaller side") {
     import graft.llm.Corpus
     val o = Corpus.sourceOverlap(spark, sfDir)
