@@ -59,6 +59,59 @@ object Temporal {
            err_row.e AS err_event_id, err_row.t AS err_ts, err_row.v AS err_value
     FROM w WHERE side = 1"""
 
+  /** E33: point-in-time (PIT) join — the feature-store correctness op:
+    * each purchase reads the SCD2 state version (here: the user's click
+    * history as versioned state, valid_from = click ts, valid_to = next
+    * click ts) whose validity interval contains the purchase time, and
+    * NEVER a later one (no training-serving leakage). Built as backward
+    * as-of on valid_from (one user_id shuffle, no join — the E8 union +
+    * window machinery) + a valid_to guard that nulls the match if the
+    * picked version had already been superseded at ts (impossible on
+    * gapless SCD2 intervals like these, load-bearing on dims with
+    * deleted/expired versions — semantic completeness, not dead code).
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame =
+    pitJoinOf(Tables.spread(Tables.events(spark, dir), "user_id"))
+
+  private[graft] def pitJoinOf(ev: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("version_id").asc)
+    val scd = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("version_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("state_cents"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val m = Relational.asofJoin(facts, scd, keys = Seq("user_id"), tsCol = "ts",
+      tieBreak = "version_id", payload = Seq("version_id", "state_cents", "valid_to"),
+      prefix = "pit_")
+    val live = col("pit_valid_to").isNull || col("ts") < col("pit_valid_to")
+    m.select(col("event_id"), col("user_id"), col("ts"),
+      when(live, col("pit_version_id")).as("version_id"),
+      when(live, col("pit_state_cents")).as("state_cents"))
+  }
+  /** Oracle states the same semantics declaratively: latest version with
+    * valid_from ≤ ts (version order = (valid_from, version_id)), then the
+    * valid_to containment guard. The row_number inequality join is the
+    * oracle's shape only — the engine never joins.
+    */
+  val pitJoinSql: String =
+    """WITH dim AS (
+      SELECT user_id, ts AS valid_from, event_id AS version_id,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS state_cents,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM events WHERE event_type = 'click'),
+    f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT f.event_id, f.user_id, f.ts, d.version_id, d.state_cents, d.valid_to,
+        row_number() OVER (PARTITION BY f.event_id
+          ORDER BY d.valid_from DESC, d.version_id DESC) AS rn
+      FROM f LEFT JOIN dim d ON f.user_id = d.user_id AND d.valid_from <= f.ts)
+    SELECT event_id, user_id, ts,
+      CASE WHEN valid_to IS NULL OR ts < valid_to THEN version_id END AS version_id,
+      CASE WHEN valid_to IS NULL OR ts < valid_to THEN state_cents END AS state_cents
+    FROM m WHERE rn = 1"""
+
   /** Price bands for the interval join: [lo, hi) covering the value domain. */
   val Bands: Seq[(String, Double, Double)] =
     (0 until 10).map(i => (f"B$i%02d", i * 50.0, (i + 1) * 50.0))

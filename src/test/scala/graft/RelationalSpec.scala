@@ -104,6 +104,47 @@ class RelationalSpec extends SparkSpecBase {
     assert(df.filter(col("err_ts") > col("ts")).count() == 0)
   }
 
+  test("pit_join: hand-built SCD2 versions, no leakage, gaps null out") {
+    import spark.implicits._
+    // user 1: clicks (versions) at t=10 v101, t=20 v102; purchases at
+    // t=5 (before any version → null), t=10 (boundary: version 101 valid
+    // AT its valid_from), t=15 (101), t=25 (102)
+    val ev = Seq(
+      (101L, 1L, "click", 10L, 2.0), (102L, 1L, "click", 20L, 3.0),
+      (201L, 1L, "purchase", 5L, 9.0), (202L, 1L, "purchase", 10L, 9.0),
+      (203L, 1L, "purchase", 15L, 9.0), (204L, 1L, "purchase", 25L, 9.0))
+      .toDF("event_id", "user_id", "event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("sec")).cast("timestamp_ntz"))
+      .drop("sec")
+    val got = Temporal.pitJoinOf(ev)
+      .select("event_id", "version_id", "state_cents")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v, c) => k -> (v, c) }.toMap
+    assert(got === Map(
+      201L -> (None, None), 202L -> (Some(101L), Some(200L)),
+      203L -> (Some(101L), Some(200L)), 204L -> (Some(102L), Some(300L))))
+  }
+
+  test("pit_join on testdata matches a brute-force per-purchase scan") {
+    val df = Temporal.pitJoin(spark, sfDir)
+    val purchases = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+    assert(df.count() === purchases.count())
+    // brute force: for each purchase, latest click at or before its ts
+    val clicks = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = purchases.select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")))
+      .collect().map { r =>
+        val vs = clicks.getOrElse(r.getLong(1), Array.empty).filter(_._2 <= r.getLong(2))
+        r.getLong(0) -> (if (vs.isEmpty) None
+                         else Some(vs.maxBy(v => (v._2, v._3))._3))
+      }.toMap
+    val got = df.select(col("event_id"), col("version_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got === want)
+  }
+
   test("banded join maps every event to exactly one band, via broadcast NLJ") {
     val df = Temporal.rangeJoinBands(spark, sfDir)
     val total = df.agg(sum("n_events")).head.getLong(0)
