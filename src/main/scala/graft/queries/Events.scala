@@ -293,4 +293,38 @@ object Events {
      SELECT user_id, sum_dt,
        CAST((sum_cd * 10000) // sum_dt AS BIGINT) AS twap_micro
      FROM agg WHERE sum_dt > 0"""
+
+  /** E34: click attribution — every (click, purchase) pair of the same
+    * user with the purchase inside the click's 1-hour attribution window.
+    * Batch twin of `StreamOps.clickAttributionStream` (spec-matched
+    * set-equal): ONE equality shuffle on user_id (the exact key the
+    * streaming join's state store uses), range predicate applied inside
+    * the co-partitioned join — never an unbounded inequality join. Pair
+    * fan-out is bounded by a user's clicks×purchases inside one hour;
+    * corpora with pathological hot users route through
+    * `Relational.saltedJoin` (E18) with the same predicate.
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.spread(Tables.events(spark, dir), "user_id")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").cast("timestamp").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp").as("purchase_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+  val clickAttributionSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id,
+         CAST(ts AS TIMESTAMP) AS click_ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS purchase_ts FROM events WHERE event_type = 'purchase')
+     SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts
+     FROM c JOIN p ON c.user_id = p.user_id
+      AND purchase_ts >= click_ts
+      AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""
 }

@@ -324,6 +324,33 @@ object StreamOps {
       .select(col("doc_id"))
   }
 
+  /** E7 stream-stream interval join (click attribution): each purchase
+    * pairs with every same-user click in the preceding hour. BOTH sides
+    * carry event-time watermarks and the join predicate carries the time
+    * range, which is exactly what lets Spark BOUND the buffered state of
+    * an unbounded self-join: clicks evict once the purchase-side watermark
+    * passes click_ts + 1 h, purchases once the click-side watermark passes
+    * purchase_ts — without the range condition the state store would grow
+    * forever. Inner join → append mode; state keyed by user_id (the same
+    * clustering the batch twin shuffles on).
+    */
+  def clickAttributionStream(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Stream-static enrichment join: the static dim side is read per
     * micro-batch and broadcast; no stream state. The standard shape for
     * attaching slowly-changing metadata (user→nation here) to an event

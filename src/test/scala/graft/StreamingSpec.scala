@@ -44,6 +44,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("stream-stream interval join (click attribution) matches the batch twin") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-ssj-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      sdir.resolve("part-00000.parquet"))
+    val stream = StreamOps.readEventStream(spark, sdir.toString)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.clickAttributionStream(stream), "ssj_test")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast("string"), col("purchase_ts").cast("string"))
+    val want = Events.clickAttribution(spark, sfDir)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast("string"), col("purchase_ts").cast("string"))
+    assert(want.count() > 0, "attribution must be non-vacuous on testdata")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps distinct docs") {
     // stage a docs-as-stream dir: duplicate every doc text under two ids
     val sdir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
