@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for embedding math (SURVEY.md §2.D5-D7).
   *
@@ -84,8 +84,74 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product over two int-array columns — the scoring
+  * kernel of the quantized (int8-code) ANN serving path (SURVEY.md §2.D34):
+  * one fused codegen'd loop, a long accumulator, no per-element boxing.
+  * Integer arithmetic means the result is bit-identical on every engine —
+  * the quantized ranking is hash-checkable end to end, unlike float
+  * scoring. Null semantics mirror FloatVecDot (length mismatch or any
+  * null element → NULL).
+  */
+case class IntVecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_vec_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (long) $x.getInt($i) * (long) $y.getInt($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   val DotName = "graft_fdot"
+  val IntDotName = "graft_idot"
 
   /** The single registration entry shared by the extensions hook and the
     * per-session registry path — one source of truth for identifier, info,
@@ -96,16 +162,24 @@ object VectorOps {
     new ExpressionInfo(classOf[FloatVecDot].getName, DotName),
     (args: Seq[Expression]) => FloatVecDot(args(0), args(1)))
 
-  private def register(spark: SparkSession): Unit =
+  val IntDotEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(IntDotName),
+    new ExpressionInfo(classOf[IntVecDot].getName, IntDotName),
+    (args: Seq[Expression]) => IntVecDot(args(0), args(1)))
+
+  private def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       DotEntry._1, DotEntry._2, DotEntry._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      IntDotEntry._1, IntDotEntry._2, IntDotEntry._3)
+  }
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions hook).
     */
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.sessionState.functionRegistry
-          .functionExists(FunctionIdentifier(DotName))) register(spark)
+          .functionExists(FunctionIdentifier(IntDotName))) register(spark)
 
   /** Left-to-right double dot product of two float-array columns.
     * Registers in the active session on first use (sessions created through
@@ -114,6 +188,12 @@ object VectorOps {
   def fdot(a: Column, b: Column): Column = {
     ensureRegistered(SparkSession.active)
     call_function(DotName, a, b)
+  }
+
+  /** Exact long dot product of two int-array columns (quantized codes). */
+  def idot(a: Column, b: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function(IntDotName, a, b)
   }
 }
 
@@ -124,6 +204,7 @@ object VectorOps {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorOps.DotEntry)
+    ext.injectFunction(VectorOps.IntDotEntry)
     ext.injectFunction(BloomOps.AggEntry)
     ext.injectFunction(BloomOps.ContainsEntry)
   }

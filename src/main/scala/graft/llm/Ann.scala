@@ -614,6 +614,60 @@ object Ann {
       CAST(len(list_filter(q, x -> x != 0)) AS INT) AS nnz
     FROM qz"""
 
+  /** D34b: quantized ANN serving — brute-force top-k over the int8 codes
+    * from embed_quantize, scored ENTIRELY in exact integers: the native
+    * codegen'd IntVecDot (`graft_idot`) over the code arrays, times the
+    * candidate's scale in integer nano-units (the query's own scale is a
+    * constant within its ranking, so dropping it preserves order). This
+    * is the 4×-compressed serving path D34 exists for: code arrays are a
+    * quarter the bytes of the float embeddings, the kernel is one fused
+    * integer loop, and — unlike float scoring — the ranking is
+    * bit-identical on every engine, so the oracle hash-checks the full
+    * top-k (tie-break nb_id asc). Same broadcast-query/one-corpus-scan
+    * shape as D6; the candidate step swaps to D7/D7b at scale unchanged.
+    */
+  def annInt8(spark: SparkSession, dir: String): DataFrame = {
+    val qz = graft.Checkpoints.cp(
+      embedQuantize(spark, dir)
+        .select(col("vec_id"), col("q"),
+          floor(col("scale") * 1e9 + 0.5).cast("bigint").as("scale_e9")))
+    val q = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("qv"))
+    val c = qz.select(col("vec_id").as("nb_id"), col("q").as("cv"), col("scale_e9"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("nb_id").asc)
+    broadcast(q).crossJoin(c).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("score",
+        graft.functions.VectorOps.idot(col("qv"), col("cv")) * col("scale_e9"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), col("score"))
+  }
+  val annInt8Sql: String =
+    """WITH s AS (
+      SELECT vec_id, embedding,
+        greatest(list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127 AS scale
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+        CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS q
+      FROM s),
+    p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+          i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) * b.scale_e9 AS score
+      FROM qz a JOIN qz b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 10)
+    SELECT q_id, nb_id, rank, score FROM (
+      SELECT q_id, nb_id, score,
+        row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, nb_id ASC) AS rank
+      FROM p)
+    WHERE rank <= 5"""
+
   val KnnK = 5
 
   /** D35: k-NN majority-vote classification — label each held-out query

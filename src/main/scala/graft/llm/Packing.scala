@@ -42,6 +42,56 @@ object Packing {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("seq_id"), col("seq_offset"))
   }
 
+  val ChunkSize = 64L
+  val ChunkStride = 48L
+
+  /** D38: RAG-style document chunking — split each document's token stream
+    * into fixed-size windows with overlap (size 64, stride 48 → 16-token
+    * overlap), the retrieval-index preparation step (pack_sequences is the
+    * opposite layout: concat-then-chunk ACROSS documents; this chunks
+    * WITHIN a document and never crosses doc boundaries). Pure map-side
+    * work: tokenize once, explode a chunk-index sequence (fan-out bounded
+    * by n_tokens/stride), slice the token array per chunk — zero
+    * exchanges over a pre-split input, embarrassingly parallel at 100 TB.
+    * Chunk count = 1 + ceil((n−size)/stride) in exact integer arithmetic
+    * (one chunk when n ≤ size; a null text degrades to zero rows), so
+    * both engines enumerate identical windows.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkSize, lit(1L))
+          .otherwise(lit(1L) + expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkSize), col("n") - col("chunk_idx") * ChunkStride).as("chunk_tokens"),
+        array_join(
+          slice(col("toks"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+            lit(ChunkSize.toInt)), " ").as("chunk_text"))
+
+  val chunkDocumentsSql: String =
+    s"""WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n,
+        CASE WHEN n <= $ChunkSize THEN 1
+             ELSE 1 + (n - $ChunkSize + $ChunkStride - 1) // $ChunkStride END AS n_chunks
+      FROM d),
+    e AS (
+      SELECT doc_id, toks, n,
+        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(least($ChunkSize, n - chunk_idx * $ChunkStride) AS BIGINT) AS chunk_tokens,
+      array_to_string(list_slice(toks, chunk_idx * $ChunkStride + 1,
+        least(chunk_idx * $ChunkStride + $ChunkSize, n)), ' ') AS chunk_text
+    FROM e"""
+
   val packSequencesSql: String =
     s"""SELECT doc_id, shard, n_tokens,
       CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id,

@@ -223,4 +223,29 @@ object Sampling {
     WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || coalesce(d.lang, '')), 1, 6)
                AS BIGINT) % 100 < keep_rate_pct"""
   }
+
+  val ExactSampleN = 200
+
+  /** D39: exact-N uniform sample WITHOUT replacement and WITHOUT a global
+    * sort — rank every doc by a content-keyed md5 draw and take the N
+    * smallest. The draw is a pure function of doc_id, so the sample is
+    * retry/partitioning/engine independent (a re-run or a different
+    * engine picks the identical N docs — rate-based D13 can't promise an
+    * exact count; df.sample can't promise determinism). orderBy+limit
+    * plans as TakeOrderedAndProject: per-partition top-N, only
+    * N·partitions rows leave the scan — no full-corpus exchange
+    * (plan-audited, same contract as D29).
+    */
+  def sampleExactN(spark: SparkSession, dir: String): DataFrame =
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(lit("exact:"), col("doc_id").cast("string"))).as("draw"))
+      .orderBy(col("draw").asc, col("doc_id").asc)
+      .limit(ExactSampleN)
+
+  val sampleExactNSql: String =
+    s"""SELECT doc_id, lang, source,
+         md5('exact:' || CAST(doc_id AS VARCHAR)) AS draw
+       FROM documents
+       ORDER BY draw ASC, doc_id ASC LIMIT $ExactSampleN"""
 }

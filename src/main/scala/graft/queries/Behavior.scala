@@ -360,4 +360,212 @@ object Behavior {
            ORDER BY ts ASC, event_id ASC) AS gap_ms
        FROM events)
      WHERE gap_ms IS NULL OR gap_ms > $ThrottleMs"""
+
+  /** E35: first-order Markov transition matrix over event types — the
+    * "what do users do next" path-analysis primitive (feeds next-action
+    * prediction and funnel design). One lag window on the user clustering
+    * (the spread below feeds exactly that exchange) collapses immediately
+    * into a types²-bounded aggregate; the per-source-state probability is
+    * a window over that TINY (≤ types²-row) table, never the facts.
+    * Probabilities in exact integer basis points so the gate is
+    * engine-independent.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOf(Tables.spread(Tables.events(spark, dir), "user_id"))
+
+  /** The per-step pair extraction behind the matrix — (user, from, to, ts)
+    * rows; also the batch side of the streaming-twin parity spec.
+    */
+  private[graft] def transitionPairsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+  }
+
+  private[graft] def eventTransitionsOf(ev: DataFrame): DataFrame = {
+    val trans = transitionPairsOf(ev)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 div n_from").as("p_bp"))
+  }
+  val eventTransitionsSql: String =
+    """WITH t AS (
+       SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC) AS from_type
+       FROM events),
+     g AS (
+       SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+     SELECT from_type, to_type, n,
+       (n * 10000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+     FROM g"""
+
+  /** Conversion bar for the A/B readout: a "repeat purchaser" made ≥ this
+    * many purchase events (every user in the testdata purchases at least
+    * once, so plain did-purchase would have zero variance).
+    */
+  val AbMinPurchases = 10L
+
+  /** E36: two-proportion z-test readout for a deterministic A/B split —
+    * the experimentation primitive. Variant assignment is the same
+    * content-keyed md5 bucket as Sampling (retry/partitioning/engine
+    * independent — a re-run assigns every user identically); conversion =
+    * user became a repeat purchaser (≥ AbMinPurchases purchase events).
+    * The whole readout is one user-level aggregate (map-side combinable)
+    * collapsed to a single row; z is computed from exact integer counts
+    * through an identical IEEE expression tree on both engines and
+    * quantized to 1e-4, with a zero-variance guard (degenerate
+    * all-convert/none-convert slices yield NULL, not engine-dependent
+    * NaN casts).
+    */
+  def abTestZtest(spark: SparkSession, dir: String): DataFrame =
+    abTestZtestOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "user_id"))
+
+  private[graft] def abTestZtestOf(ev: DataFrame): DataFrame = {
+    val users = ev.groupBy(col("user_id"))
+      .agg(when(
+        sum(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+          >= AbMinPurchases, lit(1L)).otherwise(lit(0L))
+        .as("converted"))
+      .withColumn("variant",
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 6), 16, 10)
+          .cast("bigint") % 2)
+    val agg = users.agg(
+      sum(when(col("variant") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
+      sum(when(col("variant") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(lit(0L))).as("conv_a"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(lit(0L))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(se > 0, floor((pa - pb) / se * 10000 + 0.5).cast("bigint"))
+        .otherwise(lit(null).cast("bigint")).as("z_e4"))
+  }
+  val abTestZtestSql: String =
+    s"""WITH u AS (
+       SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= $AbMinPurchases THEN 1 ELSE 0 END AS converted,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 6)
+              AS BIGINT) % 2 AS variant
+       FROM events GROUP BY user_id),
+     a AS (
+       SELECT
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+       FROM u),
+     z AS (
+       SELECT n_a, n_b, conv_a, conv_b,
+         sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 / n_a + 1.0 / n_b)) AS se
+       FROM a)
+     SELECT n_a, n_b, conv_a, conv_b,
+       CASE WHEN se > 0 THEN CAST(floor(
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           / se * 10000 + 0.5) AS BIGINT)
+       ELSE NULL END AS z_e4
+     FROM z"""
+
+  val HistBins = 20L
+
+  /** E37: per-type equi-width value histogram — the distribution-profiling
+    * pass behind data-quality dashboards and bin-packed visualizations.
+    * Two passes over the facts, both map-side-combinable: a bounds
+    * aggregate (types-row table, broadcast back) and the bin count
+    * aggregate (output bounded by types × bins). Bin width is exact
+    * integer cents arithmetic — width = ceil(span/bins) via
+    * (hi−lo+bins) div bins — so edges are engine-identical; never a
+    * per-type sort or a data-dependent number of passes.
+    */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame =
+    eventsHistogramOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id"))
+
+  private[graft] def eventsHistogramOf(ev0: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val ev = ev0.select(col("event_type"), cents.as("cents"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      .withColumn("width", expr(s"(hi - lo + $HistBins) div $HistBins"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin", expr("(cents - lo) div width"))
+      .groupBy(col("event_type"), col("bin"), col("lo"), col("width"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("lo") + col("bin") * col("width")).as("bin_lo"),
+        (col("lo") + (col("bin") + 1) * col("width") - 1).as("bin_hi"),
+        col("n"))
+  }
+  val eventsHistogramSql: String =
+    s"""WITH c AS (
+       SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       FROM events),
+     b AS (
+       SELECT event_type, min(cents) AS lo, max(cents) AS hi,
+         (max(cents) - min(cents) + $HistBins) // $HistBins AS width
+       FROM c GROUP BY event_type)
+     SELECT c.event_type, (c.cents - b.lo) // b.width AS bin,
+       b.lo + ((c.cents - b.lo) // b.width) * b.width AS bin_lo,
+       b.lo + ((c.cents - b.lo) // b.width + 1) * b.width - 1 AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+     FROM c JOIN b USING (event_type)
+     GROUP BY c.event_type, (c.cents - b.lo) // b.width, b.lo, b.width"""
+
+  /** E39: week-over-week metric drift — per (event_type, week) volume and
+    * mean value, plus the relative change vs the previous week: the
+    * monitoring pass behind "did this feed shift" alerts (the time-series
+    * sibling of E23's point anomalies). One map-side-combinable aggregate
+    * to a types×weeks table; the lag window runs over that TINY table,
+    * never the facts. Mean in integer micro-units ((cents·10⁴) div n) and
+    * drift as (mean·10⁴ div prev) − 10⁴ — subtraction after a
+    * non-negative division, so no engine can disagree on negative-operand
+    * integer division; first week per type → NULL.
+    */
+  def metricDrift(spark: SparkSession, dir: String): DataFrame =
+    metricDriftOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id"))
+
+  private[graft] def metricDriftOf(ev0: DataFrame): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val wk = ev0.select(col("event_type"),
+        floor(datediff(to_date(col("ts")), epoch) / 7).cast("int").as("week"),
+        cents.as("cents"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mean_micro", expr("(s * 10000) div n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week").asc)
+    wk.withColumn("prev_mean", lag(col("mean_micro"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n"), col("mean_micro"),
+        when(col("prev_mean") > 0,
+          expr("(mean_micro * 10000) div prev_mean") - 10000L)
+          .otherwise(lit(null).cast("bigint")).as("delta_bp"))
+  }
+  val metricDriftSql: String =
+    """WITH wk AS (
+       SELECT event_type,
+         CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT) AS week,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s
+       FROM events GROUP BY 1, 2),
+     m AS (
+       SELECT event_type, week, n, (s * 10000) // n AS mean_micro,
+         lag((s * 10000) // n) OVER (PARTITION BY event_type
+           ORDER BY week ASC) AS prev_mean
+       FROM wk)
+     SELECT event_type, week, n, mean_micro,
+       CASE WHEN prev_mean > 0
+         THEN (mean_micro * 10000) // prev_mean - 10000
+         ELSE NULL END AS delta_bp
+     FROM m"""
 }

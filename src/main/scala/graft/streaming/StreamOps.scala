@@ -351,6 +351,44 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  case class TransState(tsUs: Long, eventId: Long, eventType: String)
+  case class TransOut(user_id: Long, from_type: String, to_type: String,
+                      ts: Timestamp)
+
+  /** Streaming twin of the batch transition extraction
+    * (`Behavior.transitionPairsOf` — the rows `event_transitions`
+    * aggregates into the Markov matrix): emits each consecutive
+    * (from → to) step per user as it happens. State is ONE small struct
+    * per user (the last-seen event), O(|users|) and advance-only: within
+    * a micro-batch events apply in (ts, event_id) order — the batch tie
+    * rule — and a cross-batch late event older than the stored last event
+    * is ignored rather than rewriting already-emitted steps (same policy
+    * as the streaming as-of / SCD2 twins). Downstream, the matrix itself
+    * is a streaming aggregation over these rows.
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[TransState]) =>
+          val sorted = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransOut]
+          sorted.foreach { e =>
+            val us = microsOf(e.ts)
+            val advances = last.forall(s =>
+              s.tsUs < us || (s.tsUs == us && s.eventId < e.event_id))
+            if (advances) {
+              last.foreach(s => out += TransOut(user, s.eventType, e.event_type, e.ts))
+              last = Some(TransState(us, e.event_id, e.event_type))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment join: the static dim side is read per
     * micro-batch and broadcast; no stream state. The standard shape for
     * attaching slowly-changing metadata (user→nation here) to an event

@@ -231,6 +231,99 @@ class BehaviorSpec extends SparkSpecBase {
     }
   }
 
+  test("transition matrix counts consecutive pairs per user, probabilities exact") {
+    // user 1: view->click, click->view, view->click; user 2: view->purchase
+    val ev = evFrame(Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "view", 30L),
+      (4L, 1L, "click", 40L),
+      (5L, 2L, "view", 10L), (6L, 2L, "purchase", 20L)))
+    val out = Behavior.eventTransitionsOf(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("p_bp")))).toMap
+    assert(out.size === 3)
+    assert(out(("view", "click")) === ((2L, 6666L)))     // 2 of 3 from-view
+    assert(out(("view", "purchase")) === ((1L, 3333L)))  // 1 of 3 from-view
+    assert(out(("click", "view")) === ((1L, 10000L)))    // 1 of 1 from-click
+  }
+
+  test("A/B readout matches a brute-force recomputation of counts and z") {
+    val out = Behavior.abTestZtest(spark, sfDir).head
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+    val conv = ev.groupBy(_.getLong(0)).view
+      .mapValues(_.count(_.getString(1) == "purchase") >= Behavior.AbMinPurchases).toMap
+    def variant(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(6), 16) % 2
+    }
+    val (ua, ub) = conv.keys.toSeq.partition(variant(_) == 0)
+    val convA = ua.count(conv); val convB = ub.count(conv)
+    assert(out.getAs[Long]("n_a") === ua.size.toLong)
+    assert(out.getAs[Long]("n_b") === ub.size.toLong)
+    assert(out.getAs[Long]("conv_a") === convA.toLong)
+    assert(out.getAs[Long]("conv_b") === convB.toLong)
+    val pa = convA.toDouble / ua.size; val pb = convB.toDouble / ub.size
+    val p = (convA + convB).toDouble / (ua.size + ub.size)
+    val se = math.sqrt(p * (1.0 - p) * (1.0 / ua.size + 1.0 / ub.size))
+    assert(se > 0)
+    assert(out.getAs[Long]("z_e4") === math.floor((pa - pb) / se * 10000 + 0.5).toLong)
+  }
+
+  test("histogram matches brute-force binning; counts preserved, bins cover") {
+    val rows = Behavior.eventsHistogram(spark, sfDir).collect()
+    val ev = graft.Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map { r =>
+        val cents = (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        (r.getString(0), cents)
+      }
+    val expect = ev.groupBy(_._1).flatMap { case (t, vs) =>
+      val cs = vs.map(_._2)
+      val lo = cs.min; val hi = cs.max
+      val width = (hi - lo + Behavior.HistBins) / Behavior.HistBins
+      cs.groupBy(c => (c - lo) / width).map { case (bin, inBin) =>
+        (t, bin) -> ((lo + bin * width, lo + (bin + 1) * width - 1, inBin.size.toLong))
+      }
+    }
+    val got = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin")) ->
+      ((r.getAs[Long]("bin_lo"), r.getAs[Long]("bin_hi"), r.getAs[Long]("n")))).toMap
+    assert(got === expect)
+    // every bin index inside [0, bins)
+    assert(rows.forall(r => r.getAs[Long]("bin") >= 0 &&
+      r.getAs[Long]("bin") < Behavior.HistBins))
+  }
+
+  test("metric drift matches a brute-force weekly recomputation") {
+    val rows = Behavior.metricDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("week")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mean_micro"),
+          Option(r.get(r.fieldIndex("delta_bp"))).map(_.asInstanceOf[Long])))).toMap
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS d", "value").collect()
+      .map { r =>
+        val d = r.getAs[java.sql.Date](1).toLocalDate
+        val cents = (BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        val week = math.floorDiv(java.time.temporal.ChronoUnit.DAYS.between(epoch, d), 7).toInt
+        (r.getString(0), week, cents)
+      }
+    val weekly = ev.groupBy(e => (e._1, e._2)).view.mapValues { vs =>
+      val n = vs.length.toLong; val s = vs.map(_._3).sum
+      (n, s * 10000 / n)
+    }.toMap
+    assert(rows.keySet === weekly.keySet)
+    weekly.foreach { case (k @ (t, w), (n, mean)) =>
+      val (gn, gmean, gdelta) = rows(k)
+      assert(gn === n && gmean === mean, s"weekly agg $k")
+      val prev = weekly.keys.filter(p => p._1 == t && p._2 < w)
+        .map(_._2).maxOption.map(pw => weekly((t, pw))._2)
+      val want = prev.filter(_ > 0).map(p => mean * 10000 / p - 10000)
+      assert(gdelta === want, s"delta $k")
+    }
+  }
+
   test("throttle on testdata: kept set contains every key's first event") {
     val ev = Tables.events(spark, sfDir)
     val firsts = ev.groupBy("user_id", "event_type")

@@ -284,6 +284,62 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ann_int8: quantized ranking recalls the float brute-force neighbors") {
+    val bf = Ann.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = Ann.annInt8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Checkpoints.releaseAll()
+    assert(q8.size == bf.size)
+    // int8 symmetric quantization preserves neighborhoods: on the uniform
+    // testdata corpus the top-5 overlap stays high (exact agreement isn't
+    // expected — scores quantize to ~1/127 grid)
+    val overlap = (bf intersect q8).size.toDouble / bf.size
+    info(f"int8 vs float top-5 overlap: $overlap%.3f")
+    assert(overlap >= 0.6, f"quantized recall collapsed: $overlap%.3f")
+  }
+
+  test("sample_exact_n: exactly N docs, the md5-minimal ones, deterministic") {
+    val got = Sampling.sampleExactN(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq.sorted
+    assert(got.size == Sampling.ExactSampleN)
+    // brute-force: the N smallest md5 draws over all docs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): String =
+      md.digest(s"exact:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).sortBy(id => (draw(id), id))
+      .take(Sampling.ExactSampleN).sorted.toSeq
+    assert(got == want)
+    // retry-stability: a second run picks the identical set
+    val again = Sampling.sampleExactN(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq.sorted
+    assert(again == got)
+  }
+
+  test("document chunking matches a brute-force re-chunk of every document") {
+    val out = Packing.chunkDocuments(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    val size = Packing.ChunkSize.toInt; val stride = Packing.ChunkStride.toInt
+    docs.foreach { d =>
+      val id = d.getLong(0)
+      val toks = "\\S+".r.findAllIn(d.getString(1)).toVector
+      val n = toks.size
+      val nChunks = if (n <= size) 1 else 1 + ((n - size + stride - 1) / stride)
+      val rows = out(id).sortBy(_.getAs[Long]("chunk_idx"))
+      assert(rows.length == nChunks, s"doc $id chunk count")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val expect = toks.slice(i * stride, math.min(i * stride + size, n))
+        assert(r.getAs[String]("chunk_text") == expect.mkString(" "), s"doc $id chunk $i")
+        assert(r.getAs[Long]("chunk_tokens") == expect.size.toLong)
+      }
+      // windows cover the whole token stream (no token falls between chunks)
+      assert((nChunks - 1) * stride + size >= n)
+    }
+  }
+
   test("dedup components: edges connected, one keeper per component, converged") {
     val comp = Dedup.dedupComponents(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

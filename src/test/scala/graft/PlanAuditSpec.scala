@@ -280,6 +280,17 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("sample_exact_n: TakeOrderedAndProject, never a global sort") {
+    val p = planOf(llm.Sampling.sampleExactN(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("part_pagerank: keyed joins only — no cartesian, no broadcast of the fact") {
+    val p = planOf(queries.Graph.partPagerank(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(700))
+    Checkpoints.releaseAll()
+  }
+
   test("embed_quantize: map-only plan, zero exchanges over a pre-split input") {
     val dir = java.nio.file.Files.createTempDirectory("graft-presplit-emb").toString
     Tables.embeddings(spark, sfDir)

@@ -432,6 +432,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("streaming transitions emit exactly the batch lag window's pairs") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    // in-order input (single batch): the advance-only state delta never
+    // triggers, so parity with the batch lag window must be exact
+    val got = StreamOps.transitionsStream(ev).toDF()
+      .select(col("user_id"), col("from_type"), col("to_type"),
+        col("ts").cast("string"))
+      .as[(Long, String, String, String)].collect().toSet
+    val batch = queries.Behavior.transitionPairsOf(
+        Tables.events(spark, sfDir))
+      .select(col("user_id"), col("from_type"),
+        col("event_type").as("to_type"), col("ts").cast("timestamp").cast("string"))
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("streaming throttle emits exactly the batch twin's kept events") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),

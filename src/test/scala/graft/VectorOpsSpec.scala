@@ -69,6 +69,31 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(both.isNullAt(0) && both.isNullAt(1))
   }
 
+  test("IntVecDot: exact long dot, codegen/interpreted parity, null semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(100)(
+      (Array.fill(64)(rnd.nextInt(255) - 127), Array.fill(64)(rnd.nextInt(255) - 127)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(VectorOps.idot(col("a"), col("b"))).collect().map(_.getLong(0))
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum }
+    assert(got.toSeq == want)
+    withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = df.select(VectorOps.idot(col("a"), col("b"))).collect().map(_.getLong(0))
+      assert(interp.toSeq == want)
+    }
+    // length mismatch / null array / null element -> NULL
+    val edge = Seq(
+      (Some(Array(1, 2)), Some(Array(3, 4, 5))),
+      (None: Option[Array[Int]], Some(Array(1)))).toDF("a", "b")
+    val e = edge.select(VectorOps.idot(col("a"), col("b"))).collect()
+    assert(e(0).isNullAt(0) && e(1).isNullAt(0))
+    val nullElem = spark.sql(
+      "SELECT CAST(array(1, NULL, 2) AS array<int>) AS a, array(1, 1, 1) AS b")
+    assert(nullElem.select(VectorOps.idot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("extensions entry registers graft_fdot and its builder constructs the expression") {
     // the exact entry the GraftExtensions hook injects
     val (ident, _, builder) = VectorOps.DotEntry
