@@ -82,7 +82,8 @@ class PartitioningSpec extends SparkSpecBase {
 
   test("range-clustered sink: files own pairwise-disjoint key slices") {
     import graft.sources.SortedSink
-    val out = "/tmp/graft-test-sorted/events"
+    val out = java.nio.file.Files.createTempDirectory("graft-test-sorted")
+      .resolve("events").toString
     val src = Tables.events(spark, sfDir).select("event_id", "value")
     SortedSink.writeSorted(src, out, Seq("value"), numFiles = 8)
     val back = SortedSink.readSorted(spark, out)
