@@ -248,4 +248,86 @@ object Sampling {
          md5('exact:' || CAST(doc_id AS VARCHAR)) AS draw
        FROM documents
        ORDER BY draw ASC, doc_id ASC LIMIT $ExactSampleN"""
+
+  /** Hashed-feature bucket count for the importance weights (DSIR-style):
+    * small enough that the per-bucket weight table is a driver literal,
+    * large enough that distinct word features spread usefully.
+    */
+  val DsirBuckets = 128
+  val DsirNano = 1000000000L
+
+  /** D40: data-selection importance weights (the DSIR recipe, Xie et al.
+    * 2023): score every corpus doc by how much its hashed-feature
+    * distribution looks like a TARGET subcorpus (here the `en` slice
+    * stands in for the curated target domain), so selection can sample
+    * ∝ weight instead of filtering by hand-tuned rules.
+    *
+    * Shape: word features hash into $DsirBuckets buckets; the target and
+    * raw feature distributions are TWO bucket-bounded aggregates (≤128
+    * rows each — reduced to the driver like D32's bigram table, never fact
+    * rows); per-bucket add-1 likelihood ratios bake into an array literal
+    * in exact BigInt nano-units ((ct+1)·(totRaw+B)·1e9 div
+    * ((cr+1)·(totTarget+B)) — the oracle recomputes the identical integer
+    * formula in HUGEINT); scoring is then a zero-shuffle map-only fold of
+    * each doc's token buckets over the literal. Deliberately LOG-FREE for
+    * the same reason as D32: the exported contract is the RANKING
+    * (sample-∝-weight / top-fraction cut), and the ratio-mean is monotone
+    * with the log-ratio-mean for docs dominated by typical features while
+    * staying bit-identical across engines where ln() ulp drift would flake
+    * the hash gate.
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    def bucketOf(tok: Column): Column =
+      conv(substring(md5(tok.cast("binary")), 1, 6), 16, 10).cast("bigint") % b
+    val docs = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), TextOps.toks(col("text")).as("toks"))
+      // same load-bearing barrier as Dedup.docsWithToks: the bucket lambda
+      // must see a bound token array, not the inlined tokenizer
+      .transform(graft.Checkpoints.cp)
+    val feats = docs.select(col("lang"), explode(col("toks")).as("tok"))
+      .select(col("lang"), bucketOf(col("tok")).as("b"))
+    // two bucket-bounded aggregates → driver (≤ B rows, like a broadcast dim)
+    val rows = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val totR = rows.valuesIterator.map(_._1).sum
+    val totT = rows.valuesIterator.map(_._2).sum
+    def wNano(i: Int): Long = {
+      val (cr, ct) = rows.getOrElse(i, (0L, 0L))
+      ((BigInt(ct) + 1) * (BigInt(totR) + b) * DsirNano /
+        ((BigInt(cr) + 1) * (BigInt(totT) + b))).toLong
+    }
+    val wLit = typedLit((0 until b).map(wNano))
+    val n = size(col("toks"))
+    val sumW = aggregate(col("toks"), lit(0L),
+      (acc, t) => acc + element_at(wLit, bucketOf(t).cast("int") + 1))
+    docs.select(col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      when(n > 0, sumW).otherwise(0L).as("w_sum_nano"),
+      when(n > 0, sumW.cast("double") / n).otherwise(0.0).as("affinity"))
+  }
+  val importanceWeightsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, ${graft.llm.TextOps.toksSql} AS toks
+         FROM documents),
+    f AS (SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % $DsirBuckets AS b
+      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
+    cnt AS (SELECT b, CAST(count(*) AS HUGEINT) AS cr,
+        CAST(count(*) FILTER (WHERE lang = 'en') AS HUGEINT) AS ct
+      FROM f GROUP BY b),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+    w AS (SELECT b,
+        CAST((ct + 1) * (tr + $DsirBuckets) * $DsirNano
+          // ((cr + 1) * (tt + $DsirBuckets)) AS BIGINT) AS wn
+      FROM cnt, tot),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(wn) AS BIGINT) AS sw
+      FROM f JOIN w USING (b) GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(per.n, 0) AS n_tokens,
+      coalesce(per.sw, 0) AS w_sum_nano,
+      CASE WHEN coalesce(per.n, 0) > 0
+        THEN CAST(per.sw AS DOUBLE) / per.n ELSE 0.0 END AS affinity
+    FROM t LEFT JOIN per USING (doc_id)"""
 }

@@ -568,4 +568,64 @@ object Behavior {
          THEN (mean_micro * 10000) // prev_mean - 10000
          ELSE NULL END AS delta_bp
      FROM m"""
+
+  /** E40: per-type least-squares trend line (value vs day) — the
+    * "is this metric drifting and how fast" readout behind capacity
+    * planning and regression alerts, computed the way a 100 TB engine
+    * must: ONE map-side-combinable aggregate collecting the OLS
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) per type — never a
+    * per-type sort, never an ML-library fit, shuffle bounded by the
+    * type catalog. Per-row products stay in BIGINT (day ≤ ~10³, cents
+    * ≤ ~10⁶), sums and the closed-form slope/intercept run in exact
+    * DECIMAL(38,0): numer = n·Σxy − Σx·Σy stays < 10³⁵ even at 10⁹
+    * rows/type, so `slope_nano = numer·10⁹ div denom` is exact integer
+    * arithmetic end-to-end — bit-identical across engines (DuckDB
+    * mirrors in HUGEINT). Degenerate groups (single distinct day) emit
+    * NULL slope/intercept rather than a divide-by-zero.
+    */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame =
+    eventsTrendOf(Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id"))
+
+  private[graft] def eventsTrendOf(ev0: DataFrame): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val d38 = "decimal(38,0)"
+    val ev = ev0.select(col("event_type"),
+        datediff(to_date(col("ts")), epoch).cast("long").as("x"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("y"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("sx"),
+      sum(col("y")).cast(d38).as("sy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"))
+    stats
+      .withColumn("numer", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denom", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n").cast("bigint").as("n"),
+        when(col("denom") > 0,
+          expr("(numer * 1000000000) div denom")).as("slope_nano"),
+        when(col("denom") > 0,
+          expr("((sy * sxx - sx * sxy) * 1000000000) div denom"))
+          .as("intercept_nano"))
+  }
+  val eventsTrendSql: String =
+    """WITH r AS (
+       SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+       FROM events),
+     s AS (
+       SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+       FROM r GROUP BY event_type)
+     SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0
+         THEN CAST(((n * sxy - sx * sy) * 1000000000)
+                // (n * sxx - sx * sx) AS BIGINT) END AS slope_nano,
+       CASE WHEN n * sxx - sx * sx > 0
+         THEN CAST(((sy * sxx - sx * sxy) * 1000000000)
+                // (n * sxx - sx * sx) AS BIGINT) END AS intercept_nano
+     FROM s"""
 }

@@ -87,4 +87,105 @@ object Graph {
     $iters
     SELECT pk AS partkey, deg, rank FROM r$PrIters"""
   }
+
+  /** Minimum co-order support for a triangle-census edge: pairs co-ordered
+    * once are noise at any scale and make the co-purchase graph quadratically
+    * dense; the threshold is the documented scale lever (same contract as
+    * E31 basket_pairs' support cut).
+    */
+  val TriMinSupport = 2
+
+  /** E41: triangle census over the support-thresholded co-purchase graph —
+    * per-part triangle participation + local clustering coefficient, the
+    * community-density diagnostic behind "is this item part of a bundle".
+    *
+    * The scale shape is the standard degree-oriented algorithm: each
+    * undirected edge is directed from its lower-(deg, id) endpoint to the
+    * higher one, so every triangle is counted from exactly one wedge apex
+    * and wedge fan-out is Σ out-deg² — minimized by the orientation (out-deg
+    * is O(√E) on any graph). Wedges come from ONE self-equality-join of the
+    * directed edge list on the apex, closed by ONE equality join against the
+    * canonical edge set — never an unbounded inequality or cross join. The
+    * per-part count is three bounded projections of the triangle set; the
+    * clustering coefficient is exact integer basis points
+    * (2·tri·10⁴ div (deg·(deg−1))).
+    */
+  def partTriangles(spark: SparkSession, dir: String): DataFrame =
+    partTrianglesOf(Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey"))
+
+  /** Core over any (l_orderkey, l_partkey, …) frame (spec harnesses feed
+    * hand-built co-order graphs).
+    */
+  private[graft] def partTrianglesOf(li0: DataFrame): DataFrame = {
+    val li = li0.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // canonical undirected edges a<b with co-order support
+    val edges = graft.Checkpoints.cp(
+      li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= TriMinSupport)
+        .select(col("a"), col("b")))
+    val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id)
+    val withDeg = edges
+      .join(broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val dir0 = graft.Checkpoints.cp(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst")))
+    // wedges from one apex self-join; close with the canonical edge set
+    val e1 = dir0.select(col("src"), col("dst").as("u"))
+    val e2 = dir0.select(col("src"), col("dst").as("w"))
+    val tris = e1.join(e2, Seq("src")).filter(col("u") < col("w"))
+      .join(edges,
+        col("u") === col("a") && col("w") === col("b"))
+      .select(col("src").as("v1"), col("u").as("v2"), col("w").as("v3"))
+    val perPart = tris.select(col("v1").as("v"))
+      .union(tris.select(col("v2").as("v")))
+      .union(tris.select(col("v3").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perPart, Seq("v"), "left")
+      .select(col("v").as("partkey"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_bp",
+        when(col("deg") > 1,
+          expr("(2 * n_triangles * 10000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  val partTrianglesSql: String =
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT a.pk AS a, b.pk AS b
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY v),
+    dir0 AS (
+      SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+               THEN e.a ELSE e.b END AS src,
+             CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+               THEN e.b ELSE e.a END AS dst
+      FROM edges e JOIN deg x ON e.a = x.v JOIN deg y ON e.b = y.v),
+    tris AS (
+      SELECT e1.src AS v1, e1.dst AS v2, e2.dst AS v3
+      FROM dir0 e1 JOIN dir0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN edges c ON c.a = e1.dst AND c.b = e2.dst),
+    per AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT v1 AS v FROM tris UNION ALL SELECT v2 FROM tris
+        UNION ALL SELECT v3 FROM tris)
+      GROUP BY v)
+    SELECT deg.v AS partkey, deg.deg,
+      coalesce(per.n_triangles, 0) AS n_triangles,
+      CASE WHEN deg.deg > 1
+        THEN (2 * coalesce(per.n_triangles, 0) * 10000)
+               // (deg.deg * (deg.deg - 1))
+        ELSE 0 END AS clustering_bp
+    FROM deg LEFT JOIN per ON deg.v = per.v"""
 }

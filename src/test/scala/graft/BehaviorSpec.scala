@@ -333,4 +333,43 @@ class BehaviorSpec extends SparkSpecBase {
       .select("event_id").as[Long].collect().toSet
     assert(firsts.subsetOf(kept))
   }
+
+  test("trend recovers an exact planted line and nulls degenerate groups") {
+    // type "lin": value = 3·day + 5 dollars exactly → slope 300 cents/day,
+    // intercept 500 cents (nano-exact). type "flat": one day only → NULL.
+    val rows = (0 until 10).map { d =>
+      (d.toLong, 1L, "lin", d.toLong * 86400L, 3.0 * d + 5.0)
+    } :+ ((100L, 1L, "flat", 0L, 7.0)) :+ ((101L, 2L, "flat", 3600L, 9.0))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "sec", "v")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("sec")).cast("timestamp_ntz"))
+      .withColumn("value", col("v")).drop("sec", "v")
+    val out = Behavior.eventsTrendOf(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), Option(r.get(r.fieldIndex("slope_nano"))),
+          Option(r.get(r.fieldIndex("intercept_nano")))))).toMap
+    assert(out("lin") === ((10L, Some(300L * 1000000000L), Some(500L * 1000000000L))))
+    assert(out("flat") === ((2L, None, None)), "single-day group → NULL fit")
+  }
+
+  test("trend matches a brute-force exact-rational OLS on testdata") {
+    val out = Behavior.eventsTrend(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("slope_nano")))).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.groupBy(_._3).foreach { case (t, rs) =>
+      val n = BigInt(rs.length)
+      val sx = BigInt(rs.map(_._1).sum); val sy = rs.map(r => BigInt(r._2)).sum
+      val sxy = rs.map(r => BigInt(r._1) * r._2).sum
+      val sxx = rs.map(r => BigInt(r._1) * r._1).sum
+      val numer = n * sxy - sx * sy; val denom = n * sxx - sx * sx
+      assert(denom > 0, s"testdata type $t spans multiple days")
+      // BigInt / truncates toward zero, matching div / DuckDB //
+      val slope = (numer * 1000000000) / denom
+      assert(out(t) === ((rs.length.toLong, slope.toLong)), s"trend($t)")
+    }
+  }
 }

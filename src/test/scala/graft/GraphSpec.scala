@@ -44,4 +44,58 @@ class GraphSpec extends SparkSpecBase {
     val mass = rank.values.sum.toDouble
     assert(moved / mass < 0.005, f"last round moved ${moved / mass}%.4f of mass")
   }
+
+  test("triangle census: hand-built graph with known triangles and support cut") {
+    import spark.implicits._
+    // orders 1,2 both contain {p1,p2,p3} (every pair support 2 → kept);
+    // order 3 adds {p4,p5} once (support 1 → cut); orders 4,5 contain
+    // {p1,p4} twice (kept edge, but p4 closes no triangle)
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 4L), (3L, 5L),
+      (4L, 1L), (4L, 4L),
+      (5L, 1L), (5L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Graph.partTrianglesOf(li).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("clustering_bp")))).toMap
+    Checkpoints.releaseAll()
+    // node set: p5 has no surviving edge and drops; p4 survives via (p1,p4)
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(2L) === ((2L, 1L, 10000L)), "p2: closed pair → coeff 1.0")
+    assert(out(3L) === ((2L, 1L, 10000L)))
+    // p1: deg 3 (p2,p3,p4), one triangle → 2·1·10⁴ div (3·2) = 3333
+    assert(out(1L) === ((3L, 1L, 3333L)))
+    assert(out(4L) === ((1L, 0L, 0L)), "p4: no triangle, deg 1 → coeff 0")
+  }
+
+  test("triangle census matches brute force on the testdata co-order graph") {
+    val out = Graph.partTriangles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("partkey") -> r.getAs[Long]("n_triangles")).toMap
+    Checkpoints.releaseAll()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val support = li.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // iterator first: .collect on a Map of pair-valued results would
+    // rebuild a Map keyed by the pair's first element, collapsing edges
+    val edges = support.iterator.collect {
+      case (e, s) if s >= Graph.TriMinSupport => e
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteTri = adj.map { case (v, nb) =>
+      v -> nb.toSeq.combinations(2).count {
+        case Seq(a, b) => edges((a min b, a max b))
+      }.toLong
+    }
+    assert(out.keySet === adj.keySet)
+    bruteTri.foreach { case (v, t) => assert(out(v) === t, s"triangles($v)") }
+    assert(bruteTri.values.sum > 0, "testdata graph should contain triangles")
+  }
 }

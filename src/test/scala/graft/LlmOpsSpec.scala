@@ -877,4 +877,44 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(top.forall(_._2 >= 1))
     assert(top.forall(_._1.split(" ").length === 3), "word-3-gram shape")
   }
+
+  test("importance weights match a full driver-side recomputation exactly") {
+    val out = graft.llm.Sampling.importanceWeights(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("w_sum_nano"),
+          r.getAs[Double]("affinity")))).toMap
+    Checkpoints.releaseAll()
+    val b = graft.llm.Sampling.DsirBuckets
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % b).toInt
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    val toksOf = docs.map { case (id, lang, text) =>
+      (id, lang, "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq)
+    }
+    val cr = Array.fill(b)(0L); val ct = Array.fill(b)(0L)
+    toksOf.foreach { case (_, lang, ts) => ts.foreach { t =>
+      val k = bucket(t); cr(k) += 1; if (lang == "en") ct(k) += 1
+    } }
+    val totR = cr.sum; val totT = ct.sum
+    val w = (0 until b).map(i =>
+      ((BigInt(ct(i)) + 1) * (BigInt(totR) + b) * graft.llm.Sampling.DsirNano /
+        ((BigInt(cr(i)) + 1) * (BigInt(totT) + b))).toLong)
+    toksOf.foreach { case (id, _, ts) =>
+      val sumW = ts.map(t => w(bucket(t))).sum
+      val exp = (ts.length.toLong, sumW,
+        if (ts.nonEmpty) sumW.toDouble / ts.length else 0.0)
+      assert(out(id) === exp, s"doc $id")
+    }
+    // the operator's purpose: target-language docs score higher on average
+    val (en, rest) = toksOf.filter(_._3.nonEmpty).partition(_._2 == "en")
+    def meanAff(xs: Seq[(Long, String, Seq[String])]) =
+      xs.map { case (id, _, _) => out(id)._3 }.sum / xs.length
+    assert(meanAff(en.toSeq) > meanAff(rest.toSeq),
+      "en docs should carry higher target affinity")
+  }
 }
