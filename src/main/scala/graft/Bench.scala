@@ -20,7 +20,9 @@ object Bench {
     "dedup_spans", "corpus_clean", "session_overlap",
     "decontaminate_bloom", "embed_kmeans",
     "dedup_semantic", "text_lm_score", "split_holdout",
-    "funnel_steps", "text_ngram_freq", "contamination_frac")
+    "funnel_steps", "text_ngram_freq", "contamination_frac",
+    // r4 additions: both iterative-propagation plans and the DSIR scorer
+    "part_pagerank", "part_triangles", "importance_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

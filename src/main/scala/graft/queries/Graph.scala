@@ -69,8 +69,12 @@ object Graph {
 
   val partPagerankSql: String = {
     val base = s"(15 * ($PrScale // n_nodes)) // 100"
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // unrolled round references the previous one twice (p and c) — 2^8
+    // copies of the whole chain without it (observed: a >79 GB spill at
+    // sf0.1; materialized, the oracle is linear in rounds)
     val iters = (1 to PrIters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
         SELECT p.pk, p.deg, p.n_nodes, $base + COALESCE(c.cin, 0) AS rank
         FROM r${i - 1} p LEFT JOIN (
           SELECT e.dst AS pk, CAST(sum((r.rank * 85) // (100 * r.deg)) AS BIGINT) AS cin
@@ -78,12 +82,12 @@ object Graph {
           GROUP BY e.dst) c USING (pk))"""
     }.mkString(",\n")
     s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.pk AS src, b.pk AS dst
       FROM li a JOIN li b ON a.ok = b.ok AND a.pk != b.pk),
-    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
-    r0 AS (SELECT src AS pk, deg, n_nodes, $PrScale // n_nodes AS rank FROM deg, n),
+    r0 AS MATERIALIZED (SELECT src AS pk, deg, n_nodes, $PrScale // n_nodes AS rank FROM deg, n),
     $iters
     SELECT pk AS partkey, deg, rank FROM r$PrIters"""
   }
@@ -158,21 +162,21 @@ object Graph {
 
   val partTrianglesSql: String =
     s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a.pk AS a, b.pk AS b
       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
         SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
       GROUP BY v),
-    dir0 AS (
+    dir0 AS MATERIALIZED (
       SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
                THEN e.a ELSE e.b END AS src,
              CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
                THEN e.b ELSE e.a END AS dst
       FROM edges e JOIN deg x ON e.a = x.v JOIN deg y ON e.b = y.v),
-    tris AS (
+    tris AS MATERIALIZED (
       SELECT e1.src AS v1, e1.dst AS v2, e2.dst AS v3
       FROM dir0 e1 JOIN dir0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
       JOIN edges c ON c.a = e1.dst AND c.b = e2.dst),

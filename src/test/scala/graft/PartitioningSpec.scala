@@ -103,6 +103,43 @@ class PartitioningSpec extends SparkSpecBase {
     assert(counts.min > 0)
   }
 
+  test("z-order sink: file boxes are tight on BOTH columns; rectangle prunes") {
+    import graft.sources.ZOrderSink
+    val out = java.nio.file.Files.createTempDirectory("graft-test-zorder")
+      .resolve("events").toString
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value")
+    ZOrderSink.writeZOrdered(src, out, "user_id", "value", numFiles = 16)
+    val back = ZOrderSink.readZOrdered(spark, out)
+    assert(back.count() == src.count())
+    // per-file bounding boxes on both dimensions — what the parquet
+    // footers will report to the scan's file-skipping
+    val boxes = back.groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(boxes.length > 8, "expected many files")
+    val (uMin, uMax) = (boxes.map(_._1).min, boxes.map(_._2).max)
+    val (vMin, vMax) = (boxes.map(_._3).min, boxes.map(_._4).max)
+    // a centered 25%×25% rectangle query must be able to skip most files;
+    // under a 1-D sort one dimension's boxes would span the whole range
+    // and prune nothing by itself
+    def mid(lo: Double, hi: Double) = (lo + 0.375 * (hi - lo), lo + 0.625 * (hi - lo))
+    val (qul, quh) = mid(uMin.toDouble, uMax.toDouble)
+    val (qvl, qvh) = mid(vMin, vMax)
+    val hit = boxes.count { case (ulo, uhi, vlo, vhi) =>
+      uhi >= qul && ulo <= quh && vhi >= qvl && vlo <= qvh
+    }
+    assert(hit <= boxes.length / 2,
+      s"z-order locality: $hit of ${boxes.length} file boxes intersect a 25% rectangle")
+    // balance: the range exchange on the code keeps files non-degenerate
+    val counts = back.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(counts.min > 0 && counts.max < src.count())
+    // rows survive byte-identically
+    assert(back.select("event_id").exceptAll(src.select("event_id")).count() == 0)
+  }
+
   test("partitioned round-trip preserves rows and the partition column") {
     ensureWritten()
     val src = Tables.documents(spark, sfDir)
