@@ -207,5 +207,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorOps.IntDotEntry)
     ext.injectFunction(BloomOps.AggEntry)
     ext.injectFunction(BloomOps.ContainsEntry)
+    ext.injectPlannerStrategy(_ => graft.plans.FenceStrategy)
   }
 }

@@ -58,9 +58,15 @@ object Packing {
     * both engines enumerate identical windows.
     */
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
-      .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+    // fence, not cp: the token array feeds four consumers (size, explode
+    // bound, slice, least) in a LINEAR pipeline — without a barrier
+    // CollapseProject re-inlines the tokenizer into each, re-tokenizing
+    // every doc once per CHUNK row; with no reuse across plans a
+    // materializing checkpoint would be pure overhead (see plans.Fence)
+    graft.plans.Fence(
+      Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks")))
       .withColumn("n", size(col("toks")).cast("bigint"))
       .withColumn("n_chunks",
         when(col("n") <= ChunkSize, lit(1L))
