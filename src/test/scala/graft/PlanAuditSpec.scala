@@ -359,4 +359,30 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.linesIterator.count(
       _.matches("""\(\d+\) BroadcastNestedLoopJoin( .*)?""")) <= 1, p.take(700))
   }
+
+  test("events_trend: one partial-agg shuffle, no sort, no join") {
+    val p = planOf(queries.Behavior.eventsTrend(spark, sfDir))
+    assert(p.contains("partial"), "sufficient stats must combine map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"), "trend must be join-free")
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Sort( .*)?""")),
+      "no per-type sort of the facts")
+  }
+
+  test("part_triangles: equality joins only — no cartesian, no BNLJ") {
+    val p = planOf(queries.Graph.partTriangles(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "wedge join degraded to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "closing join must be equality")
+    Checkpoints.releaseAll()
+  }
+
+  test("importance_weights: scoring pass is join-free over the barrier") {
+    val p = planOf(llm.Sampling.importanceWeights(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"),
+      "per-doc scoring must fold over the baked literal, never join")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan")
+      || !p.contains("Exchange"), "no exchange beyond the barrier")
+    Checkpoints.releaseAll()
+  }
 }
