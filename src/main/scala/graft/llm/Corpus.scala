@@ -155,6 +155,58 @@ object Corpus {
     JOIN sizes sa ON sa.source = p.source_a
     JOIN sizes sb ON sb.source = p.source_b"""
 
+  /** D41: per-document n-gram novelty — the share of a doc's distinct
+    * word-3-gram shingles that appear in NO other document, in exact
+    * integer basis points. The inverse diagnostic to D26/D37: span dedup
+    * finds what repeats, novelty scores what doesn't — low-novelty docs
+    * are templated/boilerplate candidates even when no single span
+    * crosses the dedup threshold, high-novelty docs carry unique content
+    * worth keeping through aggressive cleaning.
+    *
+    * Shape: ONE distinct (doc, shingle-hash) projection (checkpointed —
+    * both passes reuse it), a document-frequency aggregate bounded by
+    * distinct shingles, and a co-partitioned equality join of the df=1
+    * slice back onto the pairs; never a doc-granularity self-join. Zero-
+    * shingle docs degrade to novelty 0.
+    */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+    val pairs = graft.Checkpoints.cp(
+      docs.select(col("doc_id"), explode(
+          array_distinct(TextOps.shingles(TextOps.toks(col("text"))))).as("s"))
+        .select(col("doc_id"), md5(col("s").cast("binary")).as("h")))
+    val dfTab = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val uniq = pairs.join(dfTab.filter(col("df") === 1), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    val nsh = pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    docs.select(col("doc_id"))
+      .join(nsh, Seq("doc_id"), "left")
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_bp",
+        when(col("n_sh") > 0, expr("(n_unique * 10000) div n_sh"))
+          .otherwise(lit(0L)))
+  }
+  val textNoveltySql: String =
+    s"""WITH p AS MATERIALIZED (
+      SELECT doc_id, md5(s) AS h FROM (
+        SELECT doc_id, unnest(list_distinct(${TextOps.shinglesSql("toks")})) AS s
+        FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents))),
+    dfp AS (SELECT h, count(*) AS df FROM p GROUP BY h),
+    u AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unique
+          FROM p JOIN dfp USING (h) WHERE df = 1 GROUP BY doc_id),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM p GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n.n_sh, 0) AS n_sh,
+      coalesce(u.n_unique, 0) AS n_unique,
+      CASE WHEN coalesce(n.n_sh, 0) > 0
+        THEN (coalesce(u.n_unique, 0) * 10000) // n.n_sh
+        ELSE 0 END AS novelty_bp
+    FROM documents d
+    LEFT JOIN n USING (doc_id) LEFT JOIN u USING (doc_id)"""
+
   val QualityTiers = 10
 
   /** D28: global quality-tier bucketing WITHOUT a global sort — the scale

@@ -338,4 +338,37 @@ object Temporal {
     Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+
+  /** CMS error bound: eps = over-count ≤ eps·N per probe (w.p. ≥ conf). */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+
+  /** E19b: count-min-sketch twin of the skew report — per-key frequency
+    * estimates from ONE fixed-size, partially-aggregable sketch instead of
+    * the exact per-key count table. The 100 TB contract: the sketch is a
+    * few KB of mergeable state regardless of key cardinality (map-side
+    * partials merge cell-wise, exactly like the HLL/bloom/quantile
+    * sketches in E10/E11/D20b — this completes the classic sketch family),
+    * and any key's count is then served WITHOUT rescanning the fact.
+    * Instantiated over the exact report's top-K keys so the spec can
+    * assert the CMS guarantee (est ≥ exact, est ≤ exact + eps·N) key by
+    * key. Estimates are implementation-defined → rows-only driver check
+    * by design, same as the other sketch twins.
+    */
+  def skewReportSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.spreadIfNarrow(Tables.events(spark, dir), "event_id")
+    val skBytes = ev.agg(expr(
+        s"count_min_sketch(user_id, CAST($CmsEps AS DOUBLE), " +
+          s"CAST($CmsConf AS DOUBLE), $CmsSeed)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+    val keys = skewReport(spark, dir)
+      .select(col("rank"), col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    import spark.implicits._
+    keys.toSeq.map { case (rank, uid, exact) =>
+      (rank, uid, exact, cms.estimateCount(java.lang.Long.valueOf(uid)))
+    }.toDF("rank", "user_id", "n_events", "n_events_est")
+  }
 }

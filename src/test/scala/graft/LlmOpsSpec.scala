@@ -917,4 +917,29 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(meanAff(en.toSeq) > meanAff(rest.toSeq),
       "en docs should carry higher target affinity")
   }
+
+  test("text novelty matches a driver-side brute force") {
+    val out = graft.llm.Corpus.textNovelty(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sh"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("novelty_bp")))).toMap
+    Checkpoints.releaseAll()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val shOf = docs.map { case (id, text) =>
+      val ts = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = shOf.valuesIterator.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    shOf.foreach { case (id, sh) =>
+      val nUnique = sh.count(df(_) == 1).toLong
+      val nSh = sh.size.toLong
+      val bp = if (nSh > 0) nUnique * 10000 / nSh else 0L
+      assert(out(id) === ((nSh, nUnique, bp)), s"doc $id")
+    }
+    // non-vacuous on testdata: some shingles repeat, some are unique
+    assert(out.values.exists(_._3 > 0) && out.values.exists(_._3 < 10000))
+  }
 }

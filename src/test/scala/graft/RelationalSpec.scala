@@ -231,6 +231,21 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("CMS skew sketch: estimates dominate exact counts within eps·N") {
+    val out = queries.Temporal.skewReportSketch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_events_est")))
+    assert(out.nonEmpty)
+    val total = Tables.events(spark, sfDir).count()
+    out.foreach { case (uid, exact, est) =>
+      // the CMS guarantee: never an under-count; over-count ≤ eps·N with
+      // prob ≥ conf per probe (3× slack keeps the spec deterministic)
+      assert(est >= exact, s"user $uid: CMS under-counted $est < $exact")
+      assert(est <= exact + math.max(1L, (3 * queries.Temporal.CmsEps * total).toLong),
+        s"user $uid: est $est vs exact $exact beyond bound")
+    }
+  }
+
   test("price quantiles are ordered and bracketed by group min/max") {
     val rows = Analytics.priceQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)
