@@ -646,6 +646,91 @@ object Dedup {
     HAVING count(DISTINCT doc_id) >= 2"""
   }
 
+  /** D26b: span-removal rewrite — the step AFTER D26's census: emit each
+    * document's text with every token covered by a cross-doc repeated
+    * span removed (the "deduplicating training data" rewrite of Lee et
+    * al. 2022, which showed models memorize exactly these substrings).
+    * D26 reports what repeats; this produces the corpus a trainer
+    * actually consumes.
+    *
+    * Shape: the positioned window table (doc, start, span-hash) is ONE
+    * explode of the checkpointed token arrays, reused (checkpointed) by
+    * both the repeated-hash aggregate and the match join; the match join
+    * is bounded by duplicated-span occurrences (no hint — AQE broadcasts
+    * the repeated-hash set when it fits, same policy as D22); coverage
+    * explodes matched starts into ≤ SpanWindow positions each; the
+    * rewrite is a per-doc anti-join on (doc, pos) plus an order-restoring
+    * in-group sort bounded by DOC LENGTH (collect_list + array_sort —
+    * never a cross-doc sort). Docs shorter than the window, or with
+    * nothing repeated, pass through byte-identical; a fully-covered doc
+    * degrades to empty text, never a null.
+    */
+  def dedupRewrite(spark: SparkSession, dir: String): DataFrame =
+    dedupRewriteOn(docsWithToks(spark, dir))
+
+  private[graft] def dedupRewriteOn(toks: DataFrame): DataFrame = {
+    val wins = graft.Checkpoints.cp(
+      toks.select(col("doc_id"), explode(
+        when(size(col("toks")) < SpanWindow,
+          array().cast("array<struct<p:int,w:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - (SpanWindow - 1)), i =>
+            struct(i.cast("int").as("p"),
+              concat_ws(" ", (0 until SpanWindow).map(o =>
+                element_at(col("toks"), i + o)): _*).as("w")))))
+        .as("pw"))
+        .select(col("doc_id"), col("pw.p").as("p"),
+          md5(col("pw.w").cast("binary")).as("span_hash")))
+    val repeated = wins.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("span_hash"))
+    val covered = wins.join(repeated, Seq("span_hash"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SpanWindow - 1))).as("pos"))
+      .distinct()
+    val pos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+  def dedupRewriteSql: String = {
+    val terms = (0 until SpanWindow).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    s"""WITH t AS MATERIALIZED (
+      SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents),
+    w AS MATERIALIZED (
+      SELECT doc_id, i AS p, md5($terms) AS h
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - ${SpanWindow - 1}, 0) + 1)) AS i
+            FROM t)),
+    rep AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(generate_series(p, p + ${SpanWindow - 1})) AS pos
+        FROM w JOIN rep USING (h))),
+    pt AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS tok
+        FROM t)),
+    kept AS (SELECT pt.* FROM pt ANTI JOIN cov USING (doc_id, pos)),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      CAST(len(t.toks) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed,
+      coalesce(a.clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg a USING (doc_id)"""
+  }
+
   def dedupNgramJaccardSql: String =
     s"""WITH sh AS MATERIALIZED (
       SELECT doc_id, list_distinct(${TextOps.shinglesSql("toks")}) AS shingles

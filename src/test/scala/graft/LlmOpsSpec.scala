@@ -612,6 +612,57 @@ class LlmOpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("dedup_rewrite: hand-built removals + full brute force on testdata") {
+    import spark.implicits._
+    val W = Dedup.SpanWindow
+    val run = (1 to W).map(i => s"tok$i").mkString(" ")
+    // doc 10/20 share the 12-token run (removed from BOTH, context kept);
+    // doc 30 untouched; doc 40 too short to ever match
+    val docs = Seq(
+      (10L, s"alpha $run omega"), (20L, s"$run tail"),
+      (30L, "unrelated text entirely"), (40L, "short")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.TextOps.toks(col("text")).as("toks"))
+    val out = Dedup.dedupRewriteOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    Checkpoints.releaseAll()
+    assert(out(10L) === ((W + 2L, W.toLong, "alpha omega")))
+    assert(out(20L) === ((W + 1L, W.toLong, "tail")))
+    assert(out(30L) === ((3L, 0L, "unrelated text entirely")))
+    assert(out(40L) === ((1L, 0L, "short")))
+
+    // brute force over the real corpus: recompute coverage driver-side
+    val real = Dedup.dedupRewrite(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    Checkpoints.releaseAll()
+    val toksOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(Option(r.getString(1)).getOrElse("").toLowerCase).toVector)
+      .toMap
+    val spanDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    toksOf.foreach { case (id, ts) =>
+      ts.sliding(W).filter(_.length == W).map(_.mkString(" ")).foreach { s =>
+        spanDocs.getOrElseUpdate(s, scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val repeated = spanDocs.collect { case (s, ds) if ds.size >= 2 => s }.toSet
+    var removedSomething = false
+    toksOf.foreach { case (id, ts) =>
+      val covered = ts.sliding(W).zipWithIndex.collect {
+        case (win, i) if win.length == W && repeated(win.mkString(" ")) =>
+          i until (i + W)
+      }.flatten.toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      if (covered.nonEmpty) removedSomething = true
+      assert(real(id) === ((covered.size.toLong, kept.mkString(" "))), s"doc $id")
+    }
+    assert(removedSomething, "testdata has repeated spans; rewrite must fire")
+  }
+
   test("embed_kmeans: total assignment, consistent sizes, same cells as IVF") {
     val k = Ann.embedKmeans(spark, sfDir)
     val n = Tables.embeddings(spark, sfDir).count()
