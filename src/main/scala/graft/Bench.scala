@@ -21,8 +21,11 @@ object Bench {
     "decontaminate_bloom", "embed_kmeans",
     "dedup_semantic", "text_lm_score", "split_holdout",
     "funnel_steps", "text_ngram_freq", "contamination_frac",
-    // r4 additions: both iterative-propagation plans and the DSIR scorer
-    "part_pagerank", "part_triangles", "importance_weights")
+    // r4 additions: both iterative-propagation plans, the DSIR scorer,
+    // and the two heaviest text passes (inverted-index novelty, span
+    // rewrite with per-doc reassembly)
+    "part_pagerank", "part_triangles", "importance_weights",
+    "text_novelty", "dedup_rewrite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

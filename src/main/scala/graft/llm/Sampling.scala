@@ -308,6 +308,33 @@ object Sampling {
       when(n > 0, sumW).otherwise(0L).as("w_sum_nano"),
       when(n > 0, sumW.cast("double") / n).otherwise(0.0).as("affinity"))
   }
+  /** D40b: importance RESAMPLING — the selection step D40's weights feed
+    * (DSIR's "sample ∝ importance weight"): keep each doc with probability
+    * min(1, affinity-ratio), decided by the same deterministic
+    * content-keyed md5 draw as D13 — retry/partitioning/engine
+    * independent, no RNG state. Docs scoring at or above the raw-corpus
+    * mean (ratio ≥ 1) always survive; below-mean docs survive
+    * proportionally, so the kept corpus's feature mix shifts toward the
+    * target domain in one pass. Keep probability in exact integer basis
+    * points via DECIMAL(38,0) (w_sum·10⁴ overflows BIGINT); zero-token
+    * docs carry p=0 and drop. Composes D40 unchanged — one extra
+    * projection + filter over the scored frame.
+    */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val pBp = expr(
+      s"CAST(w_sum_nano AS DECIMAL(38,0)) * 10000 div " +
+        s"(CAST(n_tokens AS DECIMAL(38,0)) * $DsirNano)")
+    val draw = conv(substring(md5(
+        concat(lit("imp:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("bigint") % 10000
+    importanceWeights(spark, dir)
+      .withColumn("p_bp", when(col("n_tokens") > 0, least(lit(10000L), pBp))
+        .otherwise(0L))
+      .withColumn("draw", draw)
+      .filter(col("draw") < col("p_bp"))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum_nano"),
+        col("p_bp"), col("draw"))
+  }
   val importanceWeightsSql: String =
     s"""WITH t AS (SELECT doc_id, lang, ${graft.llm.TextOps.toksSql} AS toks
          FROM documents),
@@ -330,4 +357,18 @@ object Sampling {
       CASE WHEN coalesce(per.n, 0) > 0
         THEN CAST(per.sw AS DOUBLE) / per.n ELSE 0.0 END AS affinity
     FROM t LEFT JOIN per USING (doc_id)"""
+
+  val importanceSampleSql: String =
+    s"""WITH iw AS ($importanceWeightsSql),
+    scored AS (
+      SELECT doc_id, n_tokens, w_sum_nano,
+        CASE WHEN n_tokens > 0
+          THEN least(10000, CAST(CAST(w_sum_nano AS HUGEINT) * 10000
+                 // (CAST(n_tokens AS HUGEINT) * $DsirNano) AS BIGINT))
+          ELSE 0 END AS p_bp,
+        CAST(('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 6))
+          AS BIGINT) % 10000 AS draw
+      FROM iw)
+    SELECT doc_id, n_tokens, w_sum_nano, p_bp, draw
+    FROM scored WHERE draw < p_bp"""
 }

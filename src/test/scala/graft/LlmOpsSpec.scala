@@ -969,6 +969,28 @@ class LlmOpsSpec extends SparkSpecBase {
       "en docs should carry higher target affinity")
   }
 
+  test("importance sample keeps exactly the docs whose draw clears p∝affinity") {
+    val w = graft.llm.Sampling.importanceWeights(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("w_sum_nano")))
+    Checkpoints.releaseAll()
+    def draw(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"imp:$id".getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val expectKept = w.collect { case (id, n, sw) if n > 0 &&
+      draw(id) < (BigInt(sw) * 10000 /
+        (BigInt(n) * graft.llm.Sampling.DsirNano)).min(10000).toLong => id
+    }.toSet
+    val kept = graft.llm.Sampling.importanceSample(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    Checkpoints.releaseAll()
+    assert(kept === expectKept)
+    // the sample is non-trivial in both directions on testdata
+    assert(kept.nonEmpty && kept.size < w.length)
+  }
+
   test("text novelty matches a driver-side brute force") {
     val out = graft.llm.Corpus.textNovelty(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
