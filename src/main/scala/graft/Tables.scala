@@ -25,16 +25,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively.
-    * Read nanos as long and rebuild a micros NTZ timestamp (the testdata has
-    * no sub-microsecond components, so this is lossless and matches DuckDB's
-    * TIMESTAMP view of the same column).
+  /** events.ts arrives as parquet TIMESTAMP(MICROS) (reads natively as
+    * timestamp_ntz) in current testdata drops, but earlier drops used
+    * TIMESTAMP(NANOS), which Spark 4 refuses natively. Probe the read
+    * schema: when nanos surface as long (via nanosAsLong), rebuild a micros
+    * NTZ timestamp (the testdata has no sub-microsecond components, so this
+    * is lossless and matches DuckDB's TIMESTAMP view of the same column);
+    * when the column is already a timestamp, pass it through with a
+    * normalizing NTZ cast so downstream operators see one type either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(s, d, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts")
+    }
+    raw.withColumn("ts", tsCol.cast("timestamp_ntz"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

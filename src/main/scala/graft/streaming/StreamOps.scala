@@ -27,8 +27,12 @@ object StreamOps {
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _                                   => col("ts")
+    }
+    raw.withColumn("ts", tsCol.cast("timestamp_ntz"))
   }
 
   /** E7: tumbling-window count/sum with a 1-hour watermark. */
