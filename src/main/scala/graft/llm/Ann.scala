@@ -729,4 +729,33 @@ object Ann {
     FROM (SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY votes DESC, nb_label ASC) AS r FROM votes)
     WHERE r = 1"""
+
+  /** D45: per-dimension embedding statistics — the QC pass run before any
+    * geometric operator trusts a new embedding drop: a collapsed dimension
+    * (min = max), a scale-exploded one, or a shifted mean each silently
+    * poison cosine/LSH downstream, and this is the query that catches them.
+    * posexplode → ONE partial-agg shuffle bounded by DIM (64 rows out of
+    * any corpus size — map-side combine does all the work); min/max are
+    * order-independent by definition and the mean uses the same
+    * round(avg,4)+0.0 canonicalization embed_centroids hash-checks, so
+    * the whole frame is engine-exact.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(count(col("v")).as("n_vecs"),
+        min(col("v").cast("double")).as("v_min"),
+        max(col("v").cast("double")).as("v_max"),
+        (round(avg(col("v").cast("double")), 4) + 0.0).as("v_mean"))
+      .withColumn("degenerate", col("v_min") === col("v_max"))
+  val embedDimStatsSql: String =
+    s"""SELECT CAST(t.p AS INT) AS pos, count(embedding[t.p + 1]) AS n_vecs,
+           min(CAST(embedding[t.p + 1] AS DOUBLE)) AS v_min,
+           max(CAST(embedding[t.p + 1] AS DOUBLE)) AS v_max,
+           round(avg(CAST(embedding[t.p + 1] AS DOUBLE)), 4) + 0.0 AS v_mean,
+           min(CAST(embedding[t.p + 1] AS DOUBLE))
+             = max(CAST(embedding[t.p + 1] AS DOUBLE)) AS degenerate
+    FROM embeddings, range(0, $Dim) t(p)
+    GROUP BY t.p"""
 }

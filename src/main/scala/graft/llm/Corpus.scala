@@ -274,4 +274,43 @@ object Corpus {
     s"""SELECT doc_id, source, lang, ${TextOps.qualityExprSql("toks")} AS quality_score
     FROM (SELECT doc_id, source, lang, text, ${TextOps.toksSql} AS toks FROM documents)
     ORDER BY quality_score DESC, doc_id ASC LIMIT $TopDocs"""
+
+  val TopNgramsPerSource = 5
+
+  /** D44: per-source heavy-hitter n-grams — the GROUPED form of D36's
+    * corpus-wide frequency pass: for each source, its top-5 word-3-grams
+    * with counts. This is the per-feed boilerplate detector ("which
+    * template does each crawl feed repeat") that a global top-N hides
+    * whenever one giant source dominates the tail of the others. Shape:
+    * one explode → ONE partial-agg shuffle keyed (source, shingle) —
+    * map-side combine absorbs the repetition that makes a shingle a heavy
+    * hitter, so reducer input is bounded by DISTINCT (source, shingle) —
+    * then the rank window runs over that aggregated table partitioned by
+    * source (frames bounded by a source's distinct-shingle count, never by
+    * occurrences; at 100 TB the aggregate output, not the corpus, is what
+    * sorts). Exact total order (n DESC, shingle ASC) at the cut.
+    */
+  def sourceTopNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("shingle").asc)
+    // fence, not cp: single linear consumer chain (shingle explode), no
+    // cross-plan reuse — the fence just pins the tokenizer to one run/row
+    graft.plans.Fence(
+      Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+        .select(col("source"), TextOps.toks(col("text")).as("toks")))
+      .select(col("source"), explode(TextOps.shingles(col("toks"))).as("shingle"))
+      .groupBy(col("source"), col("shingle")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= TopNgramsPerSource)
+  }
+  val sourceTopNgramsSql: String =
+    s"""SELECT source, shingle, n, rk FROM (
+      SELECT source, shingle, n,
+        row_number() OVER (PARTITION BY source ORDER BY n DESC, shingle ASC) AS rk
+      FROM (SELECT source, s AS shingle, count(*) AS n FROM (
+        SELECT source, unnest(${TextOps.shinglesSql("toks")}) AS s
+        FROM (SELECT source, ${TextOps.toksSql} AS toks FROM documents))
+      GROUP BY source, s))
+    WHERE rk <= $TopNgramsPerSource"""
 }

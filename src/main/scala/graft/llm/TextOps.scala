@@ -431,4 +431,90 @@ object TextOps {
       SELECT unnest(${shinglesSql("toks")}) AS s
       FROM (SELECT $toksSql AS toks FROM documents))
     GROUP BY s ORDER BY n DESC, s ASC LIMIT $NgramFreqTopN"""
+
+  /** D42: text normalization — the cleaning pass that runs BEFORE hashing /
+    * dedup / tokenization in a real ingest: typographic quotes and dashes
+    * fold to their ASCII forms, non-printing control characters (C0 + DEL)
+    * become spaces, whitespace runs collapse, edges trim. Case is
+    * deliberately preserved (normalization must not destroy signal the
+    * quality/langid stages read; `normText` remains the separate
+    * lowercased form the dedup family keys on). A pure map-side projection:
+    * zero shuffles, whole-stage codegen, byte-identical between engines
+    * because every rewrite is an explicit character-class regex with no
+    * locale or Unicode-normalization dependence. `changed` marks rows the
+    * pass actually rewrote so an ingest can meter upstream dirtiness.
+    */
+  private[graft] def textNormalizeOn(docs: DataFrame): DataFrame = {
+    val folded = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(col("text"), lit("")),
+      "[‘’]", "'"), "[“”]", "\""), "[–—]", "-")
+    val despaced = trim(regexp_replace(
+      regexp_replace(folded, "[\\x00-\\x1F\\x7F]", " "), " +", " "))
+    docs
+      .select(col("doc_id"), despaced.as("text_norm"),
+        (despaced =!= coalesce(col("text"), lit(""))).as("changed"))
+      .withColumn("n_chars_norm", length(col("text_norm")).cast("int"))
+      .select(col("doc_id"), col("text_norm"), col("n_chars_norm"), col("changed"))
+  }
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    textNormalizeOn(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+  val textNormalizeSql: String =
+    s"""SELECT doc_id, text_norm, CAST(length(text_norm) AS INT) AS n_chars_norm,
+      text_norm != coalesce(text, '') AS changed
+    FROM (SELECT doc_id, text,
+      trim(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+          '[‘’]', '''', 'g'), '[“”]', '"', 'g'),
+          '[–—]', '-', 'g'),
+        '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+      FROM documents)"""
+
+  /** Power-of-two length-bucket edges for D43 (tokens counted by the same
+    * BPE-ish segmentation as D10). The top bucket is open-ended. */
+  val LengthBucketEdges: Seq[Long] = Seq(0L, 1L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /** D43: length-bucketed batching stats — the planning pass behind batched
+    * inference / training micro-batch assembly: docs grouped into
+    * power-of-two token-length buckets, with per-bucket doc count, token
+    * sum, and `pad_waste` = tokens of padding a batcher would burn padding
+    * every member up to its bucket ceiling (the metric that decides whether
+    * bucket edges need refinement). Bucket assignment is a static CASE
+    * chain (engine-exact; no float log2), so the whole operator is one
+    * map-side projection + ONE partial-agg shuffle bounded by the EDGE
+    * COUNT (8 rows) — nothing here scales with the corpus but the scan.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("bigint")
+    val spans = LengthBucketEdges.zip(LengthBucketEdges.tail)
+    // bucket_lo is the largest edge <= n; ceiling = next edge - 1 (the top
+    // bucket is open-ended: lo = last edge, zero pad by convention)
+    val lo = spans.foldRight(lit(LengthBucketEdges.last)) {
+      case ((e, next), acc) => when(n >= e && n < next, lit(e)).otherwise(acc)
+    }
+    val pad = spans.foldRight(lit(0L)) {
+      case ((e, next), acc) => when(n >= e && n < next, lit(next - 1) - n).otherwise(acc)
+    }
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(lo.as("bucket_lo"), n.as("n_tokens"), pad.as("pad"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("pad")).as("pad_waste"))
+  }
+  val lengthBucketsSql: String = {
+    val edges = LengthBucketEdges
+    val loCase = edges.zip(edges.tail).map { case (e, next) =>
+      s"WHEN n >= $e AND n < $next THEN $e" }.mkString(" ") +
+      s" ELSE ${edges.last}"
+    val padCase = edges.zip(edges.tail).map { case (e, next) =>
+      s"WHEN n >= $e AND n < $next THEN ${next - 1} - n" }.mkString(" ") +
+      " ELSE 0"
+    s"""SELECT bucket_lo, count(*) AS n_docs,
+      CAST(sum(n) AS BIGINT) AS sum_tokens, CAST(sum(pad) AS BIGINT) AS pad_waste
+    FROM (SELECT CASE $loCase END AS bucket_lo, n, CASE $padCase END AS pad
+      FROM (SELECT CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n FROM documents))
+    GROUP BY bucket_lo"""
+  }
 }

@@ -628,4 +628,91 @@ object Behavior {
          THEN CAST(((sy * sxx - sx * sxy) * 1000000000)
                 // (n * sxx - sx * sx) AS BIGINT) END AS intercept_nano
      FROM s"""
+
+  val RfmAnchor = "2024-02-01"
+
+  /** E42: RFM segmentation (recency / frequency / monetary) — the classic
+    * customer-scoring query: per purchasing user, days since last purchase
+    * (against a fixed anchor date — a config in production, pinned here so
+    * the result is reproducible), purchase count, and exact-cents spend,
+    * each mapped to a quartile, concatenated into the 3-digit RFM segment.
+    *
+    * Quartile assignment deliberately reuses the D28 bounded-cardinality
+    * pattern instead of ntile() over all users (an unpartitioned global
+    * sort — the one-reducer trap at a billion users): each metric is
+    * integer-quantized (days are already integral; spend quantizes to
+    * WHOLE DOLLARS — the documented cardinality contract), ONE partial-agg
+    * shuffle builds its value-frequency table, cumulative ranks run over
+    * that TINY table, and the value→quartile maps broadcast back onto the
+    * per-user frame. Ties share the quartile of the value's first rank
+    * (quartile is a pure function of the value). Recency ranks DESCENDING
+    * (fewer days = more recent = higher quartile); frequency and monetary
+    * rank ascending. All arithmetic is exact integers; the facts shuffle
+    * ONCE, by user_id.
+    */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = to_date(lit(RfmAnchor))
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val perUser = Tables.spread(Tables.events(spark, dir), "user_id")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(datediff(anchor, max(col("d"))).cast("bigint").as("r_days"),
+        count(lit(1)).as("f_n"),
+        sum(col("cents")).as("m_cents"))
+      .withColumn("m_dollars", expr("m_cents div 100"))
+      // barrier: four consumers (three quartile maps + the final join) —
+      // without it each re-runs the events scan and the user aggregate
+      .transform(graft.Checkpoints.cp)
+    // value→quartile map from a value-frequency table (bounded by the
+    // quantized domain, not by users); unpartitioned windows over the tiny
+    // table are deliberate — same safety argument as quality_tiers
+    def quartileMap(df: DataFrame, valueCol: String, asc: Boolean): DataFrame = {
+      val ord = if (asc) col(valueCol).asc else col(valueCol).desc
+      val byVal = Window.orderBy(ord)
+      val all = Window.partitionBy()
+      df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before", coalesce(
+          sum(col("cnt")).over(byVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(all))
+        .select(col(valueCol),
+          least(lit(4L), expr("cum_before * 4 div n") + 1).as(valueCol + "_q"))
+    }
+    val rq = quartileMap(perUser, "r_days", asc = false)
+    val fq = quartileMap(perUser, "f_n", asc = true)
+    val mq = quartileMap(perUser, "m_dollars", asc = true)
+    perUser
+      .join(broadcast(rq), Seq("r_days"))
+      .join(broadcast(fq), Seq("f_n"))
+      .join(broadcast(mq), Seq("m_dollars"))
+      .select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
+        col("r_days_q"), col("f_n_q"), col("m_dollars_q"),
+        (col("r_days_q") * 100 + col("f_n_q") * 10 + col("m_dollars_q")).as("rfm_segment"))
+  }
+  val userRfmSql: String = {
+    def qm(src: String, v: String, ord: String) =
+      s"""(SELECT $v, least(4, cum_before * 4 // n + 1) AS q FROM (
+        SELECT $v, coalesce(sum(cnt) OVER (ORDER BY $v $ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+          sum(cnt) OVER () AS n
+        FROM (SELECT $v, count(*) AS cnt FROM $src GROUP BY $v)))"""
+    s"""WITH per_user AS (
+      SELECT user_id,
+        CAST(date_diff('day', max(CAST(ts AS DATE)), DATE '$RfmAnchor') AS BIGINT) AS r_days,
+        count(*) AS f_n,
+        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS m_cents,
+        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS m_dollars
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    rq AS ${qm("per_user", "r_days", "DESC")},
+    fq AS ${qm("per_user", "f_n", "ASC")},
+    mq AS ${qm("per_user", "m_dollars", "ASC")}
+    SELECT p.user_id, p.r_days, p.f_n, p.m_cents,
+      CAST(rq.q AS BIGINT) AS r_days_q, CAST(fq.q AS BIGINT) AS f_n_q,
+      CAST(mq.q AS BIGINT) AS m_dollars_q,
+      CAST(rq.q * 100 + fq.q * 10 + mq.q AS BIGINT) AS rfm_segment
+    FROM per_user p
+    JOIN rq ON rq.r_days = p.r_days
+    JOIN fq ON fq.f_n = p.f_n
+    JOIN mq ON mq.m_dollars = p.m_dollars"""
+  }
 }

@@ -372,4 +372,40 @@ class BehaviorSpec extends SparkSpecBase {
       assert(out(t) === ((rs.length.toLong, slope.toLong)), s"trend($t)")
     }
   }
+
+  test("user_rfm matches a driver-side brute force on the testdata") {
+    val out = Behavior.userRfm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val anchor = java.time.LocalDate.parse(Behavior.RfmAnchor)
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val perUser = rows.groupBy(_._1).view.mapValues { es =>
+      val rDays = java.time.temporal.ChronoUnit.DAYS.between(es.map(_._2).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)), anchor)
+      (rDays, es.size.toLong, es.map(_._3).sum)
+    }.toMap
+    assert(out.keySet == perUser.keySet)
+    // quartile of a value = floor(4 * (#strictly-better rows) / n) + 1
+    def quartiles(vals: Seq[Long], asc: Boolean): Map[Long, Long] = {
+      val n = vals.size.toLong
+      vals.distinct.map { v =>
+        val before = vals.count(x => if (asc) x < v else x > v).toLong
+        v -> math.min(4L, before * 4 / n + 1)
+      }.toMap
+    }
+    val rq = quartiles(perUser.values.map(_._1).toSeq, asc = false)
+    val fq = quartiles(perUser.values.map(_._2).toSeq, asc = true)
+    val mq = quartiles(perUser.values.map(_._3 / 100).toSeq, asc = true)
+    perUser.foreach { case (u, (r, f, m)) =>
+      val expect = (r, f, m, rq(r), fq(f), mq(m / 100),
+        rq(r) * 100 + fq(f) * 10 + mq(m / 100))
+      assert(out(u) === expect, s"user $u")
+    }
+    // non-vacuous: quartiles actually spread
+    assert(out.values.map(_._4).toSet.size > 1)
+  }
 }

@@ -1015,4 +1015,80 @@ class LlmOpsSpec extends SparkSpecBase {
     // non-vacuous on testdata: some shingles repeat, some are unique
     assert(out.values.exists(_._3 > 0) && out.values.exists(_._3 < 10000))
   }
+
+  test("text_normalize folds quotes/dashes, strips controls, collapses space") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "‘quoted’ “double” – en — em"),
+      (2L, "tab\there\nnewline\u0000nul\u007Fdel"),
+      (3L, "  already   spaced  "),
+      (4L, "untouched text"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.textNormalizeOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 == "'quoted' \"double\" - en - em" && out(1L)._3)
+    assert(out(2L)._1 == "tab here newline nul del" && out(2L)._3)
+    assert(out(3L)._1 == "already spaced" && out(3L)._3)
+    assert(out(4L)._1 == "untouched text" && !out(4L)._3)
+    assert(out(5L)._1 == "" && out(5L)._2 == 0)
+  }
+
+  test("length_buckets partitions the corpus exactly; pad math is per-bucket") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val out = TextOps.lengthBuckets(spark, sfDir).collect()
+    // every doc lands in exactly one bucket
+    assert(out.map(_.getLong(1)).sum == docs)
+    // brute force: recount tokens driver-side with the same segmentation
+    val edges = TextOps.LengthBucketEdges
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val byBucket = Tables.documents(spark, sfDir).select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+      .map(t => re.findAllIn(t.toLowerCase).size.toLong)
+      .groupBy(n => edges.zip(edges.tail).collectFirst {
+        case (e, next) if n >= e && n < next => e }.getOrElse(edges.last))
+    val expect = byBucket.view.mapValues { ns =>
+      val pads = ns.map { n =>
+        edges.zip(edges.tail).collectFirst {
+          case (e, next) if n >= e && n < next => next - 1 - n }.getOrElse(0L) }
+      (ns.length.toLong, ns.sum, pads.sum)
+    }.toMap
+    val got = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("source_top_ngrams matches brute force per source") {
+    val out = graft.llm.Corpus.sourceTopNgrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+    val tokRe = "[a-z0-9]+".r
+    val counts = docs.flatMap { case (src, t) =>
+      val toks = tokRe.findAllIn(t.toLowerCase).toVector
+      toks.sliding(3).filter(_.size == 3).map(w => (src, w.mkString(" ")))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = counts.groupBy(_._1._1).flatMap { case (src, m) =>
+      m.toSeq.map { case ((_, sh), n) => (sh, n) }
+        .sortBy { case (sh, n) => (-n, sh) }.take(graft.llm.Corpus.TopNgramsPerSource)
+        .zipWithIndex.map { case ((sh, n), i) => (src, sh, n, i + 1L) }
+    }.toSet
+    assert(out.toSet == expect)
+    assert(out.nonEmpty)
+  }
+
+  test("embed_dim_stats: one row per dim, brute-force min/max, degeneracy flag") {
+    val out = Ann.embedDimStats(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(5)))).toMap
+    assert(out.size == Ann.Dim)
+    val vecs = Tables.embeddings(spark, sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    (0 until Ann.Dim).foreach { d =>
+      val col = vecs.map(v => v(d).toDouble)
+      val (n, mn, mx, degen) = out(d)
+      assert(n == vecs.length && mn == col.min && mx == col.max)
+      assert(degen == (col.min == col.max))
+    }
+  }
 }

@@ -385,4 +385,44 @@ class PlanAuditSpec extends SparkSpecBase {
       || !p.contains("Exchange"), "no exchange beyond the barrier")
     Checkpoints.releaseAll()
   }
+
+  test("text_normalize: map-only plan, zero exchanges over a pre-split input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-presplit-norm").toString
+    Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = planOf(llm.TextOps.textNormalize(spark, dir))
+    assert(!p.contains("Exchange"), p.take(700))
+    assert(!p.contains("Join"), "normalization must be a projection")
+  }
+
+  test("length_buckets: one partial-agg exchange, edge-bounded aggregate") {
+    val p = planOf(llm.TextOps.lengthBuckets(spark, sfDir))
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggs = ids("HashAggregate"); val exchs = ids("Exchange")
+    // partial aggregate runs BEFORE the bucket-key exchange (map-side
+    // combine shrinks the shuffle to <= edges x maps rows)
+    assert(aggs.size >= 2 && exchs.nonEmpty && aggs.min < exchs.max, p.take(600))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+  }
+
+  test("source_top_ngrams: rank window runs over the aggregated table") {
+    val p = planOf(llm.Corpus.sourceTopNgrams(spark, sfDir))
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggs = ids("HashAggregate"); val wins = ids("Window")
+    // the (source, shingle) aggregate executes before the window sees rows:
+    // lower formatted-plan ids are deeper, so the agg ids sit BELOW the window
+    assert(aggs.nonEmpty && wins.nonEmpty && aggs.max < wins.min,
+      "rank window must consume the aggregate, not raw shingles: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("user_rfm: quartile maps broadcast back; facts never sort-merge") {
+    val p = planOf(queries.Behavior.userRfm(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "value->quartile maps must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(700))
+    Checkpoints.releaseAll()
+  }
 }
