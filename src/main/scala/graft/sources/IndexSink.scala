@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+/** Persisted MinHash signature index — the storage half of the
+  * incremental-dedup contract (SURVEY.md §2.D22). `dedup_incremental`
+  * PROBES "the stored corpus signature index"; this sink is what actually
+  * stores it: the (doc_id, sig, band_idx, band_hash) band table written
+  * ONCE as a parquet table bucketed by the probe key. Every subsequent
+  * daily-batch probe then joins against pre-partitioned data — the scan
+  * reports the bucket spec as its outputPartitioning, Catalyst drops the
+  * index-side Exchange, and the only data that moves is the day's batch
+  * (IndexSinkSpec proves exactly one Exchange in the shuffled-probe plan).
+  *
+  * At 100 TB this is the difference between re-shuffling the multi-TB
+  * signature table every morning and shuffling only the new crawl: the
+  * bucket layout is the one shuffle, paid at index-build time, amortized
+  * over every probe after it. Bucket count follows the BucketedSink
+  * sizing rule (2-3x total cores, one bucket per executor working set).
+  *
+  * Rebuild cadence: the index table is append-friendly (new batches union
+  * in by writing to the same bucket scheme); a full rewrite is only needed
+  * when signature parameters change, since band hashes are content-keyed.
+  */
+object IndexSink {
+
+  /** Build the signature index for the non-batch slice of `dir`'s corpus
+    * (the same `doc_id % IncrementalBatchMod != 0` split dedup_incremental
+    * treats as "already ingested") and persist it bucketed by band_hash.
+    */
+  /** The probe key (band_idx, band_hash) materialized as ONE column — the
+    * bucket layout must hash exactly the join key, and a compound key
+    * would either disable the bucketed scan (two-key join over a one-key
+    * layout) or get re-extracted into the join by Catalyst if left as a
+    * post-join filter. One derived column sidesteps both.
+    */
+  private def bandKey = concat_ws(":", col("band_idx"), col("band_hash"))
+
+  def writeSignatureIndex(spark: SparkSession, dir: String, table: String,
+                          buckets: Int): Unit = {
+    val sigs = Dedup.minhashSignatures(spark, dir)
+      .filter(col("doc_id") % Dedup.IncrementalBatchMod =!= 0)
+      .withColumn("band_key", bandKey)
+    BucketedSink.writeBucketed(sigs, table, "band_key", buckets)
+  }
+
+  /** Probe the stored index with a batch's band rows: a batch doc is a
+    * duplicate iff some shared (band_idx, band_hash) bucket pairs it with
+    * an index doc at signature agreement >= 0.5 — the same estimate and
+    * threshold dedup_incremental computes, so output matches its dup
+    * pairs exactly (spec-asserted). The index side of the join reads
+    * bucket-partitioned with NO exchange; only `batch` moves.
+    */
+  def probe(spark: SparkSession, table: String, batch: DataFrame): DataFrame = {
+    val index = BucketedSink.readTable(spark, table)
+      .select(col("doc_id").as("index_id"), col("sig").as("sig_a"),
+        col("band_key"))
+    val b = batch
+      .withColumn("band_key", bandKey)
+      .select(col("doc_id").as("batch_id"), col("sig").as("sig_b"),
+        col("band_key"))
+    val est = (1 to Dedup.NumHashes).map(j =>
+      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / Dedup.NumHashes
+    index.join(b, Seq("band_key"))
+      .filter(est >= 0.5)
+      .select(col("index_id"), col("batch_id")).distinct()
+  }
+}
