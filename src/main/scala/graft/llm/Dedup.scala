@@ -102,6 +102,38 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
   }
 
+  /** Signature + band rows for an ARBITRARY docs frame — the streaming-safe
+    * twin of minhashSignatures: identical expressions (so band hashes and
+    * signatures are byte-equal to the stored index's), but the barriers are
+    * `plans.Fence` instead of materializing checkpoints, because a
+    * checkpoint cannot run inside a streaming micro-batch plan while the
+    * fence is a plain unary node the incremental planner passes through.
+    * The fences pin toks and the per-shingle digests to one evaluation per
+    * row — same blowup guard as the batch path, zero cost. Non-key columns
+    * (e.g. an event-time column) pass through untouched.
+    */
+  private[graft] def sigBandsOf(docs: DataFrame): DataFrame = {
+    val withHs = graft.plans.Fence(
+      graft.plans.Fence(docs.withColumn("toks", TextOps.toks(col("text"))))
+        .withColumn("shingles", TextOps.shingles(col("toks")))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("hs", transform(col("shingles"), s => shingleHash(s)))
+        .drop("text", "toks", "shingles"))
+    val withSig = withHs.withColumn("sig",
+      array(Seeds.map(seed =>
+        array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seed))))): _*))
+      .drop("hs")
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (1 to NumHashes / Bands).map(r =>
+        element_at(col("sig"), b * (NumHashes / Bands) + r).cast("string"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", parts: _*).cast("binary")).as("band_hash"))
+    }
+    withSig.withColumn("band", explode(array(bandCols: _*)))
+      .withColumn("band_idx", col("band.band_idx"))
+      .withColumn("band_hash", col("band.band_hash"))
+      .drop("band")
+  }
+
   /** D2: MinHash+LSH near-dup candidate pairs: equality-join on
     * (band_idx, band_hash) buckets; est_sim = matching signature fraction.
     */

@@ -328,6 +328,37 @@ object StreamOps {
       .select(col("doc_id"))
   }
 
+  /** Streaming incremental near-dedup — the ingest-time twin of
+    * `dedup_incremental` over the PERSISTED signature index
+    * (sources.IndexSink): each arriving document's minhash bands are
+    * computed statelessly in the micro-batch (Fence-barriered, identical
+    * expressions to the stored index's, so band keys are byte-equal), then
+    * a stream-static inner join probes the bucketed index table on its
+    * band_key layout. The join is STATELESS; the only state is the
+    * within-watermark pair dedup that collapses multi-band hits — bounded
+    * by the watermark horizon. This is the shape a 100 TB/day ingest
+    * actually runs: the index never moves, each micro-batch shuffles only
+    * itself.
+    */
+  def indexProbeStream(spark: SparkSession, indexTable: String,
+                       docs: DataFrame, tsCol: String): DataFrame = {
+    val index = spark.table(indexTable)
+      .select(col("doc_id").as("index_id"), col("sig").as("sig_a"),
+        col("band_key"))
+    val b = graft.llm.Dedup.sigBandsOf(docs)
+      .withColumn("band_key", concat_ws(":", col("band_idx"), col("band_hash")))
+      .select(col("doc_id").as("batch_id"), col("sig").as("sig_b"),
+        col("band_key"), col(tsCol))
+    val est = (1 to graft.llm.Dedup.NumHashes).map(j =>
+      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / graft.llm.Dedup.NumHashes
+    b.join(index, Seq("band_key"))
+      .filter(est >= 0.5)
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("index_id", "batch_id")
+      .select(col("index_id"), col("batch_id"))
+  }
+
   /** E7 stream-stream interval join (click attribution): each purchase
     * pairs with every same-user click in the preceding hour. BOTH sides
     * carry event-time watermarks and the join predicate carries the time

@@ -464,4 +464,41 @@ class StreamingSpec extends SparkSpecBase {
       .select(col("event_id")).as[Long].collect().toSet
     assert(got === batch)
   }
+
+  test("streaming index probe matches the batch probe pair-for-pair") {
+    // stored index: the non-batch corpus slice, bucketed by band_key
+    if (!spark.catalog.tableExists("sig_index_stream")) {
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "sig_index_stream")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+      graft.sources.IndexSink.writeSignatureIndex(
+        spark, sfDir, "sig_index_stream", 4)
+    }
+    // the day's crawl arrives as a stream (same batch split as D22)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-probe-stream")
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % graft.llm.Dedup.IncrementalBatchMod === 0)
+      .select(col("doc_id"), col("text"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+      .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+    val schema = spark.read.parquet(sdir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.indexProbeStream(spark, "sig_index_stream", stream, "arrived"),
+      "probe_stream_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchBands = graft.llm.Dedup.minhashSignatures(spark, sfDir)
+      .filter(col("doc_id") % graft.llm.Dedup.IncrementalBatchMod === 0)
+    val want = graft.sources.IndexSink.probe(spark, "sig_index_stream", batchBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "batch slice must contain near-dups of index docs")
+    Checkpoints.releaseAll()
+  }
 }
