@@ -469,6 +469,59 @@ object TextOps {
         '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
       FROM documents)"""
 
+  val BpeTopMerges = 20
+
+  /** D46: BPE merge candidates — the first vocabulary-induction step
+    * (Sennrich et al. 2016): the corpus-wide most frequent ADJACENT symbol
+    * pairs over the D32 char stream (a-z, digit-class '0', space), i.e.
+    * the pairs a byte-pair-encoding trainer would merge first. Shares
+    * D32's engineering: one barriered O(len) per-char code-array pass per
+    * doc (never per-position substring — that's O(len²)), pair slots as
+    * O(1) int arithmetic, ONE partial-agg shuffle bounded by the
+    * ALPHABET² (≤784 distinct slots — map-side combine absorbs the
+    * corpus), then TakeOrderedAndProject for the top-20 cut (exact order:
+    * n DESC, pair ASC). The slot decodes back to its 2-char pair in the
+    * output so the result reads as a merge table.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val v = LmAlphabetSize
+    val codeArr = transform(
+      filter(split(lmNorm(col("text")), ""), c => length(c) === 1),
+      c => when(c === " ", 27).when(c === "0", 26)
+        .otherwise(ascii(c) - 97).cast("int"))
+    val codes = graft.Checkpoints.cp(
+      Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+        .select(col("doc_id"), codeArr.as("codes")))
+    val slots = when(size(col("codes")) < 2, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(1), size(col("codes")) - 1), i =>
+        element_at(col("codes"), i) * v + element_at(col("codes"), i + 1)))
+    def decodeChar(c: Column): Column =
+      when(c === 27, lit(" ")).when(c === 26, lit("0"))
+        .otherwise(expr(s"char(${c.toString} + 97)"))
+    codes.select(explode(slots).as("slot"))
+      .groupBy(col("slot")).agg(count(lit(1)).as("n"))
+      .withColumn("hi", expr(s"slot div $v"))
+      .withColumn("lo", pmod(col("slot"), lit(v)))
+      .withColumn("pair", concat(decodeChar(col("hi")), decodeChar(col("lo"))))
+      .select(col("pair"), col("n"), col("slot").cast("bigint").as("slot"))
+      .orderBy(col("n").desc, col("slot").asc)
+      .limit(BpeTopMerges)
+  }
+  val bpeMergesSql: String = {
+    val v = LmAlphabetSize
+    def dec(e: String) =
+      s"CASE WHEN $e = 27 THEN ' ' WHEN $e = 26 THEN '0' ELSE chr($e + 97) END"
+    s"""WITH t AS (SELECT doc_id, $lmNormSql AS s FROM documents),
+    bg AS (SELECT doc_id, unnest(${lmBigramsSql("s")}) AS b FROM t),
+    cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY b)
+    SELECT b AS pair, n,
+      CAST((CASE WHEN b[1] = ' ' THEN 27 WHEN b[1] = '0' THEN 26
+             ELSE ascii(b[1]) - 97 END) * $v
+        + (CASE WHEN b[2] = ' ' THEN 27 WHEN b[2] = '0' THEN 26
+             ELSE ascii(b[2]) - 97 END) AS BIGINT) AS slot
+    FROM cnt ORDER BY n DESC, slot ASC LIMIT $BpeTopMerges"""
+  }
+
   /** Power-of-two length-bucket edges for D43 (tokens counted by the same
     * BPE-ish segmentation as D10). The top bucket is open-ended. */
   val LengthBucketEdges: Seq[Long] = Seq(0L, 1L, 32L, 64L, 128L, 256L, 512L, 1024L)

@@ -1078,6 +1078,27 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(out.nonEmpty)
   }
 
+  test("bpe_merges matches a driver-side brute force of the top pairs") {
+    val out = TextOps.bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val v = TextOps.LmAlphabetSize
+    val tokRe = "[a-z0-9]+".r
+    def code(c: Char): Int =
+      if (c == ' ') 27 else if (c == '0') 26 else c - 'a'
+    val counts = Tables.documents(spark, sfDir).select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+      .map(t => tokRe.findAllIn(t.toLowerCase).mkString(" ").replaceAll("[0-9]", "0"))
+      .flatMap(s => s.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = counts.toSeq.map { case (p, n) =>
+      (p, n, (code(p(0)) * v + code(p(1))).toLong) }
+      .sortBy { case (_, n, slot) => (-n, slot) }.take(TextOps.BpeTopMerges)
+    assert(out.toSeq == expect)
+    // the corpus's most common pair involves the space separator or 'e'
+    assert(out.head._2 > 100)
+    Checkpoints.releaseAll()
+  }
+
   test("embed_dim_stats: one row per dim, brute-force min/max, degeneracy flag") {
     val out = Ann.embedDimStats(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(5)))).toMap
