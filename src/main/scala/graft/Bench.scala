@@ -25,7 +25,10 @@ object Bench {
     // and the two heaviest text passes (inverted-index novelty, span
     // rewrite with per-doc reassembly)
     "part_pagerank", "part_triangles", "importance_weights",
-    "text_novelty", "dedup_rewrite")
+    "text_novelty", "dedup_rewrite",
+    // late-r4 additions with real scan/shuffle cost (the other newcomers
+    // are bounded-aggregate maps not worth a tracked slot)
+    "source_top_ngrams", "user_rfm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
