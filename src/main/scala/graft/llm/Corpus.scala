@@ -277,6 +277,54 @@ object Corpus {
 
   val TopNgramsPerSource = 5
 
+  /** D47: per-language quality floor — flag the bottom decile of each
+    * LANGUAGE separately (the language-conditioned form of the global
+    * floor D21 applies): a single global threshold systematically
+    * over-drops whichever languages score lower on shared heuristics,
+    * so production filters cut per-language. Same bounded-cardinality
+    * machinery as quality_tiers / the p99 winsorizer: scores quantize to
+    * 1e4 integers, ONE partial-agg shuffle builds the (lang, q4)
+    * frequency table, the type-1 p10 threshold (smallest value whose
+    * cumulative count reaches 10% — exact integer cum·10 ≥ n) comes from
+    * a window over that TINY table, and the per-language thresholds
+    * broadcast back onto one scan. Never a per-language sort of the
+    * corpus (the few-reducer trap), never ntile.
+    */
+  def qualityFloorLang(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        round(TextOps.qualityExpr(col("text")) * 10000).cast("bigint").as("q4"))
+    val freq = perDoc.groupBy(col("lang"), col("q4")).agg(count(lit(1)).as("cnt"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("q4").asc)
+    val overLang = Window.partitionBy(col("lang"))
+    val thr = freq
+      .withColumn("cum", sum(col("cnt")).over(
+        byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(overLang))
+      .filter(col("cum") * 10 >= col("n"))
+      .groupBy(col("lang")).agg(min(col("q4")).as("p10_q4"))
+    perDoc.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("q4"), col("p10_q4"),
+        (col("q4") >= col("p10_q4")).as("keep"))
+  }
+  val qualityFloorLangSql: String =
+    s"""WITH per_doc AS (
+      SELECT doc_id, lang,
+        CAST(round(${TextOps.qualityExprSql("toks")} * 10000, 0) AS BIGINT) AS q4
+      FROM (SELECT doc_id, lang, text, ${TextOps.toksSql} AS toks FROM documents)),
+    freq AS (SELECT lang, q4, count(*) AS cnt FROM per_doc GROUP BY lang, q4),
+    cum AS (
+      SELECT lang, q4,
+        sum(cnt) OVER (PARTITION BY lang ORDER BY q4 ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM freq),
+    thr AS (SELECT lang, min(q4) AS p10_q4 FROM cum
+      WHERE cum * 10 >= n GROUP BY lang)
+    SELECT p.doc_id, p.lang, p.q4, t.p10_q4, p.q4 >= t.p10_q4 AS keep
+    FROM per_doc p JOIN thr t USING (lang)"""
+
   /** D44: per-source heavy-hitter n-grams — the GROUPED form of D36's
     * corpus-wide frequency pass: for each source, its top-5 word-3-grams
     * with counts. This is the per-feed boilerplate detector ("which

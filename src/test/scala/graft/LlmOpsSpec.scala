@@ -1099,6 +1099,30 @@ class LlmOpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("quality_floor_lang: per-language p10 matches brute-force order stats") {
+    val out = graft.llm.Corpus.qualityFloorLang(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // brute force: per-lang sorted q4 list, p10 = value at ceil(n/10)-th rank
+    val byLang = out.values.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.map(_._2).toSeq.sorted
+      val n = sorted.size
+      // smallest value whose cumulative count reaches 10%: the element at
+      // 1-based rank ceil(n/10)
+      val p10 = sorted((n + 9) / 10 - 1)
+      rows.foreach { case (_, q4, got, keep) =>
+        assert(got == p10, s"$lang p10")
+        assert(keep == (q4 >= p10))
+      }
+      // the floor actually cuts something but not most of the language
+      val dropped = rows.count(!_._4)
+      assert(dropped < n / 2, s"$lang drops too much")
+    }
+    assert(byLang.size > 1, "testdata must span languages")
+    assert(out.values.exists(!_._4), "some doc must fall below its floor")
+  }
+
   test("embed_dim_stats: one row per dim, brute-force min/max, degeneracy flag") {
     val out = Ann.embedDimStats(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(5)))).toMap
