@@ -730,6 +730,33 @@ object Ann {
             ORDER BY votes DESC, nb_label ASC) AS r FROM votes)
     WHERE r = 1"""
 
+  /** D48: L2 normalization — the serving-prep projection that turns cosine
+    * into plain dot product downstream (every ANN index stores unit
+    * vectors so query-time scoring skips the norms). The norm is computed
+    * ONCE per row behind a Fence — naively referencing it inside the
+    * per-element division lambda re-runs the 64-element fold per ELEMENT
+    * (the HOF-inlining trap, 64× blowup) — then the unit vector is a pure
+    * map-side transform: zero exchanges over a pre-split input. All-zero
+    * vectors map to zeros (guard, not NaN). Every step is IEEE-exact
+    * (sqrt is correctly rounded; both engines run the identical
+    * left-to-right fold), so the doubles hash-check.
+    */
+  def embedNorm(spark: SparkSession, dir: String): DataFrame = {
+    val withNorm = graft.plans.Fence(
+      vecs(spark, dir).select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("l2_norm")))
+    withNorm.select(col("vec_id"), col("l2_norm"),
+      transform(col("embedding"), x =>
+        when(col("l2_norm") === 0.0, 0.0)
+          .otherwise(x.cast("double") / col("l2_norm"))).as("unit"))
+  }
+  val embedNormSql: String =
+    s"""SELECT vec_id, l2_norm,
+      list_transform(embedding, x -> CASE WHEN l2_norm = 0 THEN 0.0
+        ELSE CAST(x AS DOUBLE) / l2_norm END) AS unit
+    FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS l2_norm
+      FROM embeddings)"""
+
   /** D45: per-dimension embedding statistics — the QC pass run before any
     * geometric operator trusts a new embedding drop: a collapsed dimension
     * (min = max), a scale-exploded one, or a shifted mean each silently

@@ -277,6 +277,35 @@ object Corpus {
 
   val TopNgramsPerSource = 5
 
+  /** D50: per-source near-dup rate — the provenance QC metric behind
+    * "which feed is flooding us with copies": for each source, total docs,
+    * docs that are dropped members of a MinHash near-dup cluster (D19's
+    * non-keepers), and the rate in exact basis points. The drop set is
+    * bounded by actual duplication, so the join back onto the documents
+    * scan carries NO broadcast hint (same duplication-dependent policy as
+    * split_holdout / dedup_best_rep — AQE sizes it at runtime); the final
+    * aggregate is bounded by the source catalog. One fact scan, one
+    * bounded shuffle.
+    */
+  def dedupRateSource(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = Dedup.dedupComponents(spark, dir)
+      .filter(!col("is_keeper")).select(col("doc_id"), lit(1L).as("is_dup"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_dups"))
+      .withColumn("dup_bp", expr("n_dups * 10000 div n_docs"))
+  }
+  val dedupRateSourceSql: String =
+    s"""WITH cc AS (${Dedup.dedupComponentsSql}),
+    dropped AS (SELECT doc_id FROM cc WHERE NOT is_keeper)
+    SELECT source, count(*) AS n_docs,
+      CAST(count(dr.doc_id) AS BIGINT) AS n_dups,
+      CAST(count(dr.doc_id) * 10000 // count(*) AS BIGINT) AS dup_bp
+    FROM documents d LEFT JOIN dropped dr USING (doc_id)
+    GROUP BY source"""
+
   /** D47: per-language quality floor — flag the bottom decile of each
     * LANGUAGE separately (the language-conditioned form of the global
     * floor D21 applies): a single global threshold systematically

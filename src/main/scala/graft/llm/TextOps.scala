@@ -73,6 +73,47 @@ object TextOps {
       FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""
   }
 
+  /** D49: language-ID confusion matrix — the evaluation pass that keeps
+    * D8 honest: predicted vs labeled language counts over the corpus,
+    * with per-actual-language shares in exact basis points. One scan
+    * computes the same argmax D8 hash-checks, ONE partial-agg shuffle
+    * bounded by LANGS² (the matrix), the share window runs over that tiny
+    * table. This is how a pipeline notices a classifier regression or a
+    * corpus drop whose labels disagree with content (both show up as
+    * off-diagonal mass) without sampling or eyeballing.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(col("text"))
+    val pred = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("lang"),
+        stopCount(t, StopEn).as("s_en"), stopCount(t, StopDe).as("s_de"),
+        stopCount(t, StopFr).as("s_fr"), stopCount(t, StopEs).as("s_es"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+    pred.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("share_bp", expr("n * 10000 div lang_total"))
+      .select(col("lang"), col("lang_pred"), col("n"), col("share_bp"))
+  }
+  val langidConfusionSql: String =
+    s"""SELECT lang, lang_pred, n,
+      CAST(n * 10000 // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_bp
+    FROM (SELECT lang, lang_pred, count(*) AS n FROM (
+      SELECT lang,
+        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+      FROM (SELECT lang,
+        ${stopCountSql("toks", StopEn)} AS s_en, ${stopCountSql("toks", StopDe)} AS s_de,
+        ${stopCountSql("toks", StopFr)} AS s_fr, ${stopCountSql("toks", StopEs)} AS s_es
+        FROM (SELECT lang, $toksSql AS toks FROM documents)))
+      GROUP BY lang, lang_pred)"""
+
   /** The D9 quality score as ONE Column expression over a text column —
     * the same shapes textQuality computes via intermediate columns (its
     * spec-pinned single source of truth for reuse by corpus_report /
