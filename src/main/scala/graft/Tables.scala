@@ -31,19 +31,25 @@ object Tables {
     * schema: when nanos surface as long (via nanosAsLong), rebuild a micros
     * NTZ timestamp (the testdata has no sub-microsecond components, so this
     * is lossless and matches DuckDB's TIMESTAMP view of the same column);
-    * when the column is already a timestamp, pass it through with a
-    * normalizing NTZ cast so downstream operators see one type either way.
+    * when the column is already session-free NTZ, pass it through. Any
+    * OTHER type throws: a TIMESTAMP_LTZ drop (isAdjustedToUTC=true) would
+    * cast "successfully" but shift by the session timezone and silently
+    * hash-mismatch against DuckDB's wall-clock view — a bad testdata drop
+    * must fail fast at the loader, not as a downstream diff.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     val tsCol = raw.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _        => col("ts")
+      case LongType         => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case TimestampNTZType => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet type $other (expected NANOS-as-long " +
+          "or TIMESTAMP_NTZ); an LTZ column would shift by session timezone")
     }
-    raw.withColumn("ts", tsCol.cast("timestamp_ntz"))
+    raw.withColumn("ts", tsCol)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -599,6 +599,20 @@ object Ann {
         transform(col("embedding"),
           x => floor(x.cast("double") / col("scale") + 0.5).cast("int")).as("q"))
       .withColumn("nnz", size(filter(col("q"), e => e =!= 0)))
+
+  /** Gate-emitted form of D34: the identical computation with the int8 code
+    * array serialized to one CSV string (`q_csv`) per row. The driver's
+    * oracle compare sorts rows via pandas, which cannot hash raw array
+    * cells (the r4 red row: `TypeError: unhashable type numpy.ndarray`) —
+    * serializing makes every cell scalar so the full codes hash-check.
+    * The arrays-out `embedQuantize` stays as the library/serving form
+    * (ann_int8 consumes it) and keeps its map-only plan audit.
+    */
+  def embedQuantizeQuery(spark: SparkSession, dir: String): DataFrame =
+    embedQuantize(spark, dir).select(
+      col("vec_id"), col("scale"),
+      array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"),
+      col("nnz"))
   val embedQuantizeSql: String =
     """WITH s AS (
       SELECT vec_id, embedding,
@@ -610,7 +624,8 @@ object Ann {
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS q
       FROM s)
-    SELECT vec_id, scale, q,
+    SELECT vec_id, scale,
+      array_to_string(q, ',') AS q_csv,
       CAST(len(list_filter(q, x -> x != 0)) AS INT) AS nnz
     FROM qz"""
 
@@ -750,12 +765,31 @@ object Ann {
         when(col("l2_norm") === 0.0, 0.0)
           .otherwise(x.cast("double") / col("l2_norm"))).as("unit"))
   }
+
+  /** Gate-emitted form of D48: `l2_norm` stays a raw double (the fold is
+    * IEEE-identical in both engines, like the cosine scores D35
+    * hash-checks), while the unit-vector array is serialized to one CSV
+    * string of e9-quantized longs — `floor(u·1e9 + 0.5)` is exact
+    * round-half-up in both engines and a BIGINT string needs no float
+    * formatting agreement. Raw array cells crash the driver's
+    * pandas-based row sort (the r4 red row), so the emitted frame is
+    * all-scalar; the arrays-out `embedNorm` stays as the library form.
+    */
+  def embedNormQuery(spark: SparkSession, dir: String): DataFrame =
+    embedNorm(spark, dir).select(
+      col("vec_id"), col("l2_norm"),
+      array_join(transform(col("unit"),
+        u => floor(u * 1e9 + 0.5).cast("bigint").cast("string")), ",")
+        .as("unit_e9"))
   val embedNormSql: String =
     s"""SELECT vec_id, l2_norm,
+      array_to_string(list_transform(unit,
+        u -> CAST(floor(u * 1e9 + 0.5) AS BIGINT)), ',') AS unit_e9
+    FROM (SELECT vec_id, l2_norm,
       list_transform(embedding, x -> CASE WHEN l2_norm = 0 THEN 0.0
         ELSE CAST(x AS DOUBLE) / l2_norm END) AS unit
     FROM (SELECT vec_id, embedding, ${normSql("embedding")} AS l2_norm
-      FROM embeddings)"""
+      FROM embeddings))"""
 
   /** D45: per-dimension embedding statistics — the QC pass run before any
     * geometric operator trusts a new embedding drop: a collapsed dimension

@@ -536,9 +536,12 @@ object TextOps {
     val slots = when(size(col("codes")) < 2, array().cast("array<int>"))
       .otherwise(transform(sequence(lit(1), size(col("codes")) - 1), i =>
         element_at(col("codes"), i) * v + element_at(col("codes"), i + 1)))
-    def decodeChar(c: Column): Column =
-      when(c === 27, lit(" ")).when(c === 26, lit("0"))
-        .otherwise(expr(s"char(${c.toString} + 97)"))
+    // Decode via a 28-entry literal lookup (codes 0-25 → a-z, 26 → '0',
+    // 27 → ' '), staying in the Column API end to end — the previous
+    // expr(s"char(${c.toString} + 97)") relied on Column.toString yielding
+    // a bare resolvable name, which breaks under aliasing/qualification.
+    val alphabet = array((('a' to 'z').map(_.toString) ++ Seq("0", " ")).map(lit): _*)
+    def decodeChar(c: Column): Column = element_at(alphabet, (c + 1).cast("int"))
     codes.select(explode(slots).as("slot"))
       .groupBy(col("slot")).agg(count(lit(1)).as("n"))
       .withColumn("hi", expr(s"slot div $v"))

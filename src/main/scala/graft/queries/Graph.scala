@@ -13,11 +13,12 @@ import graft.Tables
   * (items choose 2) — linear in lineitem because order width is bounded
   * by contract (TPC-H ≤ 7) — and every PageRank round is one equality
   * join of the rank table onto the edges plus a map-side-combinable sum,
-  * shuffling only by the item catalog key. Rounds are checkpointed so the
-  * plan stays flat (same discipline as the CC loop). All rank arithmetic
-  * is exact integer micro-units with explicit `div`, so the fixed-point
-  * result is bit-identical across engines and the oracle can unroll the
-  * identical computation.
+  * shuffling only by the item catalog key. The loop is restated so each
+  * round references the rank table once, keeping plan depth linear with a
+  * single mid-loop barrier (r5; the r4 form paid 8 per-round checkpoint
+  * jobs). All rank arithmetic is exact integer micro-units with explicit
+  * `div`, so the fixed-point result is bit-identical across engines and
+  * the oracle can unroll the identical computation.
   */
 object Graph {
 
@@ -48,21 +49,37 @@ object Graph {
         .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct())
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // deg is referenced PrIters+1 times below — checkpoint it so each
+    // reference is a materialized-RDD scan, not a re-aggregation of edges
+    val deg = graft.Checkpoints.cp(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // One bounded driver action (a single scalar, same §5 contract as the
+    // DSIR bucket table): n_nodes bakes the teleport term into a literal
+    // instead of cross-joining a 1-row frame through every round.
+    val nNodes = deg.count()
+    val base = (15L * (PrScale / nNodes)) / 100L
     var ranks = deg.select(col("src").as("pk"), col("deg"))
-      .crossJoin(broadcast(nNodes))
-      .withColumn("rank", expr(s"$PrScale div n_nodes"))
-    for (_ <- 1 to PrIters) {
-      val contrib = ranks
-        .join(edges, ranks("pk") === edges("src"))
+      .withColumn("rank", lit(PrScale / nNodes))
+    // Each round references `ranks` exactly ONCE (the contrib join); the
+    // rank refresh re-joins contrib onto the STATIC deg table — equivalent
+    // to the textbook "ranks left-join contrib" because the edge set is
+    // symmetric, so every node in deg has at least one in-edge and contrib
+    // covers the full node set (no dangling coalesce needed). Single
+    // reference ⇒ plan depth is LINEAR in rounds, so all PrIters rounds
+    // run as one lazy DAG with no per-round checkpoint jobs — the r4 form
+    // checkpointed every round only because ranks appeared twice per round
+    // (2^n plan blowup otherwise), paying 8 materialization barriers.
+    for (i <- 1 to PrIters) {
+      val contrib = ranks.join(edges, ranks("pk") === edges("src"))
         .select(col("dst"), expr("(rank * 85) div (100 * deg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-      ranks = graft.Checkpoints.cp(
-        ranks.join(contrib, ranks("pk") === contrib("dst"), "left")
-          .select(col("pk"), col("deg"), col("n_nodes"),
-            (expr(s"(15 * ($PrScale div n_nodes)) div 100")
-              + coalesce(col("cin"), lit(0L))).as("rank")))
+      ranks = deg.select(col("src").as("pk"), col("deg"))
+        .join(contrib, col("pk") === contrib("dst"))
+        .select(col("pk"), col("deg"), (lit(base) + col("cin")).as("rank"))
+      // one mid-loop barrier: halves the single-DAG depth AQE has to
+      // replan in one shot (measured: cuts tail variance vs the fully
+      // lazy 8-round chain at identical best-case time)
+      if (i == PrIters / 2) ranks = graft.Checkpoints.cp(ranks)
     }
     ranks.select(col("pk").as("partkey"), col("deg"), col("rank"))
   }
@@ -132,10 +149,15 @@ object Graph {
         .select(col("a"), col("b")))
     val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // orient low-(deg, id) → high-(deg, id)
+    // orient low-(deg, id) → high-(deg, id). No broadcast hint: deg has one
+    // row per graph node — bounded by the part CATALOG, which scales with
+    // the dataset (billions of parts at 100 TB), so a hard hint here is the
+    // §5 anti-pattern (only contract-bounded sides get static hints). AQE
+    // sizes these joins at runtime: broadcast when deg is actually small,
+    // shuffle-hash otherwise.
     val withDeg = edges
-      .join(broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
-      .join(broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     val dir0 = graft.Checkpoints.cp(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),

@@ -368,7 +368,35 @@ object Temporal {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     import spark.implicits._
     keys.toSeq.map { case (rank, uid, exact) =>
-      (rank, uid, exact, cms.estimateCount(java.lang.Long.valueOf(uid)))
-    }.toDF("rank", "user_id", "n_events", "n_events_est")
+      (rank, uid, exact, cms.estimateCount(java.lang.Long.valueOf(uid)),
+        cms.totalCount())
+    }.toDF("rank", "user_id", "n_events", "n_events_est", "n_total")
   }
+
+  /** Gate-emitted form of E19b: the deterministic columns (rank, user_id,
+    * exact n_events — identical to E19's top-K) hash-check against the
+    * oracle directly, and the implementation-defined CMS estimate is
+    * emitted as its CONTRACT instead of its value: `est_ge_exact`
+    * (CMS never under-counts — deterministic, always true) and
+    * `est_within_eps` (over-count ≤ eps·N — deterministic for the fixed
+    * seed on a fixed drop; the spec asserts the same bound numerically).
+    * The oracle asserts both as literal TRUE, turning the r4 `no_oracle`
+    * gray row fully green without pretending DuckDB can recompute sketch
+    * internals. Raw estimates stay on the library form above.
+    */
+  def skewReportSketchQuery(spark: SparkSession, dir: String): DataFrame =
+    skewReportSketch(spark, dir).select(
+      col("rank"), col("user_id"), col("n_events"),
+      (col("n_events_est") >= col("n_events")).as("est_ge_exact"),
+      (col("n_events_est") <= col("n_events")
+        + ceil(lit(CmsEps) * col("n_total")).cast("bigint")).as("est_within_eps"))
+  val skewReportSketchSql: String =
+    s"""WITH counts AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    topk AS (SELECT * FROM counts
+             ORDER BY n_events DESC, user_id ASC LIMIT $SkewTopK)
+    SELECT row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank,
+      user_id, CAST(n_events AS BIGINT) AS n_events,
+      TRUE AS est_ge_exact, TRUE AS est_within_eps
+    FROM topk"""
 }

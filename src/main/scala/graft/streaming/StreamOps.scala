@@ -28,11 +28,16 @@ object StreamOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    // Same fail-fast contract as Tables.events: LTZ would shift silently.
     val tsCol = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-      case _                                   => col("ts")
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet type $other (expected NANOS-as-long " +
+          "or TIMESTAMP_NTZ)")
     }
-    raw.withColumn("ts", tsCol.cast("timestamp_ntz"))
+    raw.withColumn("ts", tsCol)
   }
 
   /** E7: tumbling-window count/sum with a 1-hour watermark. */

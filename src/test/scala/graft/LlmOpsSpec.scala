@@ -803,6 +803,30 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(q.filter(col("nnz") <= 0).count() === 0)
   }
 
+  test("embed_norm: l2 matches a brute-force fold, unit norm 1, zero guard") {
+    val n = Ann.embedNorm(spark, sfDir)
+    val joined = Tables.embeddings(spark, sfDir).join(n, "vec_id")
+      .select(col("vec_id"), col("l2_norm"),
+        // same left-to-right fold restated via the HOF route — must agree
+        // with the native FloatVecDot-backed norm to the last bit
+        abs(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))) - col("l2_norm"))
+          .as("l2_err"),
+        aggregate(col("unit"), lit(0.0), (acc, u) => acc + u * u).as("unit_sq"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("l2_err") =!= 0.0).count() === 0,
+      "HOF fold and native norm diverged")
+    assert(joined.filter(col("l2_norm") > 0 &&
+      abs(col("unit_sq") - 1.0) > 1e-9).count() === 0, "unit norm off 1")
+    assert(joined.filter(col("l2_norm") === 0 && col("unit_sq") =!= 0.0).count() === 0,
+      "zero vector must normalize to zeros")
+    // gate form: 64 e9-quantized codes per row, all parseable longs
+    val q = Ann.embedNormQuery(spark, sfDir)
+    assert(q.filter(size(split(col("unit_e9"), ",")) =!= Ann.Dim).count() === 0)
+    assert(q.filter(exists(transform(split(col("unit_e9"), ","),
+      s => s.cast("long")), e => e.isNull)).count() === 0)
+  }
+
   test("embed_knn_classify recovers labels on a label-separable corpus") {
     import spark.implicits._
     // 3 well-separated prototypes; every vector = its prototype, so each

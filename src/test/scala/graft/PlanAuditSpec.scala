@@ -369,10 +369,18 @@ class PlanAuditSpec extends SparkSpecBase {
       "no per-type sort of the facts")
   }
 
-  test("part_triangles: equality joins only — no cartesian, no BNLJ") {
-    val p = planOf(queries.Graph.partTriangles(spark, sfDir))
+  test("part_triangles: equality joins only — no cartesian, no BNLJ, no static broadcast") {
+    val df = queries.Graph.partTriangles(spark, sfDir)
+    val p = planOf(df)
     assert(!p.contains("CartesianProduct"), "wedge join degraded to cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "closing join must be equality")
+    // the degree table has one row per graph NODE — it scales with the part
+    // catalog, so a static broadcast hint on it is the §5 anti-pattern (the
+    // r4 scale-killer): no hint may survive anywhere in this plan; AQE
+    // sizes the deg joins at runtime
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    assert(df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+      "static join hint on a data-scaled side")
     Checkpoints.releaseAll()
   }
 
@@ -424,5 +432,34 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), "value->quartile maps must broadcast")
     assert(!p.contains("SortMergeJoin"), p.take(700))
     Checkpoints.releaseAll()
+  }
+
+  test("bounded windows: every unpartitioned window consumes a post-aggregate table") {
+    // quality_tiers / skew_report / user_rfm / quality_floor_lang run
+    // Window.orderBy with NO partition spec — safe only because the window
+    // input is a contract-bounded aggregate (quantized frequency table /
+    // top-K cut), never the raw facts. This makes that contract executable:
+    // every Window node must sit ABOVE a HashAggregate or
+    // TakeOrderedAndProject (formatted-plan ids number leaf-first, so the
+    // bounded producer's id must be smaller). A refactor that slides a
+    // single-partition window onto the un-aggregated corpus fails here
+    // before it ever OOMs a reducer at scale.
+    for (df <- Seq(llm.Corpus.qualityTiers(spark, sfDir),
+                   queries.Temporal.skewReport(spark, sfDir),
+                   queries.Behavior.userRfm(spark, sfDir),
+                   llm.Corpus.qualityFloorLang(spark, sfDir))) {
+      val p = planOf(df)
+      def ids(name: String): Seq[Int] =
+        s"""\\((\\d+)\\) $name\\b""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+      val wins = ids("Window")
+      val bounded = ids("HashAggregate") ++ ids("SortAggregate") ++
+        ids("ObjectHashAggregate") ++ ids("TakeOrderedAndProject")
+      assert(wins.nonEmpty, "expected a window in the plan:\n" + p.take(400))
+      wins.foreach { w =>
+        assert(bounded.exists(_ < w),
+          s"Window($w) has no bounded producer below it:\n" + p.take(700))
+      }
+      Checkpoints.releaseAll()
+    }
   }
 }

@@ -501,4 +501,92 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty, "batch slice must contain near-dups of index docs")
     Checkpoints.releaseAll()
   }
+
+  test("index probe stream resumes from its checkpoint without re-emitting pairs (RocksDB)") {
+    import scala.jdk.CollectionConverters._
+    // The recovery property of the ingest-dedup stream: the
+    // dropDuplicatesWithinWatermark state (already-reported pairs) must
+    // survive a kill. Run 1 probes the day's chunk and dies; the SAME chunk
+    // is re-delivered (the crawl-retry case the dedup state exists for)
+    // and run 2 resumes from the checkpoint — with recovered state the
+    // re-delivery emits NOTHING; a state reset would re-emit every pair
+    // into the exactly-once-per-batch file sink as visible duplicates.
+    if (!spark.catalog.tableExists("sig_index_stream")) {
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "sig_index_stream")
+      if (java.nio.file.Files.exists(loc)) {
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+      graft.sources.IndexSink.writeSignatureIndex(
+        spark, sfDir, "sig_index_stream", 4)
+    }
+    val docsDf = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % graft.llm.Dedup.IncrementalBatchMod === 0)
+      .select(col("doc_id"), col("text"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+    def stage(dir: java.nio.file.Path, name: String, mtimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-probe-recov-stage")
+      docsDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val schema = docsDf.schema
+    def runAvailable(dir: String, cp: String, outDir: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamOps.indexProbeStream(spark, "sig_index_stream", stream, "arrived")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("index_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    def readPairs(outDir: String): Seq[(Long, Long)] =
+      spark.read.schema(outSchema).parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val iDir = java.nio.file.Files.createTempDirectory("graft-probe-recov-in")
+      val iCp = java.nio.file.Files.createTempDirectory("graft-probe-recov-cp").toString
+      val iOut = java.nio.file.Files.createTempDirectory("graft-probe-recov-out").toString
+      stage(iDir, "a.parquet", 1000000L)
+      runAvailable(iDir.toString, iCp, iOut) // run 1 dies with pair state open
+      stage(iDir, "b.parquet", 2000000L)    // the chunk re-delivered while down
+      runAvailable(iDir.toString, iCp, iOut) // run 2 resumes the checkpoint
+      val resumed = readPairs(iOut)
+      // every pair exactly once — the re-delivery was absorbed by RECOVERED
+      // state (a reset would duplicate every pair in the append-only sink)
+      assert(resumed.distinct.size == resumed.size,
+        s"re-delivered chunk re-emitted pairs after resume: ${resumed.size} rows, " +
+          s"${resumed.distinct.size} distinct")
+      // and the pair set still matches the batch probe exactly
+      val batchBands = graft.llm.Dedup.minhashSignatures(spark, sfDir)
+        .filter(col("doc_id") % graft.llm.Dedup.IncrementalBatchMod === 0)
+      val want = graft.sources.IndexSink.probe(spark, "sig_index_stream", batchBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(resumed.toSet === want)
+      assert(resumed.nonEmpty)
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      Checkpoints.releaseAll()
+    }
+  }
 }

@@ -16,11 +16,14 @@ def frame_hash(rel):
     df = rel.df()
     cols = sorted(df.columns)
     df = df[cols]
-    # normalize: stringify with repr-ish stable formatting
-    rows = []
-    for t in df.itertuples(index=False):
-        rows.append("\x1f".join(_norm(v) for v in t))
-    rows.sort()
+    # Sort EXACTLY like the driver's gate: pandas sort_values over all
+    # columns. Load-bearing: sort_values factorizes each column, which
+    # raises TypeError on unhashable cells (numpy arrays) — the same crash
+    # the driver produces on array output columns. The pre-r5 behavior
+    # (stringify rows, then sort the strings) masked that divergence class:
+    # embed_quantize passed locally in r4 while the driver's gate was red.
+    df = df.sort_values(by=cols)
+    rows = ["\x1f".join(_norm(v) for v in t) for t in df.itertuples(index=False)]
     h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
     return h, len(rows), cols
 
