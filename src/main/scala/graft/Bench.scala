@@ -28,7 +28,12 @@ object Bench {
     "text_novelty", "dedup_rewrite",
     // late-r4 additions with real scan/shuffle cost (the other newcomers
     // are bounded-aggregate maps not worth a tracked slot)
-    "source_top_ngrams", "user_rfm")
+    "source_top_ngrams", "user_rfm",
+    // r5: the flagship over the RequestNo-bucketed fact — §5's production
+    // layout; the one-time bucketed write happens in the untimed warmup
+    // (a real deployment pays it at ingest), so the tracked number is the
+    // zero-exchange pipeline tail
+    "capex_pipeline_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

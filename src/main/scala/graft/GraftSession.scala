@@ -34,6 +34,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // joins whose keys EXTEND a side's existing hash layout (the
+      // RequestNo-bucketed capex fact joined on (RequestNo, key_*)) may
+      // reuse that layout instead of re-shuffling both sides to the full
+      // key — subset co-partitioning is semantically exact (equal full
+      // keys ⇒ equal prefix ⇒ same partition); the Spark default `true`
+      // only guards against under-parallelizing on coarse keys, which the
+      // engine's bucket sizing + AQE skew splitting already cover
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // reliable-mode barriers (graft.barrier=reliable) write checkpoint
       // files; without this they accumulate for the session's lifetime
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

@@ -382,11 +382,22 @@ object CapexDerive {
     * priority 100/50/10, ≤5 rows per RequestNo; tie-break by rid (documented
     * delta from pandas' unstable sort, SURVEY.md §4).
     */
-  def ranked(spark: SparkSession, dir: String): DataFrame = {
+  def ranked(spark: SparkSession, dir: String): DataFrame =
+    rankedOf(enriched(spark, dir))
+
+  /** Representative-rank over any enriched frame. Every downstream window /
+    * aggregate / join in this module leads its key with RequestNo: the keys
+    * (key_strict, key_robust) each EMBED RequestNo, so the grouping is
+    * unchanged, but the required distribution becomes satisfiable by a
+    * RequestNo-clustered input — which is exactly what lets the
+    * BucketedSink path below run the whole pipeline tail with zero
+    * exchanges (HashPartitioning(RequestNo) satisfies any clustering that
+    * lists RequestNo among its keys).
+    */
+  private[graft] def rankedOf(enr: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("RequestNo"))
       .orderBy(col("priority").desc, col("rid").asc)
-    enriched(spark, dir).filter(col("survives"))
-      .withColumn("rk", row_number().over(w))
+    enr.filter(col("survives")).withColumn("rk", row_number().over(w))
   }
 
   /** Kept rows after representative down-selection, deduped by
@@ -394,13 +405,17 @@ object CapexDerive {
     * process_capex.py:53, made unconditional + deterministic per SURVEY §4).
     */
   def kept(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "kept") {
-      val wd = Window.partitionBy(col("key_strict"), col("AssetItemAmount"))
-        .orderBy(col("rid").asc)
-      ranked(spark, dir).filter(col("rk") <= 5)
-        .withColumn("dup_rn", row_number().over(wd))
-        .filter(col("dup_rn") === 1).drop("dup_rn")
-    }
+    cached(spark, dir, "kept")(keptOf(enriched(spark, dir)))
+
+  private[graft] def keptOf(enr: DataFrame): DataFrame = {
+    // RequestNo leads the dedup key (key_strict starts with it — identical
+    // groups, bucket-satisfiable distribution; see rankedOf)
+    val wd = Window.partitionBy(col("RequestNo"), col("key_strict"), col("AssetItemAmount"))
+      .orderBy(col("rid").asc)
+    rankedOf(enr).filter(col("rk") <= 5)
+      .withColumn("dup_rn", row_number().over(wd))
+      .filter(col("dup_rn") === 1).drop("dup_rn")
+  }
 
   /** Fail-open reinstatement (process_capex.py:12-56): raw rows whose robust
     * key survived the rules but lost every row to representative
@@ -408,17 +423,22 @@ object CapexDerive {
     * missing from the processed output. Distributed as aggregate+anti-join;
     * no EXCLUSION_REASONS dict.
     */
-  def reinstated(spark: SparkSession, dir: String): DataFrame = {
-    val enr = enriched(spark, dir)
-    val keptDf = kept(spark, dir)
-    val survivorKeys = enr.filter(col("survives")).select("key_robust").distinct()
-    val keptKeys = keptDf.select("key_robust").distinct()
-    val failopenKeys = survivorKeys.join(keptKeys, Seq("key_robust"), "left_anti")
-    val keptPairs = keptDf.select(col("key_strict"), col("AssetItemAmount")).distinct()
-    val wd = Window.partitionBy(col("key_strict"), col("AssetItemAmount"))
+  def reinstated(spark: SparkSession, dir: String): DataFrame =
+    reinstatedOf(enriched(spark, dir), kept(spark, dir))
+
+  private[graft] def reinstatedOf(enr: DataFrame, keptDf: DataFrame): DataFrame = {
+    // RequestNo rides along every key projection/join (it is a function of
+    // each key — same semantics, bucket-satisfiable; see rankedOf)
+    val survivorKeys = enr.filter(col("survives"))
+      .select(col("RequestNo"), col("key_robust")).distinct()
+    val keptKeys = keptDf.select(col("RequestNo"), col("key_robust")).distinct()
+    val failopenKeys = survivorKeys.join(keptKeys, Seq("RequestNo", "key_robust"), "left_anti")
+    val keptPairs = keptDf
+      .select(col("RequestNo"), col("key_strict"), col("AssetItemAmount")).distinct()
+    val wd = Window.partitionBy(col("RequestNo"), col("key_strict"), col("AssetItemAmount"))
       .orderBy(col("rid").asc)
-    enr.join(failopenKeys, Seq("key_robust"), "left_semi")
-      .join(keptPairs, Seq("key_strict", "AssetItemAmount"), "left_anti")
+    enr.join(failopenKeys, Seq("RequestNo", "key_robust"), "left_semi")
+      .join(keptPairs, Seq("RequestNo", "key_strict", "AssetItemAmount"), "left_anti")
       .withColumn("dup_rn", row_number().over(wd))
       .filter(col("dup_rn") === 1).drop("dup_rn")
   }
@@ -431,8 +451,11 @@ object CapexDerive {
     "ReincludedViaFailOpen", "FailOpenNote")
 
   /** The flagship end-to-end pipeline (rules 1-19 + fail-open), one frame. */
-  def pipeline(spark: SparkSession, dir: String): DataFrame = {
-    val keptOut = kept(spark, dir).select(
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    pipelineOf(enriched(spark, dir), kept(spark, dir))
+
+  private[graft] def pipelineOf(enr: DataFrame, keptDf: DataFrame): DataFrame = {
+    val keptOut = keptDf.select(
       col("rid"), col("RequestNo"), col("AssetItemName"), col("VendorName"),
       col("key_strict").as("CompositePrimaryKey"), col("CurrentStatus"),
       col("RequestFunction"), col("IsSelectedVendor"), col("ItemCategory"),
@@ -442,7 +465,7 @@ object CapexDerive {
       col("category_type").as("Category_Type"), col("AssetItemAmount"),
       col("RequestDate"), lit(false).as("ReincludedViaFailOpen"),
       lit(null).cast("string").as("FailOpenNote"))
-    val reinOut = reinstated(spark, dir).select(
+    val reinOut = reinstatedOf(enr, keptDf).select(
       col("rid"), col("RequestNo"), col("AssetItemName"), col("VendorName"),
       col("key_strict").as("CompositePrimaryKey"), col("CurrentStatus"),
       col("RequestFunction"), col("IsSelectedVendor"), col("ItemCategory"),
@@ -455,5 +478,61 @@ object CapexDerive {
       // string (process_capex.py:36)
       lit(FailOpenNote).as("FailOpenNote"))
     keptOut.unionByName(reinOut).select(pipelineCols.map(col): _*)
+  }
+
+  /** Deterministic per-dataset table name for the bucketed enriched fact
+    * (the EdgeCase battery runs every query over empty/null datasets — a
+    * shared name would leak one dataset's fact into another's query).
+    */
+  private def bucketedTableFor(dir: String): String =
+    "capex_enriched_b_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+
+  /** SURVEY §5's "a production deployment would bucket the fact by
+    * RequestNo to delete even those [exchanges]", made executable: the
+    * enriched rule output is written ONCE as a RequestNo-bucketed,
+    * bucket-sorted table (one full shuffle, paid at ingest), and the whole
+    * pipeline tail — representative-row window, kept-dedup window, every
+    * fail-open distinct/semi/anti join — then plans over the bucketed scan
+    * with ZERO Exchange nodes (BucketingSpec asserts this), because every
+    * downstream key leads with RequestNo (see rankedOf). The unbucketed
+    * `capex_pipeline` keeps the enriched localCheckpoint cache instead;
+    * same rows either way (the driver gate hash-checks both against one
+    * oracle).
+    */
+  def pipelineBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensureBucketedEnriched(spark, dir)
+    val enr = spark.table(table)
+    pipelineOf(enr, keptOf(enr))
+  }
+
+  /** Write the bucketed enriched fact if this dataset's table is missing;
+    * returns the table name. 32 buckets ≈ shuffle-partition sizing at this
+    * scale (2-3× cores at cluster scale, one bucket per executor-memory
+    * working set).
+    */
+  def ensureBucketedEnriched(spark: SparkSession, dir: String,
+                             buckets: Int = 32): String = {
+    val table = bucketedTableFor(dir)
+    if (!spark.catalog.tableExists(table)) {
+      // the in-memory catalog forgets tables between JVMs but warehouse
+      // files persist — clear an orphaned location before the CTAS
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+      graft.sources.BucketedSink.writeBucketed(
+        buildEnriched(spark, dir), table, "RequestNo", buckets,
+        sortCols = Seq("RequestNo"))
+      // the build's intermediates (withCats + dictionary barriers) are dead
+      // once the table is on disk
+      clearCache()
+    }
+    table
   }
 }

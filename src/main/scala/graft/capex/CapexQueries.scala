@@ -188,6 +188,9 @@ object CapexQueries {
       .select(col("rid"), col("key_robust"), lit(true).as("reincluded"),
         lit(CapexVocab.FailOpenNote).as("fail_open_note"))),
     "capex_pipeline" -> (CapexDerive.pipeline _),
+    // B14b: the same flagship over the RequestNo-bucketed enriched fact
+    // (SURVEY §5's production layout) — identical rows, zero-exchange tail
+    "capex_pipeline_bucketed" -> (CapexDerive.pipelineBucketed _),
     // app.py output_tab3 "Specialized Items": the AMC / Sorter / Rental_Opex
     // filtered downloads of the processed frame
     "specialized_items" -> ((s, d) => CapexDerive.pipeline(s, d)
@@ -331,6 +334,8 @@ object CapexQueries {
       '${CapexVocab.FailOpenNote}' AS fail_open_note FROM reinstated""",
     "exclusion_explain" -> s"$W SELECT rid, ${CapexSqlGen.explainReasonSql} AS exclusion_reason FROM enriched_m",
     "capex_pipeline" -> s"$W SELECT * FROM pipe",
+    // the bucketed variant computes the identical frame — one oracle
+    "capex_pipeline_bucketed" -> s"$W SELECT * FROM pipe",
     "specialized_items" -> s"""$W SELECT rid, Category_Type, AssetItemName,
       AssetItemAmount, Zone FROM pipe
       WHERE Category_Type IN ('AMC', 'Sorter', 'Rental_Opex')""",

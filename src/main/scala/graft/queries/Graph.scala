@@ -56,7 +56,11 @@ object Graph {
     // One bounded driver action (a single scalar, same §5 contract as the
     // DSIR bucket table): n_nodes bakes the teleport term into a literal
     // instead of cross-joining a 1-row frame through every round.
-    val nNodes = deg.count()
+    // max(1): an empty dataset has no nodes, so every rank frame below is
+    // empty regardless of the literal — but the driver-side division must
+    // not throw (the SQL `div` it replaced yielded NULL rows that never
+    // existed; EdgeCase battery pins this)
+    val nNodes = math.max(deg.count(), 1L)
     val base = (15L * (PrScale / nNodes)) / 100L
     var ranks = deg.select(col("src").as("pk"), col("deg"))
       .withColumn("rank", lit(PrScale / nNodes))

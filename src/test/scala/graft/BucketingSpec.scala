@@ -70,4 +70,33 @@ class BucketingSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("capex pipeline tail over the bucketed fact: zero exchanges, identical rows") {
+    // §5's flagship claim made executable: with the enriched fact bucketed
+    // by RequestNo, the representative-row window, the kept-dedup window,
+    // and every fail-open distinct/semi/anti join satisfy their required
+    // distributions from the bucketed scan — the ENTIRE pipeline tail plans
+    // without one Exchange (broadcast disabled so nothing hides behind a
+    // small-side broadcast; the unbucketed path must still shuffle).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = graft.capex.CapexDerive.pipelineBucketed(spark, sfDir)
+      val p = bucketed.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed pipeline tail re-shuffled:\n" + p.take(1500))
+      // the unbucketed twin genuinely pays exchanges — the claim is a drop,
+      // not that shuffles never existed
+      val un = graft.capex.CapexDerive.pipeline(spark, sfDir)
+      assert(un.queryExecution.executedPlan.toString.contains("Exchange"),
+        "unbucketed pipeline unexpectedly exchange-free (test is vacuous)")
+      // identical output, row for row (rid is unique)
+      val a = bucketed.collect().map(r => r.getString(0) -> r.toSeq.mkString("")).toMap
+      val b = un.collect().map(r => r.getString(0) -> r.toSeq.mkString("")).toMap
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.capex.CapexDerive.clearCache()
+    }
+  }
 }

@@ -21,6 +21,8 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      // mirror GraftSession: prefix-bucketed joins reuse the layout
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
