@@ -537,6 +537,36 @@ object Ann {
       FROM cand) WHERE rank <= 5"""
   }
 
+  /** D51: ANN recall report — per-query recall of the single-probe LSH
+    * index (D7) against the exact brute-force top-k (D6), in exact integer
+    * basis points. The QC gate an embedding pipeline runs BEFORE routing
+    * traffic at a new index: a silent recall collapse (bad hyperplane
+    * drop, skewed bucket, degenerate embedding batch) shows up here as a
+    * per-query number, not a production incident. Both inputs are already
+    * top-k-bounded (k × |query set| rows), so the join and aggregate are
+    * bounded by the QUERY SET — nothing scales with the corpus beyond the
+    * two verified operators it composes. Fully deterministic (both sides
+    * hash-checked operators) → the recall numbers themselves hash-check.
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforce(spark, dir).select(col("q_id"), col("nb_id"))
+    val hits = annLsh(spark, dir)
+      .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
+    exact.join(hits, Seq("q_id", "nb_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp", expr("n_hit * 10000 div n_exact"))
+  }
+  lazy val annRecallReportSql: String =
+    s"""WITH exact AS ($annBruteforceSql),
+    approx AS ($annLshSql)
+    SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+      CAST(count(a.nb_id) AS BIGINT) AS n_hit,
+      CAST(count(a.nb_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+    FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.nb_id = a.nb_id
+    GROUP BY e.q_id"""
+
   val ReduceDims = 16
   /** Offset into the planeSign family so the projection matrix is disjoint
     * from the LSH/banding planes (both are code-time deterministic).

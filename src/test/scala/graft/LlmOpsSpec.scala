@@ -827,6 +827,21 @@ class LlmOpsSpec extends SparkSpecBase {
       s => s.cast("long")), e => e.isNull)).count() === 0)
   }
 
+  test("ann_recall_report agrees with a driver-side set intersection") {
+    val exact = Ann.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = Ann.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.groupBy(_._1).map { case (q, nbs) =>
+      val hit = nbs.count(approx.contains).toLong
+      (q, nbs.length.toLong, hit, hit * 10000 / nbs.length)
+    }.toSet
+    val got = Ann.annRecallReport(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.forall(t => t._4 >= 0 && t._4 <= 10000))
+  }
+
   test("embed_knn_classify recovers labels on a label-separable corpus") {
     import spark.implicits._
     // 3 well-separated prototypes; every vector = its prototype, so each
