@@ -151,4 +151,31 @@ object Multimodal {
       CAST(coalesce(n_chars, 0) % 640 AS BIGINT)
         * CAST((coalesce(n_chars, 0) * 7) % 480 AS BIGINT) AS area
     FROM documents"""
+
+  /** D12d: media exact dedup — content-hash dedup over the opaque binary
+    * payload, the first dedup every multimodal ingest runs (byte-identical
+    * images re-crawled under different ids; run BEFORE any decode because
+    * it needs none). One md5 projection over the payload column + ONE
+    * partial-agg shuffle keyed by the 16-byte digest — the shuffle carries
+    * digests, never payload bytes, and is bounded by distinct contents.
+    * Keeper = min media_id (same deterministic rule as D1). Unlike the
+    * decode stages this op is fully REAL (no stub): the digest is over
+    * the actual payload bytes.
+    */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaFrame(spark, dir)
+      .select(col("media_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("bigint").as("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_bytes")).as("n_bytes"))
+  val mmDedupSql: String =
+    // md5(VARCHAR) hashes the string's UTF-8 bytes — the exact bytes the
+    // Spark side's binary payload carries (DuckDB's md5 has no BLOB overload)
+    """SELECT md5(coalesce(text, '')) AS payload_md5,
+      min(doc_id) AS keeper_id,
+      CAST(count(*) AS BIGINT) AS n_copies,
+      CAST(max(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY 1"""
 }

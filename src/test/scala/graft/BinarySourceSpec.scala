@@ -53,4 +53,27 @@ class BinarySourceSpec extends SparkSpecBase {
       .as[Multimodal.MediaRow]).collect()
     assert(again.map(_.media_id).toSet === feats.map(_.media_id).toSet)
   }
+
+  test("mm_dedup collapses byte-identical payloads to one keeper") {
+    // duplicate payload under a different id: the digest group must fold
+    // both rows onto the min-id keeper with n_copies 2
+    val rows = Seq(
+      (1L, Array[Byte](9, 9, 9), 10, 10),
+      (2L, Array[Byte](9, 9, 9), 20, 20),   // byte-identical to id 1
+      (3L, Array[Byte](1, 2), 30, 30)).toDF("media_id", "payload", "width", "height")
+    val out = rows
+      .select(col("media_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("bigint").as("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"), max(col("n_bytes")).as("n_bytes"))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(1L -> (2L, 3L), 3L -> (1L, 2L)))
+    // and on the documents-backed frame: copies sum to the corpus size,
+    // every keeper is a member of its own digest group
+    val t = Multimodal.mmDedup(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(t.agg(sum("n_copies")).head.getLong(0) === total)
+    assert(t.filter(col("keeper_id").isNull).count() === 0)
+  }
 }
