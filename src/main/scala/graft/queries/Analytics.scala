@@ -218,6 +218,43 @@ object Analytics {
         element_at(col("qs"), 3).as("q75_cents"))
   }
 
+  /** Gate-emitted form of the approx-percentile twin (same pattern as the
+    * CMS/HLL gate forms): the exact type-1 quantiles hash-check directly,
+    * and each implementation-defined sketch pick is emitted as its
+    * CONTRACT — within max(1 cent, 1% of the exact value), the bound the
+    * spec asserts numerically (accuracy 10000 bounds rank error at
+    * n/10000, far tighter than 1% of value on these distributions) — which
+    * the oracle asserts as literal TRUE. Deterministic per drop (the
+    * sketch has no RNG), verified green at sf0.01 AND sf0.1.
+    */
+  def priceQuantilesApproxQuery(spark: SparkSession, dir: String): DataFrame = {
+    def within(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+      abs(a - e).cast("double") <= greatest(lit(1.0), lit(0.01) * e)
+    val ap = priceQuantilesApprox(spark, dir).select(col("l_returnflag"),
+      col("q25_cents").as("a25"), col("q50_cents").as("a50"),
+      col("q75_cents").as("a75"))
+    priceQuantiles(spark, dir).join(ap, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("q25_cents"), col("q50_cents"), col("q75_cents"),
+        within(col("a25"), col("q25_cents")).as("q25_within_pct"),
+        within(col("a50"), col("q50_cents")).as("q50_within_pct"),
+        within(col("a75"), col("q75_cents")).as("q75_within_pct"))
+  }
+  val priceQuantilesApproxSql: String = """
+    WITH c AS (SELECT l_returnflag,
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM lineitem),
+    r AS (SELECT l_returnflag, cents,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY cents ASC) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM c)
+    SELECT l_returnflag, max(n) AS n_rows,
+           max(CASE WHEN rn = (n-1)//4 + 1 THEN cents END) AS q25_cents,
+           max(CASE WHEN rn = (n-1)//2 + 1 THEN cents END) AS q50_cents,
+           max(CASE WHEN rn = (3*(n-1))//4 + 1 THEN cents END) AS q75_cents,
+           TRUE AS q25_within_pct, TRUE AS q50_within_pct, TRUE AS q75_within_pct
+    FROM r GROUP BY l_returnflag"""
+
   val priceQuantilesSql: String = """
     WITH c AS (SELECT l_returnflag,
                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -339,6 +339,25 @@ object Temporal {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
 
+  /** Gate-emitted form of the HLL twin (same pattern as E19b's CMS form):
+    * the exact per-type count hash-checks directly, and the
+    * implementation-defined HLL estimate is emitted as its CONTRACT — the
+    * 5σ relative-error bound the spec asserts numerically — which the
+    * oracle asserts as literal TRUE. Deterministic for a fixed drop (HLL
+    * hashing has no RNG), so the gray `no_oracle` row turns fully green
+    * while raw estimates stay on the library form above.
+    */
+  def distinctUsersApproxQuery(spark: SparkSession, dir: String): DataFrame =
+    distinctUsersApprox(spark, dir)
+      .join(distinctUsersSkewsafe(spark, dir), Seq("event_type"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("n_users_approx") - col("n_users")).cast("double")
+          <= greatest(lit(1.0), lit(5 * 0.02) * col("n_users"))).as("within_rel_err"))
+  val distinctUsersApproxSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      TRUE AS within_rel_err
+    FROM events GROUP BY event_type"""
+
   /** CMS error bound: eps = over-count ≤ eps·N per probe (w.p. ≥ conf). */
   val CmsEps = 0.001
   val CmsConf = 0.99
