@@ -224,6 +224,77 @@ object Sampling {
                AS BIGINT) % 100 < keep_rate_pct"""
   }
 
+  /** D52: temperature-flattened source mixing (τ = 2, i.e. √-smoothing —
+    * the multilingual-sampling standard of Conneau & Lample 2019, applied
+    * by provenance feed): target share q_s ∝ √p_s, so dominant feeds
+    * downsample and tail feeds survive WITHOUT the hand-written targets
+    * D24 needs. keep_rate_s = min(100%, q_s·T/t_s) = min(100, 100·T/(S·√t_s))
+    * with S = Σ_r √t_r.
+    *
+    * Engineering: √t_s quantizes to e6-scaled integers BEFORE the sum, so
+    * S is an order-independent integer sum (a raw double Σ√ would
+    * ulp-drift with summation order across engines and flake the floor at
+    * rate boundaries — sqrt/mul/div are individually correctly rounded,
+    * an unordered double SUM is not); the rate is one exact
+    * DECIMAL(38,0) division (HUGEINT in the oracle; 100·T·1e12 fits at
+    * any realistic corpus). Zero-token sources fail open at rate 100
+    * (no mass signal — and the guard keeps the degenerate EdgeCase
+    * corpora division-safe). Doc selection is the same deterministic
+    * content-keyed md5 percent bucket as D13/D24. Plan: ONE
+    * source-bounded aggregate + the rate table broadcast back over one
+    * scan — the corpus is never sorted or self-joined.
+    */
+  def corpusTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("bigint").as("n_ws_tokens"))
+    val st = d.groupBy(col("source"))
+      .agg(sum(col("n_ws_tokens")).as("src_toks"))
+      .withColumn("isq",
+        floor(sqrt(col("src_toks").cast("double")) * 1e6).cast("bigint"))
+    val tot = st.agg(sum(col("src_toks")).as("total_toks"),
+      sum(col("isq")).as("sum_isq"))
+    val rates = st.crossJoin(broadcast(tot))
+      .withColumn("keep_rate_pct",
+        when(col("isq") === 0 || col("sum_isq") === 0, lit(100L))
+          .otherwise(least(lit(100L), expr(
+            "CAST((CAST(100 AS DECIMAL(38,0)) * total_toks * 1000000000000)" +
+              " div (CAST(sum_isq AS DECIMAL(38,0)) * isq) AS BIGINT)"))))
+    val bucket = conv(substring(md5(
+      concat(lit("temp:"), col("doc_id").cast("string"), lit(":"),
+        coalesce(col("source"), lit("")))), 1, 6), 16, 10)
+      .cast("bigint") % 100
+    d.join(broadcast(rates.select(col("source"), col("src_toks"), col("keep_rate_pct"))),
+        Seq("source"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("keep_rate_pct"))
+      .select(col("doc_id"), col("source"), col("n_ws_tokens"),
+        col("src_toks"), col("keep_rate_pct"), col("bucket"))
+  }
+  val corpusTemperatureSql: String =
+    """WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
+      FROM documents),
+    st AS (SELECT source, CAST(sum(n_ws_tokens) AS BIGINT) AS src_toks,
+                  CAST(floor(sqrt(CAST(sum(n_ws_tokens) AS DOUBLE)) * 1e6) AS BIGINT) AS isq
+           FROM d GROUP BY source),
+    tot AS (SELECT CAST(sum(src_toks) AS BIGINT) AS total_toks,
+                   CAST(sum(isq) AS BIGINT) AS sum_isq FROM st),
+    rates AS (
+      SELECT source, src_toks,
+             CASE WHEN isq = 0 OR sum_isq = 0 THEN 100
+                  ELSE least(100, CAST((CAST(100 AS HUGEINT) * total_toks * 1000000000000)
+                       // (CAST(sum_isq AS HUGEINT) * isq) AS BIGINT)) END AS keep_rate_pct
+      FROM st CROSS JOIN tot)
+    SELECT doc_id, d.source, n_ws_tokens, src_toks, keep_rate_pct,
+           CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR) || ':' || coalesce(d.source, '')), 1, 6)
+                AS BIGINT) % 100 AS bucket
+    FROM d JOIN rates USING (source)
+    WHERE CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR) || ':' || coalesce(d.source, '')), 1, 6)
+               AS BIGINT) % 100 < keep_rate_pct"""
+
   val ExactSampleN = 200
 
   /** D39: exact-N uniform sample WITHOUT replacement and WITHOUT a global

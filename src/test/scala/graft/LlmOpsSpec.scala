@@ -827,6 +827,39 @@ class LlmOpsSpec extends SparkSpecBase {
       s => s.cast("long")), e => e.isNull)).count() === 0)
   }
 
+  test("corpus_temperature: sqrt-flattened rates match a driver-side recomputation") {
+    val tokBySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), size(regexp_extract_all(col("text"),
+        lit("\\S+"), lit(0))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val isq = tokBySrc.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble) * 1e6).toLong }
+    val totT = tokBySrc.values.sum
+    val sumIsq = isq.values.sum
+    val want = isq.map { case (s, q) =>
+      s -> (if (q == 0 || sumIsq == 0) 100L
+            else math.min(100L,
+              (BigInt(100) * BigInt(totT) * BigInt(1000000000000L) /
+                (BigInt(sumIsq) * BigInt(q))).toLong))
+    }
+    val out = Sampling.corpusTemperature(spark, sfDir)
+    val got = out.select("source", "src_toks", "keep_rate_pct").distinct()
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (s, (t, rate)) =>
+      assert(t === tokBySrc(s))
+      assert(rate === want(s), s"source $s: rate $rate vs recomputed ${want(s)}")
+    }
+    // flattening direction: more tokens can never mean a HIGHER keep rate
+    val sorted = got.values.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((t1, r1), (t2, r2)) => assert(t2 < t1 || r2 <= r1)
+      case _ =>
+    }
+    // every kept doc's bucket is under its source rate
+    assert(out.filter(col("bucket") >= col("keep_rate_pct")).count() === 0)
+  }
+
   test("ann_recall_report agrees with a driver-side set intersection") {
     val exact = Ann.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
