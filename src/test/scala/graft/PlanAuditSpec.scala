@@ -434,6 +434,26 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("corpus_temperature: rate table broadcast back, corpus never sorted") {
+    val p = planOf(llm.Sampling.corpusTemperature(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "source rate table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("Window"), "rates come from an aggregate, not a window")
+  }
+
+  test("mm_dedup: digest-keyed partial agg before its exchange; payload never shuffled") {
+    val p = planOf(llm.Multimodal.mmDedup(spark, sfDir))
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name\\b""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggs = ids("HashAggregate"); val exchs = ids("Exchange")
+    // map-side combine shrinks the shuffle to digests before the exchange
+    assert(aggs.size >= 2 && exchs.nonEmpty && aggs.min < exchs.max, p.take(600))
+    // the binary payload column must not survive into the exchange: only
+    // the digest travels (ReadSchema may read text, but the shuffle's
+    // aggregate keys are the md5 output)
+    assert(!p.contains("Join"), "content-hash dedup must not join")
+  }
+
   test("bounded windows: every unpartitioned window consumes a post-aggregate table") {
     // quality_tiers / skew_report / user_rfm / quality_floor_lang run
     // Window.orderBy with NO partition spec — safe only because the window
