@@ -296,13 +296,24 @@ object CapexDerive {
       .withColumn("trigger_column", attrib(e => lit(e._3), lit("AssetItemName")))
       .withColumn("trigger_value", attrib(e => col(e._4), item))
 
+    // req_key is EXACTLY key_strict's first field (trim, null→'') — the
+    // reference pandas strips/fillna('')s before keying
+    // (process_capex.py:53); every downstream window/join leads with
+    // req_key so degenerate RequestNo (NULL, padded, '|'-containing)
+    // groups identically to the keys themselves, and bucketing by req_key
+    // satisfies every tail distribution (see rankedOf). Fields are
+    // null-coalesced BEFORE concat so the key values match the oracle's
+    // `||` dialect byte-for-byte on NULL inputs too (concat_ws would skip
+    // a NULL field, DuckDB `||` would null the whole key).
     labeled
+      .withColumn("req_key", coalesce(trim(col("RequestNo")), lit("")))
       .withColumn("key_strict",
-        concat_ws("|", trim(col("RequestNo")), trim(item), trim(col("VendorName"))))
+        concat_ws("|", col("req_key"), coalesce(trim(item), lit("")),
+          coalesce(trim(col("VendorName")), lit(""))))
       .withColumn("key_robust",
-        when(trim(col("VendorName")) === "",
-          concat_ws("|", trim(col("RequestNo")), trim(item)))
-        .otherwise(concat_ws("|", trim(col("RequestNo")), trim(item), trim(col("VendorName")))))
+        when(coalesce(trim(col("VendorName")), lit("")) === "",
+          concat_ws("|", col("req_key"), coalesce(trim(item), lit(""))))
+        .otherwise(col("key_strict")))
       .withColumn("priority",
         when(col("CurrentStatus") === "Approved", 100).otherwise(0) +
           when(col("CurrentStatus") === "Sent for Approval", 50).otherwise(0) +
@@ -386,16 +397,19 @@ object CapexDerive {
     rankedOf(enriched(spark, dir))
 
   /** Representative-rank over any enriched frame. Every downstream window /
-    * aggregate / join in this module leads its key with RequestNo: the keys
-    * (key_strict, key_robust) each EMBED RequestNo, so the grouping is
+    * aggregate / join in this module leads its key with req_key
+    * (= coalesce(trim(RequestNo), ''), the exact key_strict prefix): the
+    * keys (key_strict, key_robust) each EMBED req_key, so the grouping is
     * unchanged, but the required distribution becomes satisfiable by a
-    * RequestNo-clustered input — which is exactly what lets the
+    * req_key-clustered input — which is exactly what lets the
     * BucketedSink path below run the whole pipeline tail with zero
-    * exchanges (HashPartitioning(RequestNo) satisfies any clustering that
-    * lists RequestNo among its keys).
+    * exchanges (HashPartitioning(req_key) satisfies any clustering that
+    * lists req_key among its keys). req_key rather than raw RequestNo so
+    * NULL/whitespace-padded RequestNo groups exactly like the embedded
+    * key prefix — the oracle partitions on the same expression.
     */
   private[graft] def rankedOf(enr: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("RequestNo"))
+    val w = Window.partitionBy(col("req_key"))
       .orderBy(col("priority").desc, col("rid").asc)
     enr.filter(col("survives")).withColumn("rk", row_number().over(w))
   }
@@ -408,9 +422,9 @@ object CapexDerive {
     cached(spark, dir, "kept")(keptOf(enriched(spark, dir)))
 
   private[graft] def keptOf(enr: DataFrame): DataFrame = {
-    // RequestNo leads the dedup key (key_strict starts with it — identical
+    // req_key leads the dedup key (key_strict starts with it — identical
     // groups, bucket-satisfiable distribution; see rankedOf)
-    val wd = Window.partitionBy(col("RequestNo"), col("key_strict"), col("AssetItemAmount"))
+    val wd = Window.partitionBy(col("req_key"), col("key_strict"), col("AssetItemAmount"))
       .orderBy(col("rid").asc)
     rankedOf(enr).filter(col("rk") <= 5)
       .withColumn("dup_rn", row_number().over(wd))
@@ -427,18 +441,19 @@ object CapexDerive {
     reinstatedOf(enriched(spark, dir), kept(spark, dir))
 
   private[graft] def reinstatedOf(enr: DataFrame, keptDf: DataFrame): DataFrame = {
-    // RequestNo rides along every key projection/join (it is a function of
-    // each key — same semantics, bucket-satisfiable; see rankedOf)
+    // req_key rides along every key projection/join (it is the first field
+    // of each key and never NULL, so equi-joins lose no rows — same
+    // semantics, bucket-satisfiable; see rankedOf)
     val survivorKeys = enr.filter(col("survives"))
-      .select(col("RequestNo"), col("key_robust")).distinct()
-    val keptKeys = keptDf.select(col("RequestNo"), col("key_robust")).distinct()
-    val failopenKeys = survivorKeys.join(keptKeys, Seq("RequestNo", "key_robust"), "left_anti")
+      .select(col("req_key"), col("key_robust")).distinct()
+    val keptKeys = keptDf.select(col("req_key"), col("key_robust")).distinct()
+    val failopenKeys = survivorKeys.join(keptKeys, Seq("req_key", "key_robust"), "left_anti")
     val keptPairs = keptDf
-      .select(col("RequestNo"), col("key_strict"), col("AssetItemAmount")).distinct()
-    val wd = Window.partitionBy(col("RequestNo"), col("key_strict"), col("AssetItemAmount"))
+      .select(col("req_key"), col("key_strict"), col("AssetItemAmount")).distinct()
+    val wd = Window.partitionBy(col("req_key"), col("key_strict"), col("AssetItemAmount"))
       .orderBy(col("rid").asc)
-    enr.join(failopenKeys, Seq("RequestNo", "key_robust"), "left_semi")
-      .join(keptPairs, Seq("RequestNo", "key_strict", "AssetItemAmount"), "left_anti")
+    enr.join(failopenKeys, Seq("req_key", "key_robust"), "left_semi")
+      .join(keptPairs, Seq("req_key", "key_strict", "AssetItemAmount"), "left_anti")
       .withColumn("dup_rn", row_number().over(wd))
       .filter(col("dup_rn") === 1).drop("dup_rn")
   }
@@ -482,20 +497,28 @@ object CapexDerive {
 
   /** Deterministic per-dataset table name for the bucketed enriched fact
     * (the EdgeCase battery runs every query over empty/null datasets — a
-    * shared name would leak one dataset's fact into another's query).
+    * shared name would leak one dataset's fact into another's query). The
+    * name folds in a CONTENT fingerprint of the input files (path + size +
+    * mtime of every parquet under the tables the pipeline reads), so
+    * rewriting a dataset in place invalidates the cached table instead of
+    * silently serving the stale fact (the two flagship twins must never
+    * disagree).
     */
-  private def bucketedTableFor(dir: String): String =
-    "capex_enriched_b_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+  private def bucketedTableFor(dir: String): String = {
+    val fp = graft.sources.BucketedSink.contentFingerprint(
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .map(t => s"$dir/$t.parquet"))
+    "capex_enriched_b_" + graft.sources.BucketedSink.nameHash(s"$dir\n$fp")
+  }
 
   /** SURVEY §5's "a production deployment would bucket the fact by
     * RequestNo to delete even those [exchanges]", made executable: the
-    * enriched rule output is written ONCE as a RequestNo-bucketed,
+    * enriched rule output is written ONCE as a req_key-bucketed,
     * bucket-sorted table (one full shuffle, paid at ingest), and the whole
     * pipeline tail — representative-row window, kept-dedup window, every
     * fail-open distinct/semi/anti join — then plans over the bucketed scan
     * with ZERO Exchange nodes (BucketingSpec asserts this), because every
-    * downstream key leads with RequestNo (see rankedOf). The unbucketed
+    * downstream key leads with req_key (see rankedOf). The unbucketed
     * `capex_pipeline` keeps the enriched localCheckpoint cache instead;
     * same rows either way (the driver gate hash-checks both against one
     * oracle).
@@ -512,27 +535,13 @@ object CapexDerive {
     * working set).
     */
   def ensureBucketedEnriched(spark: SparkSession, dir: String,
-                             buckets: Int = 32): String = {
-    val table = bucketedTableFor(dir)
-    if (!spark.catalog.tableExists(table)) {
-      // the in-memory catalog forgets tables between JVMs but warehouse
-      // files persist — clear an orphaned location before the CTAS
-      val loc = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), table)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(loc)
-        try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-        finally walk.close()
-      }
+                             buckets: Int = 32): String =
+    graft.sources.BucketedSink.ensureTable(spark, bucketedTableFor(dir)) {
       graft.sources.BucketedSink.writeBucketed(
-        buildEnriched(spark, dir), table, "RequestNo", buckets,
-        sortCols = Seq("RequestNo"))
+        buildEnriched(spark, dir), bucketedTableFor(dir), "req_key", buckets,
+        sortCols = Seq("req_key"))
       // the build's intermediates (withCats + dictionary barriers) are dead
       // once the table is on disk
       clearCache()
     }
-    table
-  }
 }

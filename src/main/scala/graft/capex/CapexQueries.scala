@@ -22,15 +22,22 @@ object CapexQueries {
   private def refPred: Column =
     !(col("rm_r1") || col("rm_r2") || col("rm_r3") || col("rm_r3a") || col("rm_r5")) && !col("nonrel")
 
-  private def robustKeyOf(df: DataFrame): DataFrame =
+  // Null-coalesced field-by-field like CapexDerive's keys, so Spark
+  // concat_ws (skips NULLs) and DuckDB || (nulls the key) can't diverge on
+  // NULL fields.
+  private def robustKeyOf(df: DataFrame): DataFrame = {
+    val req = coalesce(trim(col("RequestNo")), lit(""))
+    val itm = coalesce(trim(col("AssetItemName")), lit(""))
+    val ven = coalesce(trim(col("VendorName")), lit(""))
     df.withColumn("key_robust",
-      when(trim(col("VendorName")) === "",
-        concat_ws("|", trim(col("RequestNo")), trim(col("AssetItemName"))))
-      .otherwise(concat_ws("|", trim(col("RequestNo")), trim(col("AssetItemName")), trim(col("VendorName")))))
+      when(ven === "", concat_ws("|", req, itm))
+        .otherwise(concat_ws("|", req, itm, ven)))
+  }
 
   private val robustKeySql =
-    "CASE WHEN trim(VendorName) = '' THEN trim(RequestNo) || '|' || trim(AssetItemName) " +
-      "ELSE trim(RequestNo) || '|' || trim(AssetItemName) || '|' || trim(VendorName) END"
+    "CASE WHEN coalesce(trim(VendorName), '') = '' " +
+      "THEN coalesce(trim(RequestNo), '') || '|' || coalesce(trim(AssetItemName), '') " +
+      "ELSE coalesce(trim(RequestNo), '') || '|' || coalesce(trim(AssetItemName), '') || '|' || coalesce(trim(VendorName), '') END"
 
   /** Full-outer join of processed vs reference robust-key sets — the one
     * definition of TP/FP/FN shared by validate_prf and validate_mismatches

@@ -173,9 +173,17 @@ object CapexSqlGen {
     val r18Label = "CASE " + NonOpsKeywords.map(kw =>
       s"WHEN ${kwHit(kw)} THEN ${sq(labelR18(kw))}").mkString(" ") +
       s" ELSE ${sq(LabelR18Cctv)} END"
-    val keyStrict = "trim(RequestNo) || '|' || trim(AssetItemName) || '|' || trim(VendorName)"
+    // Fields null-coalesced to '' BEFORE concat — byte-identical to the
+    // Spark side's coalesce+concat_ws on NULL inputs (see
+    // CapexDerive.buildEnriched); req_key is the key_strict prefix and
+    // leads every downstream PARTITION BY / join below, mirroring the
+    // Spark windows/joins exactly (degenerate RequestNo — NULL, padded,
+    // '|'-containing — must group identically in both engines).
+    val reqKey = "coalesce(trim(RequestNo), '')"
+    val keyStrict =
+      s"$reqKey || '|' || coalesce(trim(AssetItemName), '') || '|' || coalesce(trim(VendorName), '')"
     val keyRobust =
-      s"CASE WHEN trim(VendorName) = '' THEN trim(RequestNo) || '|' || trim(AssetItemName) ELSE $keyStrict END"
+      s"CASE WHEN coalesce(trim(VendorName), '') = '' THEN $reqKey || '|' || coalesce(trim(AssetItemName), '') ELSE $keyStrict END"
 
     s"""WITH capex_raw AS ($capexRawSql),
     offices AS (
@@ -242,6 +250,7 @@ object CapexSqlGen {
         (NOT (${AllRuleFlags.mkString(" OR ")})) AS survives,
         ${attribCase(e => sq(e._3), sq("AssetItemName"))} AS trigger_column,
         ${attribCase(e => e._4, "AssetItemName")} AS trigger_value,
+        $reqKey AS req_key,
         $keyStrict AS key_strict,
         $keyRobust AS key_robust,
         ((CASE WHEN CurrentStatus = 'Approved' THEN 100 ELSE 0 END)
@@ -256,22 +265,24 @@ object CapexSqlGen {
       FROM c6),
     enriched_m AS MATERIALIZED (SELECT * FROM enriched),
     ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY RequestNo ORDER BY priority DESC, rid ASC) AS rk
+      SELECT *, row_number() OVER (PARTITION BY req_key ORDER BY priority DESC, rid ASC) AS rk
       FROM enriched_m WHERE survives),
     kept AS MATERIALIZED (
       SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY key_strict, AssetItemAmount ORDER BY rid ASC) AS dup_rn
+        SELECT *, row_number() OVER (PARTITION BY req_key, key_strict, AssetItemAmount ORDER BY rid ASC) AS dup_rn
         FROM ranked WHERE rk <= 5) WHERE dup_rn = 1),
     failopen_keys AS (
-      SELECT DISTINCT key_robust FROM enriched_m WHERE survives
-      EXCEPT SELECT DISTINCT key_robust FROM kept),
+      SELECT DISTINCT req_key, key_robust FROM enriched_m WHERE survives
+      EXCEPT SELECT DISTINCT req_key, key_robust FROM kept),
     reinstated AS MATERIALIZED (
       SELECT * FROM (
-        SELECT e.*, row_number() OVER (PARTITION BY e.key_strict, e.AssetItemAmount ORDER BY e.rid ASC) AS dup_rn
+        SELECT e.*, row_number() OVER (PARTITION BY e.req_key, e.key_strict, e.AssetItemAmount ORDER BY e.rid ASC) AS dup_rn
         FROM enriched_m e
-        WHERE e.key_robust IN (SELECT key_robust FROM failopen_keys)
+        WHERE EXISTS (SELECT 1 FROM failopen_keys f
+                      WHERE f.req_key = e.req_key AND f.key_robust = e.key_robust)
           AND NOT EXISTS (SELECT 1 FROM kept k
-                          WHERE k.key_strict = e.key_strict
+                          WHERE k.req_key = e.req_key
+                            AND k.key_strict = e.key_strict
                             AND k.AssetItemAmount = e.AssetItemAmount)) WHERE dup_rn = 1),
     pipe AS MATERIALIZED (
       SELECT rid, RequestNo, AssetItemName, VendorName, key_strict AS CompositePrimaryKey,

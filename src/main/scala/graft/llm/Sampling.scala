@@ -245,8 +245,12 @@ object Sampling {
     * scan — the corpus is never sorted or self-joined.
     */
   def corpusTemperature(spark: SparkSession, dir: String): DataFrame = {
+    // source null-coalesced to '' up front so null-source docs PARTICIPATE
+    // in the mass aggregate and the rate join (the fail-open posture —
+    // zero-signal sources keep rate 100 — applies to the null source too;
+    // an equi-join on raw source would silently drop those docs)
     val d = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"),
+      col("doc_id"), coalesce(col("source"), lit("")).as("source"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
         .cast("bigint").as("n_ws_tokens"))
     val st = d.groupBy(col("source"))
@@ -274,7 +278,7 @@ object Sampling {
   }
   val corpusTemperatureSql: String =
     """WITH d AS (
-      SELECT doc_id, source,
+      SELECT doc_id, coalesce(source, '') AS source,
              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
       FROM documents),
     st AS (SELECT source, CAST(sum(n_ws_tokens) AS BIGINT) AS src_toks,

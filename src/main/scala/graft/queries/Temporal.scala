@@ -347,12 +347,16 @@ object Temporal {
     * hashing has no RNG), so the gray `no_oracle` row turns fully green
     * while raw estimates stay on the library form above.
     */
-  def distinctUsersApproxQuery(spark: SparkSession, dir: String): DataFrame =
-    distinctUsersApprox(spark, dir)
-      .join(distinctUsersSkewsafe(spark, dir), Seq("event_type"))
-      .select(col("event_type"), col("n_users"),
+  def distinctUsersApproxQuery(spark: SparkSession, dir: String): DataFrame = {
+    // null-safe (<=>) join: a NULL event_type group must meet its exact
+    // twin, not silently drop (the oracle's GROUP BY keeps the NULL group)
+    val a = distinctUsersApprox(spark, dir)
+    val e = distinctUsersSkewsafe(spark, dir)
+    a.join(e, a("event_type") <=> e("event_type"))
+      .select(e("event_type"), col("n_users"),
         (abs(col("n_users_approx") - col("n_users")).cast("double")
           <= greatest(lit(1.0), lit(5 * 0.02) * col("n_users"))).as("within_rel_err"))
+  }
   val distinctUsersApproxSql: String =
     """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
       TRUE AS within_rel_err

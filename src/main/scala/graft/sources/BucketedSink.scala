@@ -31,4 +31,51 @@ object BucketedSink {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** path:size:mtime fingerprint of the files under `paths` (plain files or
+    * parquet directories) — folded into persisted-table names so rewriting
+    * a dataset in place invalidates the cached table instead of silently
+    * serving stale data.
+    */
+  def contentFingerprint(paths: Seq[String]): String = {
+    import java.nio.file.{Files, Paths}
+    paths.flatMap { s =>
+      val p = Paths.get(s)
+      if (!Files.exists(p)) Seq(s"$s:absent")
+      else if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(p)
+        try walk.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+        finally walk.close()
+      } else Seq(s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+    }.mkString("\n")
+  }
+
+  /** MD5 of `seed`, hex, truncated — table-name suffix for fingerprints. */
+  def nameHash(seed: String, len: Int = 16): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(len)
+
+  /** Run `write` only if `table` is absent from the catalog, first clearing
+    * an orphaned warehouse location (the in-memory catalog forgets tables
+    * between JVMs but warehouse files persist — a leftover directory would
+    * fail the CTAS). Returns the table name.
+    */
+  def ensureTable(spark: SparkSession, table: String)(write: => Unit): String = {
+    if (!spark.catalog.tableExists(table)) {
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+      write
+    }
+    table
+  }
 }
