@@ -216,6 +216,57 @@ object Ann {
       .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** D7's serving form: probe the PERSISTED hyperplane-bucketed embedding
+    * index (sources/AnnIndexSink) instead of recomputing signatures and
+    * re-clustering the corpus per query. The index scan reports its bucket
+    * layout as outputPartitioning, so the candidate join needs NO
+    * index-side Exchange (AnnIndexSpec asserts the plan delta vs the
+    * recompute form with broadcast disabled); with broadcast on, the tiny
+    * query side broadcasts and the corpus never moves at all. No broadcast
+    * HINT — the query side is data-bounded (vec_id < 10) but the planner
+    * should size it, not a hardcoded hint (the part_triangles lesson).
+    * Output ≡ ann_lsh row-for-row: same buckets, same codegen'd dot fold,
+    * same tie-breaks — the gate hash-checks both against ONE oracle.
+    */
+  def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.BucketedSink.readTable(
+      spark, graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, dir))
+    val q = idx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+    val c = idx.select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** D7c's serving form: multi-probe against the SAME stored index — the
+    * query side explodes to its own bucket plus the NumPlanes 1-bit-flip
+    * buckets before the join; the index layout still hashes exactly the
+    * join key, so the index side stays exchange-free (multi-probe costs
+    * probes, never an index rewrite). Output ≡ ann_lsh_multiprobe.
+    */
+  def annIndexMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.BucketedSink.readTable(
+      spark, graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, dir))
+    val probes = (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val q = idx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        explode(array(col("bucket") +: probes: _*)).as("bucket"))
+    val c = idx.select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .groupBy(col("q_id"), col("nb_id")).agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   val NumCells = 16
   val NProbe = 2
 

@@ -566,6 +566,71 @@ object TextOps {
     FROM cnt ORDER BY n DESC, slot ASC LIMIT $BpeTopMerges"""
   }
 
+  /** D46b: BPE ENCODE — apply the D46-mined merge table to the corpus and
+    * emit actual token ids + per-doc counts, the tokenizer-true counterpart
+    * of D10's regex count (real pipelines budget tokens with the real
+    * tokenizer, not a proxy). Classic single-level BPE apply: merges run in
+    * mined priority order, each replacing its pair left-to-right
+    * non-overlapping; a merged token leaves the base alphabet, so no later
+    * char-pair rule can consume its halves — exactly `replace`'s
+    * semantics in BOTH engines (Spark UTF8String.replace and DuckDB
+    * replace are both leftmost-first, all occurrences), which is what
+    * makes the output hash-checkable. Token ids: base chars 0-27 (D32's
+    * alphabet), merge rank i → 28+i; ids serialize as CSV (the
+    * embed_quantize lesson — array cells break the gate's sort).
+    *
+    * Scale: the merge table is a TakeOrderedAndProject of an alphabet²-
+    * bounded aggregate — the collect is ≤ BpeTopMerges rows (contract-
+    * bounded, like the D40 DSIR buckets), baked into the projection as
+    * literals. The encode itself is then one map-only pass over the
+    * corpus: no join, no shuffle, embarrassingly parallel at 100 TB.
+    */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir).select(col("pair"))
+      .collect().map(_.getString(0))
+    val encoded = merges.zipWithIndex.foldLeft(lmNorm(col("text"))) {
+      case (s, (p, i)) =>
+        call_function("replace", s, lit(p), lit((65 + i).toChar.toString))
+    }
+    val ids = transform(
+      filter(split(encoded, ""), c => length(c) === 1),
+      c => when(c === " ", lit(27)).when(c === "0", lit(26))
+        .when(ascii(c) >= 97, ascii(c) - 97)
+        .otherwise(ascii(c) - 65 + 28).cast("int"))
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"),
+        coalesce(size(ids).cast("bigint"), lit(0L)).as("n_tokens"),
+        coalesce(array_join(transform(ids, i => i.cast("string")), ","), lit(""))
+          .as("token_csv"))
+  }
+  val textBpeEncodeSql: String = {
+    // identical merge sequence, applied by a recursive CTE: step i rewrites
+    // with merge rank i (ranks are the mined order), so the replace chain
+    // is the same left-to-right fold the Spark side bakes in as literals;
+    // the stop level adapts if the corpus yields fewer than BpeTopMerges
+    // pairs (the Spark fold shortens identically)
+    s"""WITH RECURSIVE m AS (
+      SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, slot ASC) - 1 AS INT) AS rank
+      FROM ($bpeMergesSql)),
+    t AS (SELECT doc_id, $lmNormSql AS s FROM documents),
+    ap AS (
+      SELECT doc_id, s, 0 AS i FROM t
+      UNION ALL
+      SELECT ap.doc_id, replace(ap.s, m.pair, chr(65 + m.rank)), ap.i + 1
+      FROM ap JOIN m ON m.rank = ap.i
+      WHERE ap.i < $BpeTopMerges),
+    enc AS (SELECT doc_id, s FROM ap WHERE i = (SELECT count(*) FROM m)),
+    ids AS (SELECT doc_id,
+      list_transform(list_filter(string_split(s, ''), c -> len(c) = 1),
+        c -> CASE WHEN c = ' ' THEN 27 WHEN c = '0' THEN 26
+                  WHEN ascii(c) >= 97 THEN ascii(c) - 97
+                  ELSE ascii(c) - 65 + 28 END) AS l
+      FROM enc)
+    SELECT doc_id, CAST(coalesce(len(l), 0) AS BIGINT) AS n_tokens,
+           coalesce(array_to_string(l, ','), '') AS token_csv
+    FROM ids"""
+  }
+
   /** Power-of-two length-bucket edges for D43 (tokens counted by the same
     * BPE-ish segmentation as D10). The top bucket is open-ended. */
   val LengthBucketEdges: Seq[Long] = Seq(0L, 1L, 32L, 64L, 128L, 256L, 512L, 1024L)

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Persisted ANN serving index — the embedding counterpart of IndexSink's
+  * MinHash band table. D7's hyperplane LSH recomputes bucket signatures and
+  * re-clusters the corpus on every query run; a daily-ingest ANN user
+  * instead probes a STORED index. This sink writes the corpus ONCE as a
+  * parquet table with the random-hyperplane bucket id materialized as a
+  * single LONG column and the table bucketed BY that column: every probe
+  * thereafter joins against pre-partitioned data — the scan reports the
+  * bucket spec as its outputPartitioning and Catalyst drops the index-side
+  * Exchange (AnnIndexSpec proves the bucketed probe plans strictly fewer
+  * exchanges than the recompute form).
+  *
+  * The one-key-bucket lesson from IndexSink applies unchanged: the layout
+  * must hash EXACTLY the join key, so the bucket id is one materialized
+  * column, not a (band, hash) pair recomputed at probe time. Multi-probe
+  * needs no index change — the QUERY side explodes to the 1-bit-flip
+  * buckets; the index side's layout still matches the join key.
+  *
+  * At 100 TB: the index build is one full shuffle paid at ingest,
+  * amortized over every probe. Rebuild only when the hyperplane family
+  * changes — bucket ids are content-keyed (md5-derived signs), so
+  * appending a new crawl batch writes into the same bucket scheme.
+  */
+object AnnIndexSink {
+
+  /** Per-dataset, content-fingerprinted table name (a rewritten
+    * embeddings table must invalidate the stored index, and the EdgeCase
+    * batteries run over empty/null datasets that must not share a name).
+    */
+  private def tableFor(dir: String): String = {
+    val fp = BucketedSink.contentFingerprint(Seq(s"$dir/embeddings.parquet"))
+    "ann_emb_idx_" + BucketedSink.nameHash(s"$dir\n$fp")
+  }
+
+  /** Write the hyperplane-bucketed embedding index for `dir`'s corpus. */
+  def writeEmbeddingIndex(spark: SparkSession, dir: String, table: String,
+                          buckets: Int): Unit = {
+    val idx = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", graft.llm.Ann.lshBucket(col("embedding")))
+    BucketedSink.writeBucketed(idx, table, "bucket", buckets,
+      sortCols = Seq("bucket"))
+  }
+
+  /** Idempotent build: write the index only if this dataset's table is
+    * missing; returns the table name. Bucket count follows the BucketedSink
+    * sizing rule (2-3x total cores).
+    */
+  def ensureEmbeddingIndex(spark: SparkSession, dir: String,
+                           buckets: Int = 32): String = {
+    val table = tableFor(dir)
+    BucketedSink.ensureTable(spark, table)(
+      writeEmbeddingIndex(spark, dir, table, buckets))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Ann
+import graft.sources.AnnIndexSink
+
+/** The persisted ANN serving index: probes of the stored bucket-keyed table
+  * must match the recompute operators (ann_lsh / ann_lsh_multiprobe)
+  * row-for-row, and the candidate join must consume the bucketed layout —
+  * no Exchange on the bucket key anywhere in the probe plan, while the
+  * recompute shape genuinely pays one (the non-vacuity twin).
+  */
+class AnnIndexSpec extends SparkSpecBase {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.mkString("")).toSet
+
+  test("stored-index probe == ann_lsh, multiprobe == ann_lsh_multiprobe") {
+    assert(rows(Ann.annIndexProbe(spark, sfDir)) == rows(Ann.annLsh(spark, sfDir)))
+    assert(rows(Ann.annIndexMultiprobe(spark, sfDir)) ==
+      rows(Ann.annLshMultiprobe(spark, sfDir)))
+    Checkpoints.releaseAll()
+  }
+
+  test("probe join consumes the bucket layout: no Exchange on bucket") {
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val probeExec = Ann.annIndexProbe(spark, sfDir).queryExecution.executedPlan
+      val probeShuffles = probeExec.collect { case e: ShuffleExchangeExec => e }
+      // the only shuffle the probe may pay is the per-query ranking window
+      // (hash(q_id)); the candidate join itself is exchange-free because
+      // BOTH sides scan the bucket-partitioned table
+      assert(probeShuffles.size == 1,
+        s"probe paid ${probeShuffles.size} shuffles:\n" + probeExec.toString.take(1500))
+      assert(!probeShuffles.head.outputPartitioning.toString.contains("bucket"),
+        "probe re-shuffled on the bucket key:\n" + probeShuffles.head.toString.take(800))
+
+      // non-vacuity: the recompute shape of the SAME candidate join (bucket
+      // derived per run instead of read from the layout) must pay bucket
+      // exchanges — bucketing is what removed them, not plan luck
+      val v = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", Ann.lshBucket(col("embedding")))
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("bucket"))
+      val c = v.select(col("vec_id").as("nb_id"), col("bucket"))
+      val recompute = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+        .queryExecution.executedPlan
+      val recomputeBucketShuffles = recompute
+        .collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.toString.contains("bucket"))
+      assert(recomputeBucketShuffles.nonEmpty,
+        "recompute twin unexpectedly exchange-free (test is vacuous):\n" +
+          recompute.toString.take(1200))
+
+      // multiprobe: the exploded QUERY side must shuffle, the index side
+      // must not — assert by walking the join's two children
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      val mpExec = Ann.annIndexMultiprobe(spark, sfDir).queryExecution.executedPlan
+      val smj = mpExec.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "multiprobe should SMJ with broadcast off:\n" +
+        mpExec.toString.take(1200))
+      def isExploded(p: SparkPlan): Boolean =
+        p.toString.contains("Generate explode")
+      val Seq(explodedSide, indexSide) =
+        Seq(smj.get.left, smj.get.right).sortBy(s => if (isExploded(s)) 0 else 1)
+      assert(isExploded(explodedSide), "no exploded probe side found:\n" +
+        mpExec.toString.take(1200))
+      assert(indexSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "index side of the multiprobe join re-shuffled:\n" +
+          indexSide.toString.take(1200))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+    Checkpoints.releaseAll()
+  }
+
+  test("index table is content-fingerprinted per dataset") {
+    val t1 = AnnIndexSink.ensureEmbeddingIndex(spark, sfDir)
+    val t2 = AnnIndexSink.ensureEmbeddingIndex(spark, "/root/testdata/sf0.01")
+    assert(t1 != t2, "two datasets shared one index table")
+    assert(spark.catalog.tableExists(t1) && spark.catalog.tableExists(t2))
+  }
+}
