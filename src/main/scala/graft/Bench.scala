@@ -63,6 +63,21 @@ object Bench {
         graft.Checkpoints.releaseAll()
       }
     }
+    // B14b's pay-at-ingest half, timed on its own: drop the bucketed fact
+    // the warmup created and rebuild it JIT-warm, so BENCH carries BOTH
+    // sides of the trade (the 0.4 s tail is real, but only after this
+    // one-time CTAS — reported as its own row, excluded from `total` so
+    // round-over-round totals stay comparable).
+    val ctasSec = {
+      val tbl = graft.capex.CapexDerive.ensureBucketedEnriched(spark, sfDir)
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      graft.capex.CapexDerive.clearCache()
+      val t0 = System.nanoTime()
+      try graft.capex.CapexDerive.ensureBucketedEnriched(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] ctas failed: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    graft.capex.CapexDerive.clearCache()
     // quiesce: let the async ContextCleaner drain and collect warmup garbage
     // so the first measured query doesn't pay the warmup's GC debt
     System.gc()
@@ -87,7 +102,8 @@ object Bench {
     val results = Headliners.zipWithIndex.map { case (n, i) =>
       n -> passes.map(_(i)._2).min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val reported = results :+ ("capex_bucketed_ctas" -> ctasSec)
+    val qs = reported.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
