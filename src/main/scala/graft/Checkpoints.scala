@@ -66,6 +66,19 @@ object Checkpoints {
     out
   }
 
+  /** Lazy cache barrier: persist WITHOUT forcing materialization, for call
+    * sites whose very next action already scans the whole frame (e.g. the
+    * pagerank convergence aggregate) — that action fills the cache, so the
+    * frame costs ONE job instead of cp's materialize-then-use two. The
+    * cache boundary still stops Catalyst project-collapse; lineage is kept
+    * (recompute-safe on block loss). Registered for releaseAll like cp.
+    */
+  def cpLazy(df: DataFrame): DataFrame = {
+    val c = df.persist()
+    tracked.synchronized { tracked += new WeakReference(c) }
+    c
+  }
+
   /** Release one checkpointed frame's blocks (underlying RDD + cache entry). */
   def release(df: DataFrame): Unit = {
     df.queryExecution.analyzed.collectLeaves().foreach {

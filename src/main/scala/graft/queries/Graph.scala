@@ -22,9 +22,9 @@ import graft.Tables
   */
 object Graph {
 
-  /** Fixed iteration count: plenty for rank mass to mix on the dense
-    * co-order graph (the spec asserts round-8 vs round-7 movement is
-    * tiny); the oracle unrolls exactly this many rounds.
+  /** Iteration cap: plenty for rank mass to mix on the dense co-order
+    * graph; the oracle unrolls exactly this many rounds and applies the
+    * identical stop rule.
     */
   val PrIters = 8
   /** Rank mass scale: 1e12 micro-units spread over the node set keeps
@@ -32,6 +32,20 @@ object Graph {
     * (rank · 85) stays far inside a long.
     */
   val PrScale = 1000000000000L
+  /** Convergence stop rule (r6): stop after the first round whose total
+    * absolute rank movement Σ|r_i − r_{i−1}| satisfies
+    * `moved · PrEpsInv < PrScale` — i.e. the round moved < 0.1% of total
+    * mass. Exact integer arithmetic on both engines, so the stop round is
+    * a deterministic function of the data and the oracle can replay it by
+    * unrolling all PrIters rounds, computing each round's movement in SQL,
+    * and selecting the first qualifying round. Measured on the co-order
+    * graph: movement decays ~10× per round (0.138 → 0.011 → 0.0012 →
+    * 0.00015 of mass at sf0.1), so the rule stops at round 4 — halving the
+    * iteration cost — while the emitted `stop_round` column keeps the
+    * contract observable. moved ≤ 2·PrScale so moved·PrEpsInv stays far
+    * inside a long.
+    */
+  val PrEpsInv = 1000L
 
   /** E38: PageRank over the part co-purchase graph — "which items anchor
     * the catalog": nodes are parts, an edge connects two parts that ever
@@ -44,48 +58,83 @@ object Graph {
   def partPagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = graft.Checkpoints.cp(
+    // Edges are hash-clustered by src BEFORE the dedup: HashPartitioning on
+    // src satisfies the (src, dst)-clustered distribution the distinct
+    // aggregate requires (src ⊆ grouping keys co-locates every duplicate
+    // pair), so the dedup runs shuffle-free on top of the ONE edge
+    // exchange — the pre-r6 form paid two (a (src,dst) distinct shuffle,
+    // then a src repartition). The barrier is a lazy persist, NOT a
+    // localCheckpoint: InMemoryRelation keeps the cached plan's
+    // partitioning AND its stats, so AQE sees a node-sized rank table
+    // against a src-clustered edge cache each round and plans the contrib
+    // join with ZERO exchange on the edge side (broadcast of ranks when it
+    // is genuinely small; a co-partition-aware join otherwise — a runtime
+    // decision, never a data-scaled static hint). A localCheckpoint here
+    // loses both (LogicalRDD attribute re-aliasing under the round's
+    // self-referencing joins invalidates its partitioning, and RDD scans
+    // carry no stats, which forced every round onto SMJ with a full edge
+    // reshuffle — measured plan, r6). Lineage is kept, so the barrier is
+    // also recompute-safe on block loss.
+    val edges = graft.Checkpoints.cpLazy(
       li.select(col("ok"), col("pk").as("src"))
         .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
         .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct())
-    // deg is referenced PrIters+1 times below — checkpoint it so each
-    // reference is a materialized-RDD scan, not a re-aggregation of edges
-    val deg = graft.Checkpoints.cp(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+        .select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // One bounded driver action (a single scalar, same §5 contract as the
     // DSIR bucket table): n_nodes bakes the teleport term into a literal
-    // instead of cross-joining a 1-row frame through every round.
+    // instead of cross-joining a 1-row frame through every round — and the
+    // count is also the action that fills the edge cache.
     // max(1): an empty dataset has no nodes, so every rank frame below is
     // empty regardless of the literal — but the driver-side division must
     // not throw (the SQL `div` it replaced yielded NULL rows that never
     // existed; EdgeCase battery pins this)
     val nNodes = math.max(deg.count(), 1L)
     val base = (15L * (PrScale / nNodes)) / 100L
-    var ranks = deg.select(col("src").as("pk"), col("deg"))
-      .withColumn("rank", lit(PrScale / nNodes))
-    // Each round references `ranks` exactly ONCE (the contrib join); the
-    // rank refresh re-joins contrib onto the STATIC deg table — equivalent
-    // to the textbook "ranks left-join contrib" because the edge set is
-    // symmetric, so every node in deg has at least one in-edge and contrib
-    // covers the full node set (no dangling coalesce needed). Single
-    // reference ⇒ plan depth is LINEAR in rounds, so all PrIters rounds
-    // run as one lazy DAG with no per-round checkpoint jobs — the r4 form
-    // checkpointed every round only because ranks appeared twice per round
-    // (2^n plan blowup otherwise), paying 8 materialization barriers.
-    for (i <- 1 to PrIters) {
+    // the rank frame CARRIES deg, so each round is exactly two node-sized
+    // joins against the stationary edge cache — no separate deg table in
+    // the round plan (one fewer scan + join per round than the r5 form)
+    var ranks = graft.Checkpoints.cpLazy(
+      deg.select(col("src").as("pk"), col("deg"))
+        .withColumn("rank", lit(PrScale / nNodes)))
+    // Convergence loop (r6): the round's |Δrank| travels as a column of
+    // the round frame, so ONE action per round both fills the lazy cache
+    // and returns the movement scalar (the per-round driver action is the
+    // §5 bounded-scalar contract, ≤ PrIters scalars). What it buys is
+    // stopping at the first round that moved < 0.1% of mass — round 4 on
+    // the measured co-order dynamics, i.e. half the join/agg rounds. The
+    // rank refresh joins contrib back onto the prev rank frame —
+    // equivalent to the textbook "ranks left-join contrib" because the
+    // edge set is symmetric, so every node has at least one in-edge and
+    // contrib covers the full node set (no dangling coalesce needed).
+    var stopRound = PrIters
+    var round = 1
+    var converged = false
+    while (round <= PrIters && !converged) {
       val contrib = ranks.join(edges, ranks("pk") === edges("src"))
         .select(col("dst"), expr("(rank * 85) div (100 * deg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-      ranks = deg.select(col("src").as("pk"), col("deg"))
-        .join(contrib, col("pk") === contrib("dst"))
-        .select(col("pk"), col("deg"), (lit(base) + col("cin")).as("rank"))
-      // one mid-loop barrier: halves the single-DAG depth AQE has to
-      // replan in one shot (measured: cuts tail variance vs the fully
-      // lazy 8-round chain at identical best-case time)
-      if (i == PrIters / 2) ranks = graft.Checkpoints.cp(ranks)
+      // renamed projection of the prev frame: disambiguates the self-join
+      // (ranks feeds both contrib and the refresh) without a barrier
+      val prev = ranks.select(col("pk").as("ppk"), col("deg").as("pdeg"),
+        col("rank").as("prank"))
+      val next = graft.Checkpoints.cpLazy(
+        contrib.join(prev, contrib("dst") === prev("ppk"))
+          .select(col("ppk").as("pk"), col("pdeg").as("deg"),
+            (lit(base) + col("cin")).as("rank"),
+            abs(lit(base) + col("cin") - col("prank")).as("moved")))
+      // exact integer movement; empty graph sums to NULL → 0 → stop at
+      // round 1 (no movement on no rows), matching the oracle's coalesce
+      val moved = next.agg(coalesce(sum(col("moved")), lit(0L)))
+        .first().getLong(0)
+      ranks = next
+      if (moved * PrEpsInv < PrScale) { converged = true; stopRound = round }
+      round += 1
     }
     ranks.select(col("pk").as("partkey"), col("deg"), col("rank"))
+      .withColumn("stop_round", lit(stopRound))
   }
 
   val partPagerankSql: String = {
@@ -93,15 +142,25 @@ object Graph {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // unrolled round references the previous one twice (p and c) — 2^8
     // copies of the whole chain without it (observed: a >79 GB spill at
-    // sf0.1; materialized, the oracle is linear in rounds)
+    // sf0.1; materialized, the oracle is linear in rounds). The stop rule
+    // is replayed exactly: every round's movement scalar m_i is computed
+    // from the materialized unroll, the first round with
+    // mv · PrEpsInv < PrScale wins, and the matching r_i is selected.
     val iters = (1 to PrIters).map { i =>
       s"""r$i AS MATERIALIZED (
         SELECT p.pk, p.deg, p.n_nodes, $base + COALESCE(c.cin, 0) AS rank
         FROM r${i - 1} p LEFT JOIN (
           SELECT e.dst AS pk, CAST(sum((r.rank * 85) // (100 * r.deg)) AS BIGINT) AS cin
           FROM r${i - 1} r JOIN edges e ON r.pk = e.src
-          GROUP BY e.dst) c USING (pk))"""
+          GROUP BY e.dst) c USING (pk)),
+      m$i AS (
+        SELECT coalesce(CAST(sum(abs(a.rank - b.rank)) AS BIGINT), 0) AS mv
+        FROM r$i a JOIN r${i - 1} b USING (pk))"""
     }.mkString(",\n")
+    val mUnion = (1 to PrIters)
+      .map(i => s"SELECT $i AS i, mv FROM m$i").mkString(" UNION ALL ")
+    val rUnion = (1 to PrIters)
+      .map(i => s"SELECT $i AS i, pk, deg, rank FROM r$i").mkString(" UNION ALL ")
     s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     edges AS MATERIALIZED (
       SELECT DISTINCT a.pk AS src, b.pk AS dst
@@ -109,8 +168,11 @@ object Graph {
     deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
     r0 AS MATERIALIZED (SELECT src AS pk, deg, n_nodes, $PrScale // n_nodes AS rank FROM deg, n),
-    $iters
-    SELECT pk AS partkey, deg, rank FROM r$PrIters"""
+    $iters,
+    stop AS (SELECT coalesce(min(i), $PrIters) AS s
+             FROM ($mUnion) mm WHERE mm.mv * $PrEpsInv < $PrScale)
+    SELECT u.pk AS partkey, u.deg, u.rank, CAST(s.s AS INTEGER) AS stop_round
+    FROM ($rUnion) u JOIN stop s ON u.i = s.s"""
   }
 
   /** Minimum co-order support for a triangle-census edge: pairs co-ordered

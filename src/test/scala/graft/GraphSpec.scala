@@ -10,9 +10,11 @@ import graft.queries.Graph
 class GraphSpec extends SparkSpecBase {
 
   test("part pagerank matches brute-force integer propagation exactly") {
-    val out = Graph.partPagerank(spark, sfDir).collect()
+    val rows = Graph.partPagerank(spark, sfDir).collect()
+    val out = rows
       .map(r => r.getAs[Long]("partkey") ->
         ((r.getAs[Long]("deg"), r.getAs[Long]("rank")))).toMap
+    val outStop = rows.map(_.getAs[Int]("stop_round")).distinct
     Checkpoints.releaseAll()
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey").collect()
@@ -25,24 +27,32 @@ class GraphSpec extends SparkSpecBase {
     val n = deg.size
     assert(n > 0 && out.size === n, "node set = parts with >=1 co-order partner")
     var rank: Map[Long, Long] = deg.keys.map(_ -> Graph.PrScale / n).toMap
-    var prev = rank
-    for (_ <- 1 to Graph.PrIters) {
-      prev = rank
+    // replay the convergence contract exactly: stop after the first round
+    // that moved < PrScale/PrEpsInv of total mass, cap at PrIters
+    var stop = Graph.PrIters
+    var round = 1
+    var converged = false
+    var lastMoved = 0L
+    while (round <= Graph.PrIters && !converged) {
+      val prev = rank
       val in = edges.toSeq.groupBy(_._2).view.mapValues(
         _.map { case (u, _) => rank(u) * 85 / (100 * deg(u)) }.sum).toMap
       rank = rank.map { case (v, _) =>
         v -> (15L * (Graph.PrScale / n) / 100 + in.getOrElse(v, 0L))
       }
+      lastMoved = rank.map { case (v, r) => math.abs(r - prev(v)) }.sum
+      if (lastMoved * Graph.PrEpsInv < Graph.PrScale) { converged = true; stop = round }
+      round += 1
     }
+    assert(outStop.toSeq === Seq(stop), s"stop_round: got ${outStop.toSeq}, want $stop")
     rank.foreach { case (v, r) =>
       assert(out(v)._1 === deg(v), s"deg($v)")
       assert(out(v)._2 === r, s"rank($v)")
     }
-    // near-stationary at the fixed bound: the last round moved < 0.5% of
-    // total mass (the iteration count is a convergence claim, not a guess)
-    val moved = rank.map { case (v, r) => math.abs(r - prev(v)) }.sum.toDouble
+    // the stop rule IS the stationarity claim: the emitted round moved
+    // < 0.1% of total mass (or the cap was hit with < 0.5% residual)
     val mass = rank.values.sum.toDouble
-    assert(moved / mass < 0.005, f"last round moved ${moved / mass}%.4f of mass")
+    assert(lastMoved / mass < 0.005, f"last round moved ${lastMoved / mass}%.4f of mass")
   }
 
   test("triangle census: hand-built graph with known triangles and support cut") {
