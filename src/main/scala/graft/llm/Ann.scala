@@ -337,7 +337,8 @@ object Ann {
         dot(col("embedding"), col("cv")) / (norm(col("embedding")) * norm(col("cv"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= NProbe)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("rn"))
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
+        col("ccos"), col("rn"))
   }
 
   /** D7b: IVF ANN — same top-k contract as brute force, but candidates come
@@ -403,7 +404,7 @@ object Ann {
       SELECT v.vec_id, v.embedding, c.cell, $ccosCent AS ccos
       FROM embeddings v, cents c),
     ranked AS MATERIALIZED (
-      SELECT vec_id, embedding, cell, rn FROM (
+      SELECT vec_id, embedding, cell, ccos, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
           ORDER BY ccos DESC, cell ASC) AS rn FROM r0) WHERE rn <= $NProbe)"""
   }
@@ -448,6 +449,62 @@ object Ann {
     asg AS (SELECT vec_id, cell AS cluster FROM ranked WHERE rn = 1),
     sz AS (SELECT cluster, count(*) AS cluster_size FROM asg GROUP BY cluster)
     SELECT vec_id, cluster, cluster_size FROM asg JOIN sz USING (cluster)"""
+
+  /** Outlier deviation margin in shifted-e4 units: a vector whose cosine
+    * to its OWN centroid sits more than 0.05 below its cluster's mean
+    * centroid-cosine is flagged. The margin is data policy; the contract
+    * is the shape (per-cluster mean, per-vector deviation, exact integer
+    * compare).
+    */
+  val OutlierDevE4 = 500L
+
+  /** D56: embedding-space outlier report — per vector: its k-means
+    * cluster, its cosine to the cluster centroid, the cluster's mean
+    * centroid-cosine, and an outlier flag for vectors far inside their
+    * own cluster's tail. The embedding-quality gate a curation pipeline
+    * runs after (re)embedding: a truncated input, a bad encode batch, or
+    * genuinely out-of-distribution content shows up as a flagged row —
+    * BEFORE the vectors poison dedup (D31) or ANN serving (D53).
+    *
+    * Determinism: the centroid cosine is the same bit-identical dot/norm
+    * fold the IVF family hash-checks; it quantizes to SHIFTED e4 integers
+    * (floor((ccos+1)·1e4) ∈ [0, 2e4] — the shift keeps every value
+    * non-negative so integer division is truncation-consistent across
+    * engines; Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, which diverges on negatives). The cluster mean is an exact
+    * integer sum div count. Plan: reuses the broadcast-centroid
+    * assignment pass; the K-row cluster stats broadcast back over the
+    * checkpointed assignment — nothing corpus-sized shuffles twice.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell").as("cluster"),
+        floor((col("ccos") + lit(1d)) * lit(10000d)).cast("bigint").as("ce4p"))
+      .transform(graft.Checkpoints.cp)
+    val stats = asg.groupBy(col("cluster"))
+      .agg(expr("CAST(sum(ce4p) div count(1) AS BIGINT)").as("mean_e4p"),
+        count(lit(1)).as("cluster_size"))
+    asg.join(broadcast(stats), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        (col("ce4p") - lit(10000L)).as("cos_e4"),
+        (col("mean_e4p") - lit(10000L)).as("cluster_mean_e4"),
+        col("cluster_size"),
+        (col("mean_e4p") - col("ce4p") > lit(OutlierDevE4)).as("is_outlier"))
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH $ivfRankedCtes,
+    asg AS MATERIALIZED (
+      SELECT vec_id, cell AS cluster,
+             CAST(floor((ccos + 1) * 10000) AS BIGINT) AS ce4p
+      FROM ranked WHERE rn = 1),
+    st AS (SELECT cluster, CAST(sum(ce4p) // count(*) AS BIGINT) AS mean_e4p,
+                  CAST(count(*) AS BIGINT) AS cluster_size
+           FROM asg GROUP BY cluster)
+    SELECT vec_id, cluster, ce4p - 10000 AS cos_e4,
+           mean_e4p - 10000 AS cluster_mean_e4, cluster_size,
+           (mean_e4p - ce4p) > $OutlierDevE4 AS is_outlier
+    FROM asg JOIN st USING (cluster)"""
 
   /** Semantic-dedup cosine threshold: pairs at or above it inside one
     * k-means cell are semantic duplicates. 0.35 is deliberately permissive

@@ -299,6 +299,88 @@ object Sampling {
     WHERE CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR) || ':' || coalesce(d.source, '')), 1, 6)
                AS BIGINT) % 100 < keep_rate_pct"""
 
+  /** Training-token budget as a multiple of the corpus's total tokens, and
+    * the per-source repetition cap in e2 fixed point (4.00 epochs — the
+    * "up to ~4 epochs repeats are nearly as good as fresh data" regime of
+    * Muennighoff et al. 2023, Data-Constrained Language Models).
+    */
+  val EpochBudgetMult = 2L
+  val EpochCapE2 = 400L
+
+  /** D55: data-constrained epoch schedule — D52's complement for the case
+    * where the budget EXCEEDS the corpus instead of undershooting it:
+    * given a training budget of EpochBudgetMult × total tokens, how many
+    * times does each provenance feed repeat? Target tokens per source
+    * follow the same √-mass share as D52 (tail feeds get proportionally
+    * MORE repeats, dominant feeds fewer — temperature flattening applied
+    * to repetition instead of downsampling), capped at EpochCapE2/100
+    * epochs; the report carries each feed's effective token contribution
+    * and the deficit the cap leaves unfilled — the number a mixture owner
+    * re-allocates by hand.
+    *
+    * All integer arithmetic on the same e6-quantized √ masses as D52 (an
+    * order-independent integer sum; one exact DECIMAL(38,0)/HUGEINT
+    * division per source), so the schedule is bit-identical across
+    * engines. Zero-token sources take 0 epochs (nothing to repeat — the
+    * div-guard case). Plan: ONE source-bounded aggregate + a 1-row total
+    * cross-joined back — output is |sources| rows, nothing corpus-sized
+    * shuffles.
+    */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      coalesce(col("source"), lit("")).as("source"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("bigint").as("n_ws_tokens"))
+    val st = d.groupBy(col("source"))
+      .agg(sum(col("n_ws_tokens")).as("src_toks"))
+      .withColumn("isq",
+        floor(sqrt(col("src_toks").cast("double")) * 1e6).cast("bigint"))
+    val tot = st.agg(sum(col("src_toks")).as("total_toks"),
+      sum(col("isq")).as("sum_isq"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("target_toks",
+        when(col("sum_isq") === 0, lit(0L)).otherwise(expr(
+          s"CAST((CAST($EpochBudgetMult AS DECIMAL(38,0)) * total_toks * isq)" +
+            " div CAST(sum_isq AS DECIMAL(38,0)) AS BIGINT)")))
+      .withColumn("epochs_e2",
+        when(col("src_toks") === 0, lit(0L))
+          .otherwise(least(lit(EpochCapE2),
+            expr("(100 * target_toks) div src_toks"))))
+      .withColumn("effective_toks", expr("(epochs_e2 * src_toks) div 100"))
+      .withColumn("deficit_toks",
+        greatest(lit(0L), col("target_toks") - col("effective_toks")))
+      .select(col("source"), col("src_toks"), col("target_toks"),
+        col("epochs_e2"), col("effective_toks"), col("deficit_toks"))
+  }
+
+  val mixtureEpochsSql: String =
+    s"""WITH d AS (
+      SELECT coalesce(source, '') AS source,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+      FROM documents),
+    st AS (SELECT source, CAST(sum(n_ws_tokens) AS BIGINT) AS src_toks,
+                  CAST(floor(sqrt(CAST(sum(n_ws_tokens) AS DOUBLE)) * 1e6) AS BIGINT) AS isq
+           FROM d GROUP BY source),
+    tot AS (SELECT CAST(sum(src_toks) AS BIGINT) AS total_toks,
+                   CAST(sum(isq) AS BIGINT) AS sum_isq FROM st),
+    sched AS (
+      SELECT source, src_toks,
+             CASE WHEN sum_isq = 0 THEN 0
+                  ELSE CAST((CAST($EpochBudgetMult AS HUGEINT) * total_toks * isq)
+                            // CAST(sum_isq AS HUGEINT) AS BIGINT) END AS target_toks
+      FROM st CROSS JOIN tot)
+    SELECT source, src_toks, target_toks,
+           CASE WHEN src_toks = 0 THEN 0
+                ELSE least($EpochCapE2, (100 * target_toks) // src_toks) END AS epochs_e2,
+           (CASE WHEN src_toks = 0 THEN 0
+                 ELSE least($EpochCapE2, (100 * target_toks) // src_toks) END
+             * src_toks) // 100 AS effective_toks,
+           greatest(0, target_toks -
+             (CASE WHEN src_toks = 0 THEN 0
+                   ELSE least($EpochCapE2, (100 * target_toks) // src_toks) END
+               * src_toks) // 100) AS deficit_toks
+    FROM sched"""
+
   val ExactSampleN = 200
 
   /** D39: exact-N uniform sample WITHOUT replacement and WITHOUT a global

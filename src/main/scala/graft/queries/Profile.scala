@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-profiling operators — the ANALYZE-style table statistics and
+  * referential-integrity audits an operator fleet runs before trusting a
+  * new 100 TB drop. The reference pipeline implicitly assumes both (its
+  * validation pass joins facts to the office dim and reports mismatches,
+  * process_capex.py:1029-1090); these make the checks first-class and
+  * table-generic.
+  */
+object Profile {
+
+  /** Code-time column spec for the profiled fact: (name, kind). Kind picks
+    * the engine-stable min/max rendering — int/str cast directly, doubles
+    * go through DECIMAL(18,2) (both engines print '949.50'; a raw
+    * double→string would diverge on scientific-notation thresholds), and
+    * timestamps truncate to DATE (ISO text in both engines; sub-day
+    * precision stays inside n_distinct, which hashes the full value).
+    * Scala aggregate and DuckDB oracle are generated from this one list,
+    * so the two engines can't drift column-wise.
+    */
+  private val LineitemCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "dbl",
+    "l_extendedprice" -> "dbl", "l_discount" -> "dbl", "l_tax" -> "dbl",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  private def fmt(c: Column, kind: String): Column = kind match {
+    case "dbl" => c.cast("decimal(18,2)").cast("string")
+    case "ts"  => c.cast("date").cast("string")
+    case _     => c.cast("string")
+  }
+
+  /** E43: per-column table profile of the lineitem fact — row count,
+    * non-null count, exact distinct count, engine-stable min/max text.
+    * The ingest-acceptance gate: a feed that suddenly ships 40% null
+    * partkeys or a new enum value shows up as a diff of this frame, not
+    * as a downstream incident.
+    *
+    * Plan: ONE aggregate pass. The multi-column exact distincts plan as
+    * Spark's single-shuffle Expand (rows × |cols| map-side, one
+    * exchange) — the standard ANALYZE cost, paid once per drop; at
+    * 100 TB the documented cheap path is swapping count_distinct for
+    * approx_count_distinct (the E12 digest pattern) at the cost of the
+    * oracle's exactness. The single stats row is reshaped to one row per
+    * column by stack (Expand over ONE row — free).
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
+    val aggs: Seq[Column] = LineitemCols.flatMap { case (c, k) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      count_distinct(col(c)).as(s"nd_$c"),
+      fmt(min(col(c)), k).as(s"mn_$c"),
+      fmt(max(col(c)), k).as(s"mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = LineitemCols.map { case (c, _) =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c"
+    }.mkString(", ")
+    row.select(col("n_rows"), expr(
+      s"stack(${LineitemCols.size}, $stackArgs)" +
+        " AS (col_name, n_nonnull, n_distinct, min_str, max_str)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
+  val tableStatsSql: String = {
+    def sqlFmt(expr: String, kind: String): String = kind match {
+      case "dbl" => s"CAST(CAST($expr AS DECIMAL(18,2)) AS VARCHAR)"
+      case "ts"  => s"CAST(CAST($expr AS DATE) AS VARCHAR)"
+      case _     => s"CAST($expr AS VARCHAR)"
+    }
+    val rows = LineitemCols.map { case (c, k) =>
+      s"""SELECT '$c' AS col_name, (SELECT count(*) FROM lineitem) AS n_rows,
+        CAST(count($c) AS BIGINT) AS n_nonnull,
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        ${sqlFmt(s"min($c)", k)} AS min_str,
+        ${sqlFmt(s"max($c)", k)} AS max_str
+      FROM lineitem"""
+    }
+    rows.mkString("\nUNION ALL\n")
+  }
+
+  /** Code-time relationship spec: (child table, fk col, parent table, pk
+    * col). Both engines generate from this list.
+    */
+  private val Relationships: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** E44: referential-integrity audit across the star schema — per
+    * relationship: child rows carrying a non-null FK, orphans (FK value
+    * absent from the parent), and the orphan rate in exact basis points.
+    * The join-health gate: a partial dim load or a fact feed running
+    * ahead of its dimension shows up as a non-zero orphan_bp BEFORE a
+    * downstream inner join silently drops the rows.
+    *
+    * Plan: per relationship, ONE left join of the FK projection against
+    * the distinct parent-key projection (both column-pruned scans), then
+    * a single-row aggregate — shuffle keyed by the FK. No broadcast
+    * hint: dims are catalog-sized (they scale with the dataset), so AQE
+    * sizes each join at runtime — the part_triangles lesson. The 7
+    * single-row aggregates union into a bounded report frame.
+    */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Relationships.map { case (ct, fk, pt, pk) =>
+      val child = Tables.table(spark, dir, ct)
+        .filter(col(fk).isNotNull).select(col(fk).as("fk"))
+      val parent = Tables.table(spark, dir, pt)
+        .filter(col(pk).isNotNull).select(col(pk).as("pk")).distinct()
+        .withColumn("hit", lit(1))
+      child.join(parent, col("fk") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(s"$ct.$fk->$pt.$pk").as("relationship"),
+          coalesce(col("n_child"), lit(0L)).as("n_child"),
+          coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
+        .withColumn("orphan_bp",
+          when(col("n_child") === 0, lit(0L))
+            .otherwise(expr("(10000 * n_orphans) div n_child")))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
+  val fkIntegritySql: String = {
+    val rows = Relationships.map { case (ct, fk, pt, pk) =>
+      s"""SELECT '$ct.$fk->$pt.$pk' AS relationship,
+        CAST(count(*) AS BIGINT) AS n_child,
+        CAST(count(*) FILTER (WHERE p.pk IS NULL) AS BIGINT) AS n_orphans,
+        CASE WHEN count(*) = 0 THEN 0
+             ELSE CAST((10000 * count(*) FILTER (WHERE p.pk IS NULL))
+                       // count(*) AS BIGINT) END AS orphan_bp
+      FROM (SELECT $fk AS fk FROM $ct WHERE $fk IS NOT NULL) c
+      LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $pt WHERE $pk IS NOT NULL) p
+        ON c.fk = p.pk"""
+    }
+    rows.mkString("\nUNION ALL\n")
+  }
+}
