@@ -33,7 +33,13 @@ object Bench {
     // layout; the one-time bucketed write happens in the untimed warmup
     // (a real deployment pays it at ingest), so the tracked number is the
     // zero-exchange pipeline tail
-    "capex_pipeline_bucketed")
+    "capex_pipeline_bucketed",
+    // r6 additions: the persisted-ANN serving probe (index built in the
+    // untimed warmup, same pay-at-ingest convention as the bucketed
+    // flagship), the tokenizer-true BPE encode (the heaviest per-row text
+    // pass), and the two profiling gates with real scan/shuffle cost
+    // (table_stats' Expand distincts, fk_integrity's 7 keyed joins)
+    "ann_index_probe", "text_bpe_encode", "table_stats", "fk_integrity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -228,9 +228,15 @@ object Ann {
     * Output ≡ ann_lsh row-for-row: same buckets, same codegen'd dot fold,
     * same tie-breaks — the gate hash-checks both against ONE oracle.
     */
-  def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.sources.BucketedSink.readTable(
-      spark, graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, dir))
+  def annIndexProbe(spark: SparkSession, dir: String): DataFrame =
+    probeIndexTable(spark,
+      graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, dir))
+
+  /** Probe an arbitrary stored index table (spec harnesses probe
+    * append-built tables to prove the incremental-ingest layout).
+    */
+  private[graft] def probeIndexTable(spark: SparkSession, table: String): DataFrame = {
+    val idx = graft.sources.BucketedSink.readTable(spark, table)
     val q = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
     val c = idx.select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("bucket"))

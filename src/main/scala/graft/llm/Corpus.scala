@@ -255,6 +255,73 @@ object Corpus {
     SELECT p.doc_id, p.q4, CAST(t.tier AS BIGINT) AS tier
     FROM per_doc p JOIN t USING (q4)"""
 
+  /** D58: quality-signal agreement report — per D28 quality tier: doc
+    * count, mean heuristic score (e4), and the tier's LM typicality (D32's
+    * corpus-trained bigram score) as one exact nano-scaled integer. The
+    * calibration gate for the CHEAP filter: the heuristic score is what a
+    * 100 TB pipeline actually gates on (one scan, no model), and this
+    * report shows whether it agrees with the statistical signal — a flat
+    * or inverted typicality-by-tier curve means the heuristic is filtering
+    * noise, caught BEFORE a bad gate drops petabytes.
+    *
+    * Determinism: per-tier typicality is Σsp div Σn over the per-doc EXACT
+    * integer LM sums (TextOps.lmDocSums) — integer sums are
+    * order-independent where a mean of per-doc doubles would ulp-drift
+    * with aggregation order; mean_q4 likewise sums e4-quantized ints.
+    * Plan: the two per-doc scans join on doc_id, ONE partial-agg shuffle
+    * bounded by the tier count (10 rows out).
+    */
+  def qualityLmAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = qualityTiers(spark, dir)
+    val lm = TextOps.lmDocSums(
+      Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+    tiers.join(lm, Seq("doc_id"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q4")).as("sum_q4"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sp")).as("sum_sp"))
+      .select(col("tier"), col("n_docs"),
+        expr("sum_q4 div n_docs").as("mean_q4"),
+        col("n_bigrams"),
+        when(col("n_bigrams") > 0, expr("sum_sp div n_bigrams"))
+          .otherwise(lit(0L)).as("typ_nano"))
+  }
+
+  val qualityLmAgreementSql: String = {
+    val v2 = TextOps.LmAlphabetSize * TextOps.LmAlphabetSize
+    s"""WITH per_doc AS (
+      SELECT doc_id, CAST(round(${TextOps.qualityExprSql("toks")} * 10000, 0) AS BIGINT) AS q4
+      FROM (SELECT doc_id, text, ${TextOps.toksSql} AS toks FROM documents)),
+    freq AS (SELECT q4, count(*) AS cnt FROM per_doc GROUP BY q4),
+    b AS (
+      SELECT q4,
+        coalesce(sum(cnt) OVER (ORDER BY q4 ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        sum(cnt) OVER () AS n
+      FROM freq),
+    t AS (SELECT q4, least($QualityTiers, cum_before * $QualityTiers // n + 1) AS tier FROM b),
+    lmt AS (SELECT doc_id, ${TextOps.lmNormSql} AS s FROM documents),
+    bg AS (SELECT doc_id, unnest(${TextOps.lmBigramsSql("s")}) AS b FROM lmt),
+    cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    tot AS (SELECT coalesce(sum(c), 0) AS tc FROM cnt),
+    probs AS (SELECT b,
+        CAST((CAST(c AS HUGEINT) + 1) * ${TextOps.LmNano} // (tc + $v2) AS BIGINT) AS p
+      FROM cnt, tot),
+    persum AS (
+      SELECT doc_id, count(*) AS n, CAST(sum(p) AS BIGINT) AS sp
+      FROM bg JOIN probs USING (b) GROUP BY doc_id),
+    joined AS (
+      SELECT t.tier, p.q4, coalesce(ps.n, 0) AS n, coalesce(ps.sp, 0) AS sp
+      FROM per_doc p JOIN t USING (q4) LEFT JOIN persum ps USING (doc_id))
+    SELECT CAST(tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q4) // count(*) AS BIGINT) AS mean_q4,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CASE WHEN sum(n) > 0 THEN CAST(sum(sp) // sum(n) AS BIGINT)
+                ELSE 0 END AS typ_nano
+    FROM joined GROUP BY tier"""
+  }
+
   val TopDocs = 100
 
   /** D29: global top-N by quality — orderBy(...).limit(N) deliberately,

@@ -782,6 +782,87 @@ object Dedup {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3"""
 
+  /** Containment floor in basis points: 0.80 of the smaller doc's shingles
+    * must appear in the larger one.
+    */
+  val ContainBp = 8000L
+
+  /** D57: containment (coverage) pairs — the ASYMMETRIC complement of D4's
+    * Jaccard: C(A→B) = |A∩B| / |A| flags a small document swallowed by a
+    * large one (a quote reposted inside an aggregator page, a doc embedded
+    * in a crawl concatenation), which symmetric Jaccard misses entirely —
+    * |∩|/|∪| goes to zero as the container grows while containment stays
+    * at 1. Emits (contained, container) with the intersection and an EXACT
+    * integer basis-point containment of the smaller side (ties → the
+    * lower id is "contained", matching the a<b pair orientation).
+    *
+    * Scale shape: identical to D4 — candidates ONLY from the inverted
+    * shingle-hash equality join (never all-pairs), intersection as one
+    * map-side-combinable count per candidate pair, sizes joined back from
+    * the checkpointed shingle table. All-integer output (no double ratio),
+    * so the oracle hash-checks exactly.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentOfShingled(docsWithShingles(spark, dir))
+
+  /** Core over any (doc_id, shingles) frame (spec harnesses feed synthetic
+    * corpora where the Jaccard-vs-containment asymmetry is constructed).
+    */
+  private[graft] def dedupContainmentOfShingled(shingled: DataFrame): DataFrame = {
+    val sh = shingled
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .transform(graft.Checkpoints.cp)
+    val sizes = sh.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val pairs = inv.select(col("doc_id").as("doc_a"), col("h"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("cont_bp", expr("(10000 * inter) div least(n_a, n_b)"))
+      .filter(col("cont_bp") >= ContainBp)
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("container_id"),
+        col("inter"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        greatest(col("n_a"), col("n_b")).as("n_container"),
+        col("cont_bp"))
+  }
+
+  def dedupContainmentSql: String =
+    s"""WITH sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(${TextOps.shinglesSql("toks")}) AS shingles
+      FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh2),
+    inv AS MATERIALIZED (
+      SELECT doc_id, md5(s) AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh2)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             (10000 * inter) // least(sa.n_sh, sb.n_sh) AS cont_bp
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_id,
+           CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_id,
+           inter,
+           least(n_a, n_b) AS n_contained,
+           greatest(n_a, n_b) AS n_container,
+           cont_bp
+    FROM scored WHERE cont_bp >= $ContainBp"""
+
   val EditK = 4                 // max edit distance
   val EditSegs = EditK + 1      // pigeonhole: K edits can't touch K+1 segments
 

@@ -241,12 +241,12 @@ object TextOps {
     * array (not raw text) so both engines share one normal form with no
     * regex-dialect drift beyond the already-mirrored tokenizer.
     */
-  private def lmNorm(text: Column): Column =
+  private[llm] def lmNorm(text: Column): Column =
     regexp_replace(array_join(toks(text), " "), "[0-9]", "0")
-  private val lmNormSql: String =
+  private[llm] val lmNormSql: String =
     s"regexp_replace(array_to_string($toksSql, ' '), '[0-9]', '0', 'g')"
 
-  private def lmBigramsSql(sExpr: String): String =
+  private[llm] def lmBigramsSql(sExpr: String): String =
     s"list_transform(range(1, greatest(length($sExpr) - 1, 0) + 1), " +
       s"i -> substr($sExpr, CAST(i AS INT), 2))"
 
@@ -284,6 +284,18 @@ object TextOps {
     * and probabilities ship as a V²-slot ARRAY literal indexed by slot.
     */
   private[graft] def textLmScoreOf(docs0: DataFrame): DataFrame = {
+    val n = col("n_bigrams")
+    lmDocSums(docs0).select(
+      col("doc_id"), n,
+      when(n > 0, col("sp").cast("double") / n).otherwise(0.0).as("typicality"))
+  }
+
+  /** Per-doc EXACT integer LM sums — (doc_id, n_bigrams, sp) where sp is
+    * the Σ of nano-scaled bigram probabilities. The integer form exists so
+    * aggregations over docs (D58's per-tier means) stay order-independent;
+    * the public D32 typicality is sp/n over these.
+    */
+  private[graft] def lmDocSums(docs0: DataFrame): DataFrame = {
     val v = LmAlphabetSize
     // one O(len) pass: normalized text → per-char code array. split(s, "")
     // may emit stray empty strings at the ends depending on regex engine —
@@ -313,7 +325,7 @@ object TextOps {
     codes.select(
       col("doc_id"),
       n.cast("bigint").as("n_bigrams"),
-      when(n > 0, sumP.cast("double") / n).otherwise(0.0).as("typicality"))
+      sumP.as("sp"))
   }
   val textLmScoreSql: String = {
     val v2 = LmAlphabetSize * LmAlphabetSize

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -39,13 +39,34 @@ object AnnIndexSink {
 
   /** Write the hyperplane-bucketed embedding index for `dir`'s corpus. */
   def writeEmbeddingIndex(spark: SparkSession, dir: String, table: String,
-                          buckets: Int): Unit = {
-    val idx = Tables.embeddings(spark, dir)
+                          buckets: Int): Unit =
+    writeEmbeddingIndexOf(Tables.embeddings(spark, dir), table, buckets)
+
+  /** Batch-parametric build (ingest pipelines index frames, not dirs). */
+  def writeEmbeddingIndexOf(batch: DataFrame, table: String,
+                            buckets: Int): Unit = {
+    val idx = batch
       .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", graft.llm.Ann.lshBucket(col("embedding")))
     BucketedSink.writeBucketed(idx, table, "bucket", buckets,
       sortCols = Seq("bucket"))
   }
+
+  /** Incremental ingest: append a new batch into the EXISTING index table.
+    * Bucket ids are content-keyed (md5-derived hyperplane signs), so the
+    * new batch computes the identical bucket scheme and V1 insert honors
+    * the catalog's bucket spec — the appended files land hashed into the
+    * same layout and every downstream probe keeps its exchange-free index
+    * side. This is the daily-crawl path the sink's scaladoc promises:
+    * rebuild only when the hyperplane family changes. (AnnIndexSpec proves
+    * a half-build + append probes identically to a full build — which is
+    * also the layout-correctness proof: a mis-bucketed append would make
+    * the bucket-trusting join silently MISS rows, not just slow down.)
+    */
+  def appendEmbeddings(batch: DataFrame, table: String): Unit =
+    batch.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", graft.llm.Ann.lshBucket(col("embedding")))
+      .write.insertInto(table)
 
   /** Idempotent build: write the index only if this dataset's table is
     * missing; returns the table name. Bucket count follows the BucketedSink

@@ -81,6 +81,33 @@ class AnnIndexSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("incremental append probes identically to a full build") {
+    val tbl = "ann_emb_idx_append_case"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val v = Tables.embeddings(spark, sfDir)
+    AnnIndexSink.writeEmbeddingIndexOf(
+      v.filter(col("vec_id") % 2 === 0), tbl, buckets = 8)
+    AnnIndexSink.appendEmbeddings(v.filter(col("vec_id") % 2 === 1), tbl)
+    // result parity is ALSO the layout proof: the probe join trusts the
+    // bucket files, so a mis-bucketed append would silently drop
+    // candidates, not merely slow down
+    assert(rows(Ann.probeIndexTable(spark, tbl)) == rows(Ann.annLsh(spark, sfDir)))
+    // and the appended table still serves exchange-free on the index side
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val bucketShuffles = Ann.probeIndexTable(spark, tbl)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.toString.contains("bucket"))
+      assert(bucketShuffles.isEmpty,
+        "append broke the bucket layout:\n" + bucketShuffles.mkString("\n").take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    Checkpoints.releaseAll()
+  }
+
   test("index table is content-fingerprinted per dataset") {
     val t1 = AnnIndexSink.ensureEmbeddingIndex(spark, sfDir)
     val t2 = AnnIndexSink.ensureEmbeddingIndex(spark, "/root/testdata/sf0.01")

@@ -1208,4 +1208,67 @@ class LlmOpsSpec extends SparkSpecBase {
       assert(degen == (col.min == col.max))
     }
   }
+
+  test("quality_lm_agreement matches exact integer recompute from its parts") {
+    val out = graft.llm.Corpus.qualityLmAgreement(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("tier") -> r).toMap
+    Checkpoints.releaseAll()
+    val tiers = graft.llm.Corpus.qualityTiers(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("tier"), r.getAs[Long]("q4")))).toMap
+    Checkpoints.releaseAll()
+    val lm = TextOps.lmDocSums(Tables.documents(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sp")))).toMap
+    Checkpoints.releaseAll()
+    val byTier = tiers.toSeq.groupBy(_._2._1)
+    assert(out.keySet === byTier.keySet)
+    byTier.foreach { case (tier, docs) =>
+      val nDocs = docs.length.toLong
+      val sumQ4 = docs.map(_._2._2).sum
+      val sumN = docs.map(d => lm(d._1)._1).sum
+      val sumSp = docs.map(d => lm(d._1)._2).sum
+      val r = out(tier)
+      assert(r.getAs[Long]("n_docs") === nDocs, s"n_docs(t$tier)")
+      assert(r.getAs[Long]("mean_q4") === sumQ4 / nDocs, s"mean_q4(t$tier)")
+      assert(r.getAs[Long]("n_bigrams") === sumN, s"n_bigrams(t$tier)")
+      assert(r.getAs[Long]("typ_nano") ===
+        (if (sumN > 0) sumSp / sumN else 0L), s"typ_nano(t$tier)")
+    }
+  }
+
+  test("dedup_containment catches the sub-document pair Jaccard misses") {
+    import spark.implicits._
+    // doc 1 (10 shingles) is 90% contained in doc 2 (100 shingles):
+    // containment 0.9 >= 0.8 while Jaccard = 9/101 ~= 0.089 << 0.3
+    val small = (1 to 10).map(i => s"s$i")
+    val container = (1 to 9).map(i => s"s$i") ++ (1 to 91).map(i => s"t$i")
+    val other = (1 to 20).map(i => s"u$i")
+    val shingled = Seq(
+      (1L, small), (2L, container), (3L, other)
+    ).toDF("doc_id", "shingles")
+    val out = Dedup.dedupContainmentOfShingled(shingled).collect()
+    Checkpoints.releaseAll()
+    assert(out.length === 1, "exactly the constructed pair")
+    val r = out.head
+    assert(r.getAs[Long]("contained_id") === 1L)
+    assert(r.getAs[Long]("container_id") === 2L)
+    assert(r.getAs[Long]("inter") === 9L)
+    assert(r.getAs[Long]("n_contained") === 10L)
+    assert(r.getAs[Long]("n_container") === 100L)
+    assert(r.getAs[Long]("cont_bp") === 9000L)
+  }
+
+  test("dedup_containment on testdata: internally consistent, non-vacuous") {
+    val rows = Dedup.dedupContainment(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    assert(rows.nonEmpty, "the seeded duplicates must surface")
+    rows.foreach { r =>
+      val inter = r.getAs[Long]("inter")
+      val nc = r.getAs[Long]("n_contained")
+      val nb = r.getAs[Long]("n_container")
+      assert(r.getAs[Long]("cont_bp") >= Dedup.ContainBp)
+      assert(r.getAs[Long]("cont_bp") === 10000L * inter / nc)
+      assert(inter <= nc && nc <= nb)
+      assert(r.getAs[Long]("contained_id") !== r.getAs[Long]("container_id"))
+    }
+  }
 }

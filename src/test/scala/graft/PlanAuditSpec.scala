@@ -291,6 +291,36 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("table_stats: one join-free aggregate pass, scan pruned to profiled cols") {
+    val p = planOf(queries.Profile.tableStats(spark, sfDir))
+    assert(!p.contains("Join"), "profile must be a single aggregate pass")
+    // the multi-distinct plans as ONE Expand ahead of the aggregate
+    assert(p.contains("Expand"), "expected the multi-distinct Expand")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_orderkey") && read.contains("l_shipdate"), read)
+  }
+
+  test("fk_integrity: keyed joins only, each scan pruned to its key column") {
+    val p = planOf(queries.Profile.fkIntegrity(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "FK probes must stay keyed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "FK probes must stay keyed")
+    // child scans read ONLY the FK column (lineitem appears 3x: orderkey,
+    // partkey, suppkey probes — each pruned to its single key)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val liReads = reads.filter(_.contains("l_"))
+    assert(liReads.nonEmpty &&
+      liReads.forall(r => !r.contains("l_extendedprice") && !r.contains("l_comment")),
+      liReads.mkString("\n"))
+  }
+
+  test("mixture_epochs: no corpus-sized join — one aggregate plus a 1-row total") {
+    val p = planOf(llm.Sampling.mixtureEpochs(spark, sfDir))
+    // the only join is the broadcast of the single-row totals frame
+    assert(!p.contains("SortMergeJoin"), "totals must broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "1-row cross join must be broadcast-shaped")
+  }
+
   test("embed_quantize: map-only plan, zero exchanges over a pre-split input") {
     val dir = java.nio.file.Files.createTempDirectory("graft-presplit-emb").toString
     Tables.embeddings(spark, sfDir)
