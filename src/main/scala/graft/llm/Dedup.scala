@@ -492,19 +492,59 @@ object Dedup {
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = graft.Checkpoints.cp(
-      pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    var labels = edges.select(col("doc_a").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-    for (_ <- 1 to MaxCcIters) {
-      val nb = edges.join(labels.withColumnRenamed("v", "doc_b"), Seq("doc_b"))
-        .groupBy(col("doc_a").as("v2")).agg(min(col("lbl")).as("nb"))
-      labels = graft.Checkpoints.cp(
-        labels.join(nb, col("v") === col("v2"), "left")
-          .select(col("v"), least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl")))
-    }
-    labels.select(col("v").as("doc_id"), col("lbl").as("component_id"))
+    ccLabelsOf(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("v").as("doc_id"), col("lbl").as("component_id"))
       .withColumn("is_keeper", col("doc_id") === col("component_id"))
+  }
+
+  /** Shared min-label connected-components loop over a SYMMETRIC
+    * (src, dst) edge list — used by D19's dedup clustering and E45's
+    * co-purchase communities. r6 discipline:
+    *
+    *  - the edge list persists LAZILY, hash-clustered on the per-round
+    *    join key, so InMemoryRelation keeps partitioning + stats — AQE
+    *    sizes each round's join at runtime and the edges never reshuffle
+    *    after their one exchange (the pagerank lesson);
+    *  - the per-round LABEL frame is a localCheckpoint, NOT a persist:
+    *    every round references the previous labels TWICE (the neighbor
+    *    join and the refresh), so a lineage-keeping barrier doubles the
+    *    logical plan per round — 2^MaxCcIters copies of the upstream edge
+    *    build, which is analysis-time death on a derived edge list
+    *    (measured: 645 s / driver OOM on the co-order graph vs 2 s with
+    *    the lineage cut). Node-sized frames checkpoint in milliseconds;
+    *  - EARLY EXIT at the exact fixed point: each round's frame carries a
+    *    `chg` flag and a cheap scalar aggregate over the checkpointed RDD
+    *    counts changed labels — min-label propagation is monotone, so a
+    *    zero-change round makes every further round a no-op and stopping
+    *    yields labels IDENTICAL to the oracle's full MaxCcIters unroll
+    *    (no oracle change; unlike pagerank, whose values keep moving and
+    *    need the stop rule mirrored in SQL). Near-dup graphs are
+    *    near-clique, so this stops after ~3 rounds instead of 8.
+    */
+  private[graft] def ccLabelsOf(edgesIn: DataFrame): DataFrame = {
+    val edges = graft.Checkpoints.cpLazy(edgesIn.repartition(col("dst")))
+    var labels = graft.Checkpoints.cp(
+      edges.select(col("src").as("v")).distinct().withColumn("lbl", col("v")))
+    var round = 1
+    var done = false
+    while (round <= MaxCcIters && !done) {
+      val nb = edges.join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("v2")).agg(min(col("lbl")).as("nb"))
+      val next = graft.Checkpoints.cp(
+        labels.join(nb, col("v") === col("v2"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
+            (col("nb").isNotNull && col("nb") < col("lbl"))
+              .cast("long").as("chg")))
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .first().getLong(0)
+      labels = next
+      if (changed == 0L) done = true
+      round += 1
+    }
+    labels.select(col("v"), col("lbl"))
   }
 
   def dedupComponentsSql: String = {

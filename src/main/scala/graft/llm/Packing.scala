@@ -23,15 +23,36 @@ object Packing {
   val PackBudget = 128L
   val PackShards = 16
 
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packOfCounts(
+      Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("bigint").as("n_tokens")))
+
+  /** D59: BPE-budget-exact packing — the same concat-then-chunk layout
+    * driven by the ACTUAL tokenizer's counts (D54's encode) instead of the
+    * whitespace proxy. A model's context budget is denominated in
+    * TOKENIZER tokens; the proxy mis-counts per doc by a content-dependent
+    * factor (here char-base BPE ids exceed word counts; merged pairs then
+    * shrink compressible text unevenly), so proxy-packed boundaries drift
+    * from the budget the trainer actually enforces — a batch assembler
+    * packs on the counts the trainer will see. Scale shape unchanged: the
+    * encode is map-side (merge table is a code-time literal fold), packing
+    * is the same single shard-clustered window exchange.
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
+    packOfCounts(TextOps.textBpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_tokens")))
+
+  /** Core over any (doc_id, n_tokens) frame. */
+  private[graft] def packOfCounts(counts: DataFrame): DataFrame = {
     val shard =
       conv(substring(md5(concat(col("doc_id").cast("string"), lit(":pack"))), 1, 6), 16, 10)
         .cast("bigint") % PackShards
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("bigint").as("n_tokens"))
+    counts
       .withColumn("shard", shard)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // the chunk this document STARTS in, and its offset within the chunk
@@ -112,4 +133,23 @@ object Packing {
                     AS BIGINT) % $PackShards AS shard,
                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
         FROM documents))"""
+
+  /** D59 oracle: the identical pack window over the BPE encode's counts
+    * (D54's full statement nests as a subquery — DuckDB allows WITH
+    * RECURSIVE inside a derived table).
+    */
+  val packSequencesBpeSql: String =
+    s"""SELECT doc_id, shard, n_tokens,
+      CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id,
+      CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
+    FROM (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 6)
+                    AS BIGINT) % $PackShards AS shard,
+               n_tokens
+        FROM (${TextOps.textBpeEncodeSql}) enc))"""
 }

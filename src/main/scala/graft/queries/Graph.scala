@@ -248,6 +248,76 @@ object Graph {
           .otherwise(lit(0L)))
   }
 
+  /** Label-propagation round cap for the community pass — TIED to
+    * Dedup.MaxCcIters because the Spark side runs the shared ccLabelsOf
+    * loop (early exit at the fixed point, capped at MaxCcIters) while
+    * this oracle unrolls the full bound; the fixed-point labels match the
+    * full unroll only if both caps agree.
+    */
+  val PcIters: Int = graft.llm.Dedup.MaxCcIters
+
+  /** E45: co-purchase communities — connected components of the
+    * SUPPORT-THRESHOLDED co-purchase graph (edges with ≥ TriMinSupport
+    * co-orders, E41's noise cut): parts that repeatedly sell together
+    * collapse into one labeled community with its size, the assortment /
+    * bundle segmentation behind "which catalog neighborhoods exist".
+    * Parts co-ordered only below the support floor have no strong ties
+    * and drop from the node set (same contract as E41's census).
+    *
+    * Scale shape: the engine's third iterative-propagation instance —
+    * min-label spreading (D19's CC machinery) over the Graph family's
+    * edge build: one equality self-join bounded by order width for
+    * candidate pairs, support cut at aggregation, then PcIters rounds of
+    * edge-join + min aggregate, each shuffling only by the part key with
+    * map-side-combinable mins; labels checkpoint per round (the frame is
+    * node-sized; min-label needs the PREVIOUS round twice — join + fold —
+    * so lineage would double per round unbarriered). Community sizes are
+    * one bounded aggregate joined back. Deterministic (min part id), so
+    * the oracle unrolls the identical rounds.
+    */
+  def partCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val strong = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriMinSupport)
+      .select(col("a"), col("b"))
+    // shared early-exit CC loop (Dedup.ccLabelsOf): lazily-persisted
+    // dst-clustered edges, one action per round, stops at the exact fixed
+    // point — identical labels to the oracle's full unroll
+    val labels = graft.llm.Dedup.ccLabelsOf(
+      strong.union(strong.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("src"), col("b").as("dst")))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("v").as("partkey"), col("lbl").as("community_id"),
+        col("community_size"))
+  }
+
+  val partCommunitiesSql: String = {
+    val iters = (1 to PcIters).map { i =>
+      s"""nb$i AS (SELECT e.a AS v, min(l.lbl) AS nb
+            FROM edges e JOIN l${i - 1} l ON l.v = e.b GROUP BY e.a),
+      l$i AS (SELECT l.v, least(l.lbl, coalesce(n.nb, l.lbl)) AS lbl
+            FROM l${i - 1} l LEFT JOIN nb$i n ON n.v = l.v)"""
+    }.mkString(",\n      ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    strong AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+    edges AS MATERIALIZED (
+      SELECT a, b FROM strong UNION ALL SELECT b, a FROM strong),
+    l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM edges),
+    $iters,
+    sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+              FROM l$PcIters GROUP BY lbl)
+    SELECT v AS partkey, lbl AS community_id, community_size
+    FROM l$PcIters JOIN sizes USING (lbl)"""
+  }
+
   val partTrianglesSql: String =
     s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     edges AS MATERIALIZED (

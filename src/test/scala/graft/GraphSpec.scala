@@ -55,6 +55,40 @@ class GraphSpec extends SparkSpecBase {
     assert(lastMoved / mass < 0.005, f"last round moved ${lastMoved / mass}%.4f of mass")
   }
 
+  test("part communities match driver-side union-find on the thresholded graph") {
+    val out = Graph.partCommunities(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        ((r.getAs[Long]("community_id"), r.getAs[Long]("community_size")))).toMap
+    Checkpoints.releaseAll()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // canonical a<b pairs with co-order support >= TriMinSupport
+    val support = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= Graph.TriMinSupport).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    support.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys.toSeq.groupBy(find)
+    assert(out.size === parent.keys.size, "node set = support-thresholded parts")
+    comps.foreach { case (_, members) =>
+      val lbl = members.min
+      members.foreach { v =>
+        assert(out(v)._1 === lbl, s"community($v)")
+        assert(out(v)._2 === members.size.toLong, s"size($v)")
+      }
+    }
+  }
+
   test("triangle census: hand-built graph with known triangles and support cut") {
     import spark.implicits._
     // orders 1,2 both contain {p1,p2,p3} (every pair support 2 → kept);

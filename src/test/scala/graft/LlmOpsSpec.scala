@@ -1235,6 +1235,41 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("pack_sequences_bpe: packs on encode counts, boundaries recomputed exactly") {
+    val out = graft.llm.Packing.packSequencesBpe(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Checkpoints.releaseAll()
+    val counts = TextOps.textBpeEncode(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    Checkpoints.releaseAll()
+    assert(out.keySet === counts.keySet)
+    // replay the pack: per shard, cumulative sums in doc_id order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shardOf(id: Long): Long = {
+      val hex = md.digest(s"$id:pack".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % graft.llm.Packing.PackShards
+    }
+    out.keySet.toSeq.groupBy(shardOf).foreach { case (shard, ids) =>
+      var cum = 0L
+      ids.sorted.foreach { id =>
+        val n = counts(id)
+        val r = out(id)
+        assert(r.getAs[Long]("shard") === shard, s"shard($id)")
+        assert(r.getAs[Long]("n_tokens") === n, s"n_tokens($id)")
+        assert(r.getAs[Long]("seq_id") === cum / graft.llm.Packing.PackBudget)
+        assert(r.getAs[Long]("seq_offset") === cum % graft.llm.Packing.PackBudget)
+        cum += n
+      }
+    }
+    // non-vacuous: the BPE counts genuinely differ from the whitespace
+    // proxy, so this is not pack_sequences under a new name
+    val ws = graft.llm.Packing.packSequences(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    Checkpoints.releaseAll()
+    assert(out.keys.exists(id => counts(id) != ws(id)))
+  }
+
   test("dedup_containment catches the sub-document pair Jaccard misses") {
     import spark.implicits._
     // doc 1 (10 shingles) is 90% contained in doc 2 (100 shingles):
