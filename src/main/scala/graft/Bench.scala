@@ -39,7 +39,10 @@ object Bench {
     // flagship), the tokenizer-true BPE encode (the heaviest per-row text
     // pass), and the two profiling gates with real scan/shuffle cost
     // (table_stats' Expand distincts, fk_integrity's 7 keyed joins)
-    "ann_index_probe", "text_bpe_encode", "table_stats", "fk_integrity")
+    "ann_index_probe", "text_bpe_encode", "table_stats", "fk_integrity",
+    // the third iterative-propagation plan (shared early-exit CC loop) and
+    // the session-journey ranking (window + path fold + TakeOrdered)
+    "part_communities", "events_top_paths")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,6 +78,73 @@ object Events {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id"""
 
+  /** Path prefix length and report size for the session-journey ranking. */
+  val PathLen = 5
+  val TopPaths = 20
+
+  /** E46: top session journeys — the most common event-type PATHS (first
+    * PathLen steps of each gap-sessionized visit), ranked by session
+    * count: the "how do users actually move" report product analytics
+    * runs beside the funnel (E21 counts a FIXED journey; this surfaces
+    * the journeys you didn't declare).
+    *
+    * Scale shape: ONE shuffle by user_id serves both the session window
+    * and the per-session path fold (the groupBy reuses the window's
+    * clustering); the path alphabet is event-type^PathLen bounded, so the
+    * count aggregate's exchange carries partially-aggregated path counts,
+    * and the top-N is a TakeOrderedAndProject (per-partition heads, never
+    * a global sort — D29's contract). Paths fold deterministically: the
+    * per-session list sorts by (epoch-ms, event_id) — event_id is unique,
+    * so the order is total — and null types coalesce to '' on both
+    * engines before joining with '>'.
+    */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.spread(Tables.events(spark, dir), "user_id")
+      .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > SessionGapMinutes * 60L * 1000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        slice(
+          transform(
+            array_sort(collect_list(struct(col("ms"), col("event_id"),
+              coalesce(col("event_type"), lit("")).as("t")))),
+            x => x.getField("t")),
+          1, PathLen),
+        ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(TopPaths)
+  }
+
+  val eventsTopPathsSql: String =
+    s"""WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${SessionGapMinutes * 60L * 1000L}
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    sess AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged),
+    paths AS (
+      SELECT user_id, session_id,
+        array_to_string(
+          list_slice(list(coalesce(event_type, '')
+            ORDER BY epoch_ms(ts) ASC, event_id ASC), 1, $PathLen),
+          '>') AS path
+      FROM sess GROUP BY user_id, session_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT $TopPaths"""
+
   val HopMinutes = 15
   val HopWindowMinutes = 60
 

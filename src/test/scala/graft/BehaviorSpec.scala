@@ -408,4 +408,41 @@ class BehaviorSpec extends SparkSpecBase {
     // non-vacuous: quartiles actually spread
     assert(out.values.map(_._4).toSet.size > 1)
   }
+
+  test("events_top_paths matches driver-side sessionize + path fold exactly") {
+    import org.apache.spark.sql.functions.col
+    val out = queries.Events.eventsTopPaths(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"))).toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gapMs = queries.Events.SessionGapMinutes * 60L * 1000L
+    val pathCounts = scala.collection.mutable.Map[String, Long]()
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      var sess = List.newBuilder[List[String]]
+      var cur = List.newBuilder[String]
+      var prev = Long.MinValue
+      var open = false
+      ordered.foreach { case (_, _, tpe, ms) =>
+        if (open && ms - prev > gapMs) { sess += cur.result(); cur = List.newBuilder }
+        cur += Option(tpe).getOrElse(""); prev = ms; open = true
+      }
+      if (open) sess += cur.result()
+      sess.result().foreach { s =>
+        val p = s.take(queries.Events.PathLen).mkString(">")
+        pathCounts(p) = pathCounts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val expect = pathCounts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(queries.Events.TopPaths)
+    assert(out === expect)
+    // the report is a ranking, not a scan: top-N plans as
+    // TakeOrderedAndProject (no global sort)
+    val plan = queries.Events.eventsTopPaths(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
 }
