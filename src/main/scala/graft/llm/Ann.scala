@@ -681,6 +681,98 @@ object Ann {
     FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.nb_id = a.nb_id
     GROUP BY e.q_id"""
 
+  /** D60: recall-vs-probe-breadth curve — the serving-index TUNING
+    * artifact D51's single-config report can't give: for every probe
+    * breadth b (own bucket + the 1-bit flips of the first b hyperplanes,
+    * b = 0 .. NumPlanes), the corpus-level recall of the breadth-b top-k
+    * against the exact top-k. b=0 is `ann_lsh`'s recall, b=NumPlanes is
+    * `ann_lsh_multiprobe`'s — the curve between them is where an operator
+    * picks the probe budget (each breadth costs ~1 more bucket of
+    * candidates per query; the curve shows what that buys).
+    *
+    * One candidate pass serves ALL breadths: each (query, neighbor) pair
+    * records the MINIMUM probe index that finds it, then explodes only to
+    * the breadths where it is visible (b ≥ min-probe) and re-ranks per
+    * (breadth, query) — candidate volume is query-set × bucket-size
+    * bounded, never corpus-scaled, and the exact side is the top-k-bounded
+    * brute-force frame. All-integer output (hits / exact / bp) over the
+    * deterministic md5-derived planes, so the curve hash-checks.
+    */
+  def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = graft.Checkpoints.cp(
+      vecs(spark, dir).withColumn("bucket", lshBucket(col("embedding"))))
+    val exact = graft.Checkpoints.cp(
+      annBruteforce(spark, dir).select(col("q_id"), col("nb_id")))
+    val probes = (0 to NumPlanes).map { j =>
+      val pb = if (j == 0) col("bucket")
+               else col("bucket").bitwiseXOR(lit(1L << (j - 1)))
+      struct(lit(j).as("j"), pb.as("pb"))
+    }
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        explode(array(probes: _*)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.j").as("j"), col("p.pb").as("bucket"))
+    val scored = broadcast(q)
+      .join(all.select(col("vec_id").as("nb_id"), col("embedding").as("cv"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .groupBy(col("q_id"), col("nb_id"))
+      .agg(min(col("j")).as("minj"), max(col("cos")).as("cos"))
+    val vis = scored.withColumn("breadth",
+      explode(sequence(col("minj"), lit(NumPlanes))))
+    val w = Window.partitionBy(col("breadth"), col("q_id"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    val top = vis.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    val hits = top.join(exact, Seq("q_id", "nb_id"), "left_semi")
+      .groupBy(col("breadth")).agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    val spine = spark.range(0, NumPlanes + 1L)
+      .select(col("id").cast("int").as("breadth"))
+    spine.join(hits, Seq("breadth"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("breadth"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp",
+        when(col("n_exact") === 0, lit(0L))
+          .otherwise(expr("n_hit * 10000 div n_exact")))
+  }
+
+  lazy val annRecallCurveSql: String =
+    s"""WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding, $bucketExprSql AS bucket FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qv, r.j,
+             CASE WHEN r.j = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 AS BIGINT) << (r.j - 1)) END AS pb
+      FROM b, range(0, ${NumPlanes + 1}) r(j) WHERE vec_id < 10),
+    cand AS (
+      SELECT q.q_id, c.vec_id AS nb_id, min(q.j) AS minj,
+             max(${dotSql("q.qv", "c.embedding")}
+               / (${normSql("q.qv")} * ${normSql("c.embedding")})) AS cos
+      FROM q JOIN b c ON q.pb = c.bucket AND q.q_id != c.vec_id
+      GROUP BY q.q_id, c.vec_id),
+    vis AS (
+      SELECT q_id, nb_id, cos, unnest(range(minj, ${NumPlanes + 1})) AS breadth
+      FROM cand),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY breadth, q_id
+        ORDER BY cos DESC, nb_id ASC) AS rk FROM vis),
+    top AS (SELECT breadth, q_id, nb_id FROM ranked WHERE rk <= 5),
+    exact AS ($annBruteforceSql),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    hits AS (
+      SELECT breadth, CAST(count(*) AS BIGINT) AS n_hit
+      FROM top JOIN exact e ON top.q_id = e.q_id AND top.nb_id = e.nb_id
+      GROUP BY breadth),
+    spine AS (SELECT unnest(range(0, ${NumPlanes + 1})) AS breadth)
+    SELECT CAST(s.breadth AS INTEGER) AS breadth, t.n_exact,
+           coalesce(h.n_hit, 0) AS n_hit,
+           CASE WHEN t.n_exact = 0 THEN 0
+                ELSE coalesce(h.n_hit, 0) * 10000 // t.n_exact END AS recall_bp
+    FROM spine s CROSS JOIN tot t LEFT JOIN hits h ON h.breadth = s.breadth"""
+
   val ReduceDims = 16
   /** Offset into the planeSign family so the projection matrix is disjoint
     * from the LSH/banding planes (both are code-time deterministic).

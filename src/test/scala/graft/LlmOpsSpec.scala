@@ -1209,6 +1209,30 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ann_recall_curve: monotone in breadth, endpoints equal lsh/multiprobe") {
+    val curve = Ann.annRecallCurve(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("breadth") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Long]("recall_bp")))).toMap
+    Checkpoints.releaseAll()
+    assert(curve.keySet === (0 to Ann.NumPlanes).toSet)
+    (1 to Ann.NumPlanes).foreach { b =>
+      assert(curve(b)._2 >= curve(b - 1)._2, s"recall dropped at breadth $b")
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.annBruteforce(spark, sfDir))
+    val lsh = pairs(Ann.annLsh(spark, sfDir))
+    val mp = pairs(Ann.annLshMultiprobe(spark, sfDir))
+    Checkpoints.releaseAll()
+    assert(curve(0)._1 === exact.size.toLong)
+    assert(curve(0)._2 === (lsh & exact).size.toLong,
+      "breadth 0 must be ann_lsh's recall")
+    assert(curve(Ann.NumPlanes)._2 === (mp & exact).size.toLong,
+      "full breadth must be ann_lsh_multiprobe's recall")
+    // the probe budget is a real lever on this corpus
+    assert(curve(Ann.NumPlanes)._2 > curve(0)._2)
+  }
+
   test("quality_lm_agreement matches exact integer recompute from its parts") {
     val out = graft.llm.Corpus.qualityLmAgreement(spark, sfDir).collect()
       .map(r => r.getAs[Long]("tier") -> r).toMap
