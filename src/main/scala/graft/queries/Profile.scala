@@ -40,31 +40,49 @@ object Profile {
     * partkeys or a new enum value shows up as a diff of this frame, not
     * as a downstream incident.
     *
-    * Plan: ONE aggregate pass. The multi-column exact distincts plan as
-    * Spark's single-shuffle Expand (rows × |cols| map-side, one
-    * exchange) — the standard ANALYZE cost, paid once per drop; at
-    * 100 TB the documented cheap path is swapping count_distinct for
-    * approx_count_distinct (the E12 digest pattern) at the cost of the
-    * oracle's exactness. The single stats row is reshaped to one row per
-    * column by stack (Expand over ONE row — free).
+    * Plan: TWO column-pruned scans instead of one 12-way Expand. A
+    * multi-column exact-distinct aggregate plans as Spark's grouping-set
+    * Expand — every row replicated |cols|+1 times at FULL width through
+    * one shuffle (measured 3.5 s at sf0.1). Here the base stats
+    * (count/non-null/min/max) are one plain aggregate pass, and the NDV
+    * pass stacks the columns into NARROW (col_name, value-as-text) pairs
+    * map-side — the same |cols|× replication but 2 columns wide, and the
+    * partial distinct dedups before the exchange, so the shuffle carries
+    * ~distinct pairs, not 12× the table (measured 1.4 s — 2.5×). The
+    * text mapping is injective per kind (ints/dates/strings trivially;
+    * doubles via shortest-repr with −0.0 normalized to 0.0 by `+ 0.0` so
+    * text distinctness matches SQL's 0.0 = −0.0), so counts equal the
+    * native NDV the oracle computes. At 100 TB the second scan is the
+    * cheap part (columnar, pruned); the documented cheaper-still path is
+    * the E12 HLL digest at the cost of the oracle's exactness.
     */
   def tableStats(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
     val aggs: Seq[Column] = LineitemCols.flatMap { case (c, k) => Seq(
       count(col(c)).as(s"nn_$c"),
-      count_distinct(col(c)).as(s"nd_$c"),
       fmt(min(col(c)), k).as(s"mn_$c"),
       fmt(max(col(c)), k).as(s"mx_$c"))
     }
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = LineitemCols.map { case (c, _) =>
-      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c"
+      s"'$c', nn_$c, mn_$c, mx_$c"
     }.mkString(", ")
-    row.select(col("n_rows"), expr(
+    val base = row.select(col("n_rows"), expr(
       s"stack(${LineitemCols.size}, $stackArgs)" +
-        " AS (col_name, n_nonnull, n_distinct, min_str, max_str)"))
+        " AS (col_name, n_nonnull, min_str, max_str)"))
+    val ndvArgs = LineitemCols.map { case (c, k) =>
+      val v = if (k == "dbl") s"CAST(($c + 0.0) AS STRING)" else s"CAST($c AS STRING)"
+      s"'$c', $v"
+    }.mkString(", ")
+    val ndv = df
+      .select(expr(s"stack(${LineitemCols.size}, $ndvArgs) AS (col_name, v)"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)))
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    base.join(ndv, Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-        col("n_distinct"), col("min_str"), col("max_str"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_str"), col("max_str"))
   }
 
   val tableStatsSql: String = {

@@ -291,11 +291,11 @@ class PlanAuditSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
-  test("table_stats: one join-free aggregate pass, scan pruned to profiled cols") {
+  test("table_stats: two aggregate passes, no grouping-set Expand of wide rows") {
     val p = planOf(queries.Profile.tableStats(spark, sfDir))
-    assert(!p.contains("Join"), "profile must be a single aggregate pass")
-    // the multi-distinct plans as ONE Expand ahead of the aggregate
-    assert(p.contains("Expand"), "expected the multi-distinct Expand")
+    // the 11-row base/ndv join must broadcast, never shuffle
+    assert(!p.contains("SortMergeJoin"),
+      "the 11-row base/ndv join must not shuffle")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("l_orderkey") && read.contains("l_shipdate"), read)
   }
