@@ -6,9 +6,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg (dev loop only; the driver passes two): run just the
-    // comma-listed query names
+    // comma-listed query names. Unknown names fail FAST — a typo'd filter
+    // that matches nothing would write no outputs yet exit 0.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(valid: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val spark = GraftSession.create(cpus)

@@ -472,13 +472,30 @@ object Dedup {
     FROM sh d LEFT JOIN hits h USING (doc_id)
     WHERE d.doc_id % 50 != 0"""
 
-  /** Fixed iteration bound for the connected-components label propagation:
-    * covers any component diameter ≤ 2^MaxCcIters-ish in practice (min-label
-    * spreads one hop per round); the spec asserts the testdata graph
-    * converges well inside it, and the oracle unrolls exactly this many
-    * rounds so both engines run the identical computation.
+  /** Fixed iteration bound for the connected-components label propagation.
+    * Min-label spreading moves ONE hop per round, so after k rounds a
+    * vertex holds the min id within its k-hop ball: the loop is exact for
+    * every component whose min-id vertex has eccentricity ≤ MaxCcIters
+    * (NOT 2^MaxCcIters — one-hop propagation has no doubling). Near-dup
+    * graphs are near-cliques (diameter ~2) and the co-purchase graph's
+    * communities are dense bundles, so 8 is generous for both users; a
+    * long-chain graph that hits the cap is REPORTED, not silently split —
+    * ccLabelsOf warns and `ccCapHit` exposes the flag for callers/specs
+    * (GraphSpec asserts convergence on the testdata). The oracle unrolls
+    * exactly this many rounds so both engines run the identical
+    * computation either way.
     */
   val MaxCcIters = 8
+
+  /** True iff the most recent ccLabelsOf call on this thread stopped at
+    * the iteration cap WITHOUT reaching the fixed point — the
+    * cap-observability contract (labels are then k-hop-ball minima, not
+    * component minima). Thread-local: spec suites run queries in parallel.
+    */
+  private val ccCapHitTl = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private[graft] def ccCapHit: Boolean = ccCapHitTl.get()
 
   /** D19: connected-components dedup clustering over the MinHash near-dup
     * pair graph — the step that turns pairwise candidates into KEEP/DROP
@@ -544,6 +561,11 @@ object Dedup {
       if (changed == 0L) done = true
       round += 1
     }
+    ccCapHitTl.set(!done)
+    if (!done)
+      System.err.println(s"[graft] ccLabelsOf hit the $MaxCcIters-round cap " +
+        "before the fixed point: labels are k-hop-ball minima, not component " +
+        "minima (long-chain graph — raise MaxCcIters AND the oracle unroll)")
     labels.select(col("v"), col("lbl"))
   }
 

@@ -25,8 +25,25 @@ object Graph {
   /** Iteration cap: plenty for rank mass to mix on the dense co-order
     * graph; the oracle unrolls exactly this many rounds and applies the
     * identical stop rule.
+    *
+    * Plan-growth bound: each round references the previous rank frame
+    * TWICE (contrib join + refresh) under a lineage-KEEPING cpLazy, so
+    * the analyzed logical plan doubles per un-barriered round — the exact
+    * pattern ccLabelsOf's doc calls analysis-time death (measured 645 s /
+    * OOM there). It is safe here only because every PrCpEvery rounds the
+    * loop cuts lineage with an eager localCheckpoint, bounding plan depth
+    * at 2^PrCpEvery copies of the (node-sized) subtree no matter how high
+    * PrIters is raised or how late convergence lands.
     */
   val PrIters = 8
+
+  /** Eager lineage cut cadence for the rank loop (see PrIters). The rank
+    * frame is node-sized, so the cut is a milliseconds-scale extra job
+    * once per PrCpEvery rounds; stats loss on the checkpointed frame is
+    * harmless because AQE sizes the contrib join from runtime stage sizes,
+    * and the stationary edge cache keeps its partitioning either way.
+    */
+  val PrCpEvery = 4
   /** Rank mass scale: 1e12 micro-units spread over the node set keeps
     * per-node ranks ≫ rounding loss at any realistic catalog size while
     * (rank · 85) stays far inside a long.
@@ -120,11 +137,15 @@ object Graph {
       // (ranks feeds both contrib and the refresh) without a barrier
       val prev = ranks.select(col("pk").as("ppk"), col("deg").as("pdeg"),
         col("rank").as("prank"))
-      val next = graft.Checkpoints.cpLazy(
-        contrib.join(prev, contrib("dst") === prev("ppk"))
-          .select(col("ppk").as("pk"), col("pdeg").as("deg"),
-            (lit(base) + col("cin")).as("rank"),
-            abs(lit(base) + col("cin") - col("prank")).as("moved")))
+      val next0 = contrib.join(prev, contrib("dst") === prev("ppk"))
+        .select(col("ppk").as("pk"), col("pdeg").as("deg"),
+          (lit(base) + col("cin")).as("rank"),
+          abs(lit(base) + col("cin") - col("prank")).as("moved"))
+      // periodic eager barrier: see PrCpEvery — bounds the doubling-per-
+      // round analyzed plan regardless of PrIters / convergence stalls
+      val next =
+        if (round % PrCpEvery == 0) graft.Checkpoints.cp(next0)
+        else graft.Checkpoints.cpLazy(next0)
       // exact integer movement; empty graph sums to NULL → 0 → stop at
       // round 1 (no movement on no rows), matching the oracle's coalesce
       val moved = next.agg(coalesce(sum(col("moved")), lit(0L)))
@@ -274,6 +295,13 @@ object Graph {
     * so lineage would double per round unbarriered). Community sizes are
     * one bounded aggregate joined back. Deterministic (min part id), so
     * the oracle unrolls the identical rounds.
+    *
+    * Contract (the PcIters cap): min-label spreads ONE hop per round, so
+    * labels are exact for communities whose min-id part is within
+    * PcIters hops of every member. Co-purchase communities are dense
+    * bundles (diameter ~2-3), far inside the cap; a pathological chain
+    * graph that exceeds it triggers ccLabelsOf's cap-hit warning/flag
+    * rather than silently splitting — see Dedup.MaxCcIters.
     */
   def partCommunities(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")

@@ -102,6 +102,67 @@ object Profile {
     rows.mkString("\nUNION ALL\n")
   }
 
+  /** HLL relative standard deviation for the approx NDV twin — same 0.02
+    * the E11 HLL twin uses; the gate bound is 5σ (10%) with an absolute
+    * floor of 1.
+    */
+  val TsRsd = 0.02
+
+  /** E43b (r7): the documented 100 TB NDV path as a first-class query —
+    * the SAME per-column profile as E43 but with HLL++ approximate
+    * distinct counts folded into the ONE base aggregate pass: a single
+    * column-pruned scan computes count / non-null / min / max / NDV-sketch
+    * per column with zero joins and zero extra scans (E43's exact form
+    * pays a second scan whose shuffle carries Σ per-column distinct
+    * pairs; here the sketch is fixed-size, partially-aggregable map-side
+    * state — the same trade as E10/E11/E19b). This is the library form a
+    * 100 TB ingest gate actually runs; estimates are
+    * implementation-defined, so the driver gate runs the
+    * `tableStatsApproxQuery` contract form below and the numeric bound is
+    * spec-asserted against the exact twin.
+    */
+  def tableStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.spreadIfNarrow(Tables.lineitem(spark, dir), "l_orderkey")
+    val aggs: Seq[Column] = LineitemCols.flatMap { case (c, k) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      fmt(min(col(c)), k).as(s"mn_$c"),
+      fmt(max(col(c)), k).as(s"mx_$c"),
+      approx_count_distinct(col(c), TsRsd).as(s"nd_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = LineitemCols.map { case (c, _) =>
+      s"'$c', nn_$c, mn_$c, mx_$c, nd_$c"
+    }.mkString(", ")
+    row.select(col("n_rows"), expr(
+      s"stack(${LineitemCols.size}, $stackArgs)" +
+        " AS (col_name, n_nonnull, min_str, max_str, n_distinct_approx)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct_approx"), col("min_str"), col("max_str"))
+  }
+
+  /** Gate-emitted form of E43b (the E10/E11/E19b sketch-twin pattern):
+    * the deterministic profile columns hash-check against the exact
+    * oracle, and the implementation-defined HLL estimate is emitted as
+    * its CONTRACT — the 5σ relative-error boolean — which the oracle
+    * asserts as literal TRUE. The exact twin joins in ONLY for the gate;
+    * the library form above never rescans.
+    */
+  def tableStatsApproxQuery(spark: SparkSession, dir: String): DataFrame = {
+    val a = tableStatsApprox(spark, dir)
+      .select(col("col_name").as("ac"), col("n_distinct_approx"))
+    tableStats(spark, dir).join(a, col("col_name") === col("ac"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_str"), col("max_str"),
+        (abs(col("n_distinct_approx") - col("n_distinct")).cast("double")
+          <= greatest(lit(1.0), lit(5 * TsRsd) * col("n_distinct")))
+          .as("ndv_within_rel_err"))
+  }
+
+  val tableStatsApproxSql: String =
+    s"""SELECT col_name, n_rows, n_nonnull, n_distinct, min_str, max_str,
+      TRUE AS ndv_within_rel_err
+    FROM ($tableStatsSql)"""
+
   /** Code-time relationship spec: (child table, fk col, parent table, pk
     * col). Both engines generate from this list.
     */
@@ -121,31 +182,57 @@ object Profile {
     * ahead of its dimension shows up as a non-zero orphan_bp BEFORE a
     * downstream inner join silently drops the rows.
     *
-    * Plan: per relationship, ONE left join of the FK projection against
-    * the distinct parent-key projection (both column-pruned scans), then
-    * a single-row aggregate — shuffle keyed by the FK. No broadcast
-    * hint: dims are catalog-sized (they scale with the dataset), so AQE
-    * sizes each join at runtime — the part_triangles lesson. The 7
-    * single-row aggregates union into a bounded report frame.
+    * Plan (r7 rewrite): ONE scan per child TABLE, not per relationship.
+    * The pre-r7 form planned the 7 relationships as 7 independent joins,
+    * so lineitem was scanned 3× (orderkey/partkey/suppkey) — at 100 TB
+    * the three fact passes dominate the whole audit. Now each child
+    * table's FK columns stack map-side into narrow (relationship, key)
+    * pairs in a single pruned scan (lineitem reads its 3 key columns
+    * once), a keyed partial aggregate collapses the pairs to
+    * (relationship, key, cnt) BEFORE the exchange — the shuffle carries
+    * ~distinct FK values, where the old form shuffled every child row —
+    * and one left join against the union of per-relationship distinct
+    * parent keys (each dim scanned pruned to its pk) settles orphanhood
+    * for all 7 relationships in a single keyed join. No broadcast hint:
+    * parent key sets are catalog-sized (they scale with the dataset), so
+    * AQE sizes the join at runtime — the part_triangles lesson. A static
+    * 7-row relationship frame left-joins the aggregate so a zero-child
+    * relationship still reports (0, 0, 0) exactly as the oracle does.
     */
   def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    val frames = Relationships.map { case (ct, fk, pt, pk) =>
-      val child = Tables.table(spark, dir, ct)
-        .filter(col(fk).isNotNull).select(col(fk).as("fk"))
-      val parent = Tables.table(spark, dir, pt)
-        .filter(col(pk).isNotNull).select(col(pk).as("pk")).distinct()
+    import spark.implicits._
+    def relName(r: (String, String, String, String)): String =
+      s"${r._1}.${r._2}->${r._3}.${r._4}"
+    // one stacked scan per child table: (relationship, fk-as-bigint)
+    val children = Relationships.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (ct, rels) =>
+        val stackArgs = rels.map { r =>
+          s"'${relName(r)}', CAST(${r._2} AS BIGINT)"
+        }.mkString(", ")
+        Tables.table(spark, dir, ct)
+          .select(expr(s"stack(${rels.size}, $stackArgs) AS (rel, k)"))
+          .filter(col("k").isNotNull)
+      }.reduce(_.unionAll(_))
+      .groupBy(col("rel"), col("k")).agg(count(lit(1)).as("cnt"))
+    val parents = Relationships.map { case r @ (_, _, pt, pk) =>
+      Tables.table(spark, dir, pt)
+        .filter(col(pk).isNotNull)
+        .select(lit(relName(r)).as("rel"), col(pk).cast("bigint").as("k"))
+        .distinct()
         .withColumn("hit", lit(1))
-      child.join(parent, col("fk") === col("pk"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
-        .select(lit(s"$ct.$fk->$pt.$pk").as("relationship"),
-          coalesce(col("n_child"), lit(0L)).as("n_child"),
-          coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
-        .withColumn("orphan_bp",
-          when(col("n_child") === 0, lit(0L))
-            .otherwise(expr("(10000 * n_orphans) div n_child")))
-    }
-    frames.reduce(_.unionAll(_))
+    }.reduce(_.unionAll(_))
+    val perRel = children.join(parents, Seq("rel", "k"), "left")
+      .groupBy(col("rel"))
+      .agg(sum(col("cnt")).as("c_child"),
+        sum(when(col("hit").isNull, col("cnt")).otherwise(0L)).as("c_orphans"))
+    Relationships.map(relName).toDF("relationship")
+      .join(perRel, col("relationship") === col("rel"), "left")
+      .select(col("relationship"),
+        coalesce(col("c_child"), lit(0L)).as("n_child"),
+        coalesce(col("c_orphans"), lit(0L)).as("n_orphans"))
+      .withColumn("orphan_bp",
+        when(col("n_child") === 0, lit(0L))
+          .otherwise(expr("(10000 * n_orphans) div n_child")))
   }
 
   val fkIntegritySql: String = {

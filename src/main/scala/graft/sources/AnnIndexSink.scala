@@ -62,11 +62,35 @@ object AnnIndexSink {
     * a half-build + append probes identically to a full build — which is
     * also the layout-correctness proof: a mis-bucketed append would make
     * the bucket-trusting join silently MISS rows, not just slow down.)
+    *
+    * Idempotent under redelivery (r7): a retried batch must not plant
+    * duplicate vec_ids — duplicate index rows silently change probe
+    * results (doubled neighbor rows, shifted top-k tie-breaks). The batch
+    * anti-joins the stored vec_id set before insert, so re-running an
+    * append is a no-op; the anti-join's index side is the bucketed scan
+    * (one pruned column), the batch side is the day's crawl — the small
+    * side, broadcast by AQE.
+    *
+    * File proliferation: V1 bucketed insert writes one file per (task,
+    * bucket) pair, so an unpartitioned 32-task batch appends up to
+    * 32×buckets small files per day. Repartitioning the batch by the
+    * bucket column's hash (numPartitions = the table's bucket count, the
+    * SAME pmod(hash(bucket), n) both use) lands each bucket's rows in
+    * exactly one task → exactly `buckets` new files per append.
     */
-  def appendEmbeddings(batch: DataFrame, table: String): Unit =
+  def appendEmbeddings(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val existing = spark.table(table).select(col("vec_id"))
     batch.select(col("vec_id"), col("embedding"))
+      .join(existing, Seq("vec_id"), "left_anti")
       .withColumn("bucket", graft.llm.Ann.lshBucket(col("embedding")))
+      .repartition(nBuckets, col("bucket"))
       .write.insertInto(table)
+  }
 
   /** Idempotent build: write the index only if this dataset's table is
     * missing; returns the table name. Bucket count follows the BucketedSink

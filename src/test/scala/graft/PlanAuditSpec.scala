@@ -300,17 +300,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(read.contains("l_orderkey") && read.contains("l_shipdate"), read)
   }
 
-  test("fk_integrity: keyed joins only, each scan pruned to its key column") {
+  test("fk_integrity: ONE pruned scan per child table, keyed joins only") {
     val p = planOf(queries.Profile.fkIntegrity(spark, sfDir))
     assert(!p.contains("CartesianProduct"), "FK probes must stay keyed")
     assert(!p.contains("BroadcastNestedLoopJoin"), "FK probes must stay keyed")
-    // child scans read ONLY the FK column (lineitem appears 3x: orderkey,
-    // partkey, suppkey probes — each pruned to its single key)
+    // the r7 contract: lineitem is scanned ONCE (its 3 FK columns stacked
+    // map-side), not once per relationship — the 100 TB dominant cost
     val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
     val liReads = reads.filter(_.contains("l_"))
-    assert(liReads.nonEmpty &&
-      liReads.forall(r => !r.contains("l_extendedprice") && !r.contains("l_comment")),
+    assert(liReads.size == 1, "lineitem must be scanned exactly once:\n" +
       liReads.mkString("\n"))
+    assert(liReads.head.contains("l_orderkey") && liReads.head.contains("l_partkey")
+      && liReads.head.contains("l_suppkey"), liReads.head)
+    assert(!liReads.head.contains("l_extendedprice") && !liReads.head.contains("l_comment"),
+      liReads.head)
+    // the child side pre-aggregates (rel, key) BEFORE its exchange so the
+    // shuffle carries ~distinct FK values, not child rows
+    val aggFirst = """\((\d+)\) HashAggregate""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val exchFirst = """\((\d+)\) Exchange""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(aggFirst.size >= 2 && exchFirst.nonEmpty && aggFirst.min < exchFirst.max,
+      p.take(700))
   }
 
   test("mixture_epochs: no corpus-sized join — one aggregate plus a 1-row total") {

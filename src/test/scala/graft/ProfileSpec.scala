@@ -31,6 +31,30 @@ class ProfileSpec extends SparkSpecBase {
     assert(qty.getAs[Long]("n_nonnull") === li.count(!_.isNullAt(2)).toLong)
   }
 
+  test("table_stats_approx: single-scan plan, estimates inside the 5-sigma bound") {
+    // library form: ONE pruned scan, no join, no second NDV pass
+    val lib = Profile.tableStatsApprox(spark, sfDir)
+    val p = lib.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), "approx profile must not join")
+    assert(p.linesIterator.count(_.contains("ReadSchema")) === 1,
+      "approx profile must scan lineitem exactly once")
+    // numeric contract vs the exact twin — the bound the gate form emits
+    val approx = lib.collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct_approx")).toMap
+    val exact = Profile.tableStats(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, e) =>
+      assert(math.abs(approx(c) - e).toDouble <= math.max(1.0, 5 * Profile.TsRsd * e),
+        s"$c: approx=${approx(c)} exact=$e")
+    }
+    // gate form emits TRUE everywhere (what the oracle asserts literally)
+    Profile.tableStatsApproxQuery(spark, sfDir).collect()
+      .foreach(r => assert(r.getAs[Boolean]("ndv_within_rel_err"),
+        r.getAs[String]("col_name")))
+  }
+
   test("fk_integrity: clean star schema reports zero orphans everywhere") {
     val out = Profile.fkIntegrity(spark, sfDir).collect()
     assert(out.length === 7, "one row per declared relationship")
