@@ -236,7 +236,10 @@ object Ann {
     * append-built tables to prove the incremental-ingest layout).
     */
   private[graft] def probeIndexTable(spark: SparkSession, table: String): DataFrame = {
-    val idx = graft.sources.BucketedSink.readTable(spark, table)
+    // serving view: stored rows minus tombstoned vec_ids (bounded
+    // broadcast anti-join — partitioning-preserving, so the bucket
+    // layout still feeds the candidate join exchange-free)
+    val idx = graft.sources.BucketedSink.readServing(spark, table, "vec_id")
     val q = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
     val c = idx.select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("bucket"))
@@ -256,8 +259,8 @@ object Ann {
     * probes, never an index rewrite). Output ≡ ann_lsh_multiprobe.
     */
   def annIndexMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.sources.BucketedSink.readTable(
-      spark, graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, dir))
+    val idx = graft.sources.BucketedSink.readServing(
+      spark, graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, dir), "vec_id")
     val probes = (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val q = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),

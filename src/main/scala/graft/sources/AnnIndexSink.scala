@@ -92,6 +92,26 @@ object AnnIndexSink {
       .write.insertInto(table)
   }
 
+  /** Retract embeddings from the serving index (a real corpus takes
+    * documents DOWN — an index that can only grow re-serves deleted
+    * vectors as neighbors): record vec_ids as tombstones; every probe
+    * excludes them via the bounded broadcast anti-join in
+    * `BucketedSink.readServing`, index-side bucket layout and exchange
+    * count unchanged. While a vec_id is tombstoned, re-appending it is
+    * hidden (append's idempotence check sees the physical row) — compact
+    * first to reinstate; AnnIndexSpec/IndexTombstoneSpec pin the
+    * delete ≡ rebuild contract.
+    */
+  def deleteEmbeddings(spark: SparkSession, table: String, vecIds: DataFrame): Unit =
+    BucketedSink.appendTombstones(spark, table,
+      vecIds.select(col(vecIds.columns.head).as("vec_id")))
+
+  /** Fold tombstones into the files (same bucket spec, staging + rename)
+    * and clear the tombstone table; probes are identical before/after.
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    BucketedSink.compactTombstones(spark, table, "vec_id")
+
   /** Idempotent build: write the index only if this dataset's table is
     * missing; returns the table name. Bucket count follows the BucketedSink
     * sizing rule (2-3x total cores).

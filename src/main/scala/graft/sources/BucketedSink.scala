@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 
 /** Bucketed parquet table sink — the production answer to the shuffles the
   * capex pipeline pays on RequestNo and every repeated key join/window
@@ -58,6 +59,73 @@ object BucketedSink {
   def nameHash(seed: String, len: Int = 16): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(len)
+
+  /** Tombstone-table name for a persisted index table. */
+  def tombTableOf(table: String): String = table + "_tomb"
+
+  /** Record deletions against a persisted index: append the (single-column)
+    * key frame to the index's tombstone table, creating it on first use.
+    * Idempotent under redelivery — already-recorded keys anti-join away, so
+    * a retried takedown batch appends nothing. Tombstones are the
+    * contract-bounded small side of every serving read (a takedown list,
+    * not a corpus), which is why `readServing` may broadcast them
+    * statically per the §5 bounded-side rule.
+    */
+  def appendTombstones(spark: SparkSession, table: String, keys: DataFrame): Unit = {
+    val tt = tombTableOf(table)
+    val k = keys.distinct()
+    ensureTable(spark, tt) {
+      k.limit(0).write.format("parquet").saveAsTable(tt)
+    }
+    k.join(spark.table(tt), k.columns.toSeq, "left_anti").write.insertInto(tt)
+  }
+
+  /** Serving view of a persisted index: the stored table minus its
+    * tombstones (broadcast anti-join on `keyCol`). A broadcast LeftAnti
+    * preserves the streamed side's output partitioning, so a downstream
+    * join on the bucket key still consumes the bucketed layout with NO
+    * index-side Exchange — deletion costs a bounded broadcast, never the
+    * layout (spec-proven by IndexTombstoneSpec). With no tombstone table
+    * the read is the plain bucketed scan, unchanged.
+    */
+  def readServing(spark: SparkSession, table: String, keyCol: String): DataFrame = {
+    val tt = tombTableOf(table)
+    val base = spark.table(table)
+    if (spark.catalog.tableExists(tt) && !spark.table(tt).isEmpty)
+      base.join(broadcast(spark.table(tt)), Seq(keyCol), "left_anti")
+    else base
+  }
+
+  /** Fold tombstones into the files: rewrite the index as survivors-only
+    * under the SAME bucket spec (staging table + catalog rename — no
+    * driver-side materialization, so the rewrite is one distributed job at
+    * any scale), then drop the tombstone table. Run when the tombstone
+    * fraction makes the serving anti-join's broadcast non-trivial; until
+    * then deletion is O(takedown list). After compaction a previously
+    * deleted key may be re-ingested (see the append contracts: while a key
+    * is tombstoned, re-appending it is a no-op-or-hidden — compaction is
+    * the reinstatement point).
+    */
+  def compactTombstones(spark: SparkSession, table: String, keyCol: String): Unit = {
+    val tt = tombTableOf(table)
+    if (!spark.catalog.tableExists(tt)) return
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalStateException(s"$table is not bucketed"))
+    val staging = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    val w = readServing(spark, table, keyCol)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w).saveAsTable(staging)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"DROP TABLE `$tt`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
 
   /** Run `write` only if `table` is absent from the catalog, first clearing
     * an orphaned warehouse location (the in-memory catalog forgets tables

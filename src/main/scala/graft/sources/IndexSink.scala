@@ -54,7 +54,7 @@ object IndexSink {
     * bucket-partitioned with NO exchange; only `batch` moves.
     */
   def probe(spark: SparkSession, table: String, batch: DataFrame): DataFrame = {
-    val index = BucketedSink.readTable(spark, table)
+    val index = BucketedSink.readServing(spark, table, "doc_id")
       .select(col("doc_id").as("index_id"), col("sig").as("sig_a"),
         col("band_key"))
     val b = batch
@@ -68,4 +68,23 @@ object IndexSink {
       .filter(est >= 0.5)
       .select(col("index_id"), col("batch_id")).distinct()
   }
+
+  /** Retract documents from the stored index (takedowns / robots
+    * retractions): record their doc_ids as tombstones — every subsequent
+    * probe excludes them via `BucketedSink.readServing`'s bounded
+    * broadcast anti-join, with the index-side bucket layout (and so the
+    * probe's exchange count) unchanged. O(takedown list), no index
+    * rewrite; fold in with `compact` when the list grows.
+    */
+  def deleteDocs(spark: SparkSession, table: String, docIds: DataFrame): Unit =
+    BucketedSink.appendTombstones(spark, table,
+      docIds.select(col(docIds.columns.head).as("doc_id")))
+
+  /** Rewrite the index without its tombstoned docs (same bucket spec,
+    * staging-table + rename — one distributed job) and clear the
+    * tombstone table. Probe results are identical before and after
+    * (IndexSinkSpec proves probe-after-delete ≡ probe-of-rebuild).
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    BucketedSink.compactTombstones(spark, table, "doc_id")
 }

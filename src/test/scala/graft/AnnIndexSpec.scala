@@ -108,6 +108,35 @@ class AnnIndexSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("append is idempotent under redelivery and writes one file per bucket") {
+    val tbl = "ann_emb_idx_redeliver_case"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val v = Tables.embeddings(spark, sfDir)
+    AnnIndexSink.writeEmbeddingIndexOf(
+      v.filter(col("vec_id") % 2 === 0), tbl, buckets = 8)
+    val batch = v.filter(col("vec_id") % 2 === 1)
+    AnnIndexSink.appendEmbeddings(batch, tbl)
+    val afterFirst = spark.table(tbl).count()
+    val probeFirst = rows(Ann.probeIndexTable(spark, tbl))
+    val filesFirst = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$tbl")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    // the day's append lands as exactly `buckets` new files (batch
+    // repartitioned by the bucket hash), not tasks x buckets
+    val buildFiles = filesFirst - 8
+    assert(buildFiles >= 0 && filesFirst <= buildFiles + 8,
+      s"append wrote more than one file per bucket ($filesFirst total)")
+    // redelivered batch: a retry must be a no-op — same row count, same
+    // probe results, no duplicate vec_ids shifting top-k tie-breaks
+    AnnIndexSink.appendEmbeddings(batch, tbl)
+    assert(spark.table(tbl).count() === afterFirst, "redelivery duplicated rows")
+    assert(spark.table(tbl).groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count() === 0L, "duplicate vec_ids in index")
+    assert(rows(Ann.probeIndexTable(spark, tbl)) == probeFirst)
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    Checkpoints.releaseAll()
+  }
+
   test("index table is content-fingerprinted per dataset") {
     val t1 = AnnIndexSink.ensureEmbeddingIndex(spark, sfDir)
     val t2 = AnnIndexSink.ensureEmbeddingIndex(spark, "/root/testdata/sf0.01")

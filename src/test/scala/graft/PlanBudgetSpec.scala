@@ -1,0 +1,225 @@
+package graft
+
+/** Catalog-wide plan-budget regression net (r7, VERDICT item 2): EVERY
+  * SparkEntry.queries entry runs end-to-end under PlanBudgetHarness and is
+  * audited against a per-query budget of EXECUTED SHUFFLE-MAP STAGES —
+  * construction-time jobs included, which is what makes this stronger than
+  * a final-plan audit: iterative operators surface only their last round
+  * in the returned frame's plan, so the r5 pagerank per-round edge
+  * reshuffle (+2 stages x 8 rounds = +16 over the budgeted 13) is exactly
+  * the class of regression only the executed count catches. Plus, for
+  * every query: NO CartesianProduct ever, and BroadcastNestedLoopJoin only
+  * at its pinned occurrence count (legitimate only for contract-bounded
+  * broadcast sides: the ANN query sets, 1-row totals frames).
+  *
+  * Budgets are the r7 observed counts at spec scale plus bounded slack
+  * (+2; +4 for convergence-dependent iterative families and the widest
+  * multi-sheet reports, whose round/sheet counts may shift with a testdata
+  * regen). A NEW catalog entry without a budget row FAILS the suite — new
+  * operators inherit the plan gate automatically, the way EdgeCaseSpec
+  * auto-covers them for empty/null/skew.
+  *
+  * To re-observe after an intentional plan change:
+  *   sbt 'Test/runMain graft.tools.PlanBudgetProbe /root/testdata/sf0.001'
+  */
+class PlanBudgetSpec extends SparkSpecBase {
+
+  /** maxStages = executed shuffle-map stage ceiling; bnlj = exact pinned
+    * BroadcastNestedLoopJoin occurrence count in the final formatted plan
+    * (structural, so pinned exactly, not bounded).
+    */
+  private case class B(maxStages: Int, bnlj: Int)
+
+  private val budgets: Map[String, B] = Map(
+    "ab_test_ztest" -> B(4, 0),
+    "agg_incremental" -> B(7, 0),
+    "ann_bruteforce" -> B(3, 4),
+    "ann_index_multiprobe" -> B(4, 0),
+    "ann_index_probe" -> B(3, 0),
+    "ann_int8" -> B(4, 4),
+    "ann_ivf" -> B(9, 0),
+    "ann_lsh" -> B(3, 0),
+    "ann_lsh_multiprobe" -> B(4, 0),
+    "ann_recall_curve" -> B(9, 4),
+    "ann_recall_report" -> B(4, 4),
+    "append_region_comment" -> B(6, 0),
+    "asof_join" -> B(4, 0),
+    "basket_pairs" -> B(6, 4),
+    "bpe_merges" -> B(4, 0),
+    "capex_pipeline" -> B(14, 0),
+    "capex_pipeline_bucketed" -> B(2, 0),
+    "chunk_documents" -> B(3, 0),
+    "click_attribution" -> B(4, 0),
+    "composite_key" -> B(6, 0),
+    "contamination_frac" -> B(5, 0),
+    "corpus_clean" -> B(21, 0),
+    "corpus_mixture" -> B(5, 4),
+    "corpus_report" -> B(4, 0),
+    "corpus_temperature" -> B(4, 4),
+    "decontaminate" -> B(6, 0),
+    "decontaminate_bloom" -> B(7, 0),
+    "dedup_best_rep" -> B(15, 0),
+    "dedup_components" -> B(13, 0),
+    "dedup_containment" -> B(4, 0),
+    "dedup_edit_distance" -> B(4, 0),
+    "dedup_embedding" -> B(3, 0),
+    "dedup_exact" -> B(3, 0),
+    "dedup_incremental" -> B(6, 0),
+    "dedup_jaccard_prefix" -> B(6, 0),
+    "dedup_minhash" -> B(4, 0),
+    "dedup_ngram_jaccard" -> B(4, 0),
+    "dedup_rate_source" -> B(16, 0),
+    "dedup_rewrite" -> B(7, 0),
+    "dedup_semantic" -> B(12, 0),
+    "dedup_simhash" -> B(4, 0),
+    "dedup_spans" -> B(5, 0),
+    "distinct_user_digest" -> B(5, 0),
+    "distinct_users_approx" -> B(6, 0),
+    "distinct_users_skewsafe" -> B(5, 0),
+    "embed_centroids" -> B(3, 0),
+    "embed_dim_stats" -> B(3, 0),
+    "embed_kmeans" -> B(9, 0),
+    "embed_knn_classify" -> B(3, 4),
+    "embed_norm" -> B(2, 0),
+    "embed_outliers" -> B(9, 0),
+    "embed_quantize" -> B(3, 0),
+    "embed_reduce" -> B(3, 0),
+    "event_transitions" -> B(5, 0),
+    "events_anomaly" -> B(5, 0),
+    "events_anomaly_mad" -> B(8, 0),
+    "events_gap_fill" -> B(4, 0),
+    "events_histogram" -> B(5, 0),
+    "events_json" -> B(4, 0),
+    "events_rolling" -> B(3, 0),
+    "events_salted_join" -> B(4, 0),
+    "events_throttle" -> B(3, 0),
+    "events_top_paths" -> B(4, 0),
+    "events_trend" -> B(4, 0),
+    "events_twap" -> B(3, 0),
+    "events_winsorize" -> B(5, 0),
+    "exclusion_detail" -> B(6, 0),
+    "exclusion_explain" -> B(6, 0),
+    "exclusion_reasons" -> B(6, 0),
+    "fail_open_reinstate" -> B(14, 0),
+    "fk_integrity" -> B(11, 0),
+    "funnel_steps" -> B(7, 0),
+    "hop_window_agg" -> B(4, 0),
+    "importance_sample" -> B(4, 0),
+    "importance_weights" -> B(4, 0),
+    "langid_confusion" -> B(5, 0),
+    "length_buckets" -> B(4, 0),
+    "map_zone_region" -> B(6, 0),
+    "merge_upsert" -> B(7, 0),
+    "metric_drift" -> B(5, 0),
+    "mixture_epochs" -> B(4, 4),
+    "mm_dedup" -> B(4, 0),
+    "mm_frame_sample" -> B(3, 0),
+    "mm_pipeline" -> B(3, 0),
+    "mm_resize" -> B(3, 0),
+    "normalize_category" -> B(6, 0),
+    "pack_sequences" -> B(4, 0),
+    "pack_sequences_bpe" -> B(6, 0),
+    "part_communities" -> B(22, 0),
+    // TIGHT by design: observed 9 (+4 convergence slack). The r5 bug —
+    // a per-round edge reshuffle — costs +2 stages x up-to-8 rounds and
+    // blows through 13 immediately; this row is the regression canary.
+    "part_pagerank" -> B(13, 0),
+    "part_triangles" -> B(10, 0),
+    "pit_join" -> B(4, 0),
+    "pivot_amounts" -> B(7, 0),
+    "price_quantiles" -> B(3, 0),
+    "price_quantiles_approx" -> B(4, 0),
+    "q1_agg" -> B(4, 0),
+    "q1_rollup" -> B(4, 0),
+    "q3_join" -> B(3, 0),
+    "q5_multijoin" -> B(4, 0),
+    "q6_filter" -> B(3, 0),
+    "quality_floor_lang" -> B(5, 0),
+    "quality_lm_agreement" -> B(11, 0),
+    "quality_tiers" -> B(6, 0),
+    "range_join_bands" -> B(3, 4),
+    "recode_office_furniture" -> B(6, 0),
+    "representative_rows" -> B(7, 0),
+    "retention_cohorts" -> B(4, 0),
+    "rule_dash_filter" -> B(6, 0),
+    "rule_ds_counter_filter" -> B(6, 0),
+    "rule_equipment_filter" -> B(6, 0),
+    "rule_function_filter" -> B(6, 0),
+    "rule_non_ops" -> B(6, 0),
+    "rule_personal_device" -> B(6, 0),
+    "rule_remark_filter" -> B(6, 0),
+    "rule_status_filter" -> B(6, 0),
+    "sample_cap_domain" -> B(4, 0),
+    "sample_exact_n" -> B(3, 0),
+    "sample_stratified" -> B(2, 0),
+    "scd2_intervals" -> B(3, 0),
+    "semi_filter" -> B(8, 0),
+    "session_overlap" -> B(3, 0),
+    "skew_report" -> B(5, 0),
+    "skew_report_sketch" -> B(6, 0),
+    "snapshot_diff" -> B(8, 0),
+    "source_overlap" -> B(7, 0),
+    "source_top_ngrams" -> B(5, 0),
+    "specialized_items" -> B(7, 0),
+    "split_holdout" -> B(15, 0),
+    "split_pm_subcategory" -> B(8, 0),
+    "stream_sessionize" -> B(3, 0),
+    "stream_window_agg" -> B(4, 0),
+    "summary_report" -> B(21, 0),
+    "table_stats" -> B(6, 0),
+    "table_stats_approx" -> B(7, 0),
+    "tag_category_type" -> B(6, 0),
+    "text_bpe_encode" -> B(5, 0),
+    "text_fingerprint" -> B(3, 0),
+    "text_langid" -> B(3, 0),
+    "text_lm_score" -> B(4, 0),
+    "text_negation_flags" -> B(6, 0),
+    "text_ngram_freq" -> B(4, 0),
+    "text_normalize" -> B(3, 0),
+    "text_novelty" -> B(7, 0),
+    "text_quality" -> B(3, 0),
+    "text_redact_pii" -> B(3, 0),
+    "text_repetition" -> B(5, 0),
+    "text_tfidf" -> B(7, 4),
+    "text_tokens" -> B(3, 0),
+    "top_docs" -> B(3, 0),
+    "topk_per_group" -> B(3, 0),
+    "unpivot_lineitem" -> B(2, 0),
+    "user_rfm" -> B(9, 0),
+    "validate_fields" -> B(17, 0),
+    "validate_fn_reasons" -> B(18, 0),
+    "validate_keys" -> B(19, 4),
+    "validate_mismatches" -> B(16, 0),
+    "validate_prf" -> B(17, 0),
+    "validate_report" -> B(33, 28),
+  )
+
+  test("every catalog query has a budget row (new operators inherit the gate)") {
+    val missing = SparkEntry.queries.keySet -- budgets.keySet
+    assert(missing.isEmpty,
+      s"add plan budgets for: ${missing.toSeq.sorted.mkString(", ")} " +
+        "(observe with tools.PlanBudgetProbe)")
+  }
+
+  test("all queries stay inside their executed shuffle-stage budgets; no cartesians") {
+    PlanBudgetHarness.warmPersistedIndexes(spark, sfDir)
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (stages, plan) = try PlanBudgetHarness.measure(spark, fn, sfDir)
+      catch { case e: Throwable =>
+        violations += s"$name: threw $e"; (-1, "")
+      }
+      if (stages >= 0) {
+        val b = budgets.getOrElse(name, B(0, 0))
+        if (stages > b.maxStages)
+          violations += s"$name: $stages shuffle stages > budget ${b.maxStages}"
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+        if (bnlj != b.bnlj)
+          violations += s"$name: $bnlj BNLJ occurrences != pinned ${b.bnlj}"
+        if (plan.contains("CartesianProduct"))
+          violations += s"$name: CartesianProduct in final plan"
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}

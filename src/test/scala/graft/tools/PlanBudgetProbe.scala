@@ -1,0 +1,28 @@
+package graft.tools
+
+/** Dev-only observation run for the plan-budget net: measures every
+  * catalog query's executed shuffle-map stage count + final-plan join
+  * shape at the spec scale and prints one line per query — the numbers
+  * PlanBudgetSpec's budget table pins.
+  *
+  * Run: sbt 'Test/runMain graft.tools.PlanBudgetProbe /root/testdata/sf0.001'
+  */
+object PlanBudgetProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    graft.PlanBudgetHarness.warmPersistedIndexes(spark, sfDir)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val (stages, plan) = graft.PlanBudgetHarness.measure(spark, fn, sfDir)
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+        val cart = "CartesianProduct".r.findAllIn(plan).length
+        println(s"BUDGET $name stages=$stages bnlj=$bnlj cart=$cart")
+      } catch { case e: Throwable =>
+        println(s"BUDGET $name FAILED ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
