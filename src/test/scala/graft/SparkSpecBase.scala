@@ -23,6 +23,8 @@ object SparkSpecBase {
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       // mirror GraftSession: prefix-bucketed joins reuse the layout
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // mirror GraftSession: AQE sizes partitions inside cached plans
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
