@@ -203,30 +203,40 @@ object Profile {
     import spark.implicits._
     def relName(r: (String, String, String, String)): String =
       s"${r._1}.${r._2}->${r._3}.${r._4}"
-    // one stacked scan per child table: (relationship, fk-as-bigint)
+    // relationships travel as INT ids through the wide shuffle (a 40-char
+    // relationship string per fact row doubled the r7 rewrite's shuffle
+    // bytes — measured 2.1 s vs 1.0 s at sf0.1); the id → name map is a
+    // 7-row frame joined onto the final report only
+    val relId: Map[(String, String, String, String), Int] =
+      Relationships.zipWithIndex.toMap
+    // one stacked scan per child table: (rel_id, fk-as-bigint)
     val children = Relationships.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (ct, rels) =>
         val stackArgs = rels.map { r =>
-          s"'${relName(r)}', CAST(${r._2} AS BIGINT)"
+          s"${relId(r)}, CAST(${r._2} AS BIGINT)"
         }.mkString(", ")
-        Tables.table(spark, dir, ct)
-          .select(expr(s"stack(${rels.size}, $stackArgs) AS (rel, k)"))
+        // spread before the CPU-bound stack+partial-agg: the local
+        // single-file scan would otherwise run the whole child's work on
+        // one core (no-op on a pre-split cluster scan; the shuffle is
+        // pruned to the FK columns)
+        Tables.spreadIfNarrow(Tables.table(spark, dir, ct), rels.head._2)
+          .select(expr(s"stack(${rels.size}, $stackArgs) AS (rel_id, k)"))
           .filter(col("k").isNotNull)
       }.reduce(_.unionAll(_))
-      .groupBy(col("rel"), col("k")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("rel_id"), col("k")).agg(count(lit(1)).as("cnt"))
     val parents = Relationships.map { case r @ (_, _, pt, pk) =>
       Tables.table(spark, dir, pt)
         .filter(col(pk).isNotNull)
-        .select(lit(relName(r)).as("rel"), col(pk).cast("bigint").as("k"))
+        .select(lit(relId(r)).as("rel_id"), col(pk).cast("bigint").as("k"))
         .distinct()
         .withColumn("hit", lit(1))
     }.reduce(_.unionAll(_))
-    val perRel = children.join(parents, Seq("rel", "k"), "left")
-      .groupBy(col("rel"))
+    val perRel = children.join(parents, Seq("rel_id", "k"), "left")
+      .groupBy(col("rel_id"))
       .agg(sum(col("cnt")).as("c_child"),
         sum(when(col("hit").isNull, col("cnt")).otherwise(0L)).as("c_orphans"))
-    Relationships.map(relName).toDF("relationship")
-      .join(perRel, col("relationship") === col("rel"), "left")
+    Relationships.map(r => (relId(r), relName(r))).toDF("rid", "relationship")
+      .join(perRel, col("rid") === col("rel_id"), "left")
       .select(col("relationship"),
         coalesce(col("c_child"), lit(0L)).as("n_child"),
         coalesce(col("c_orphans"), lit(0L)).as("n_orphans"))

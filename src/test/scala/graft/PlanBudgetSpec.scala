@@ -101,7 +101,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     "exclusion_explain" -> B(6, 0),
     "exclusion_reasons" -> B(6, 0),
     "fail_open_reinstate" -> B(14, 0),
-    "fk_integrity" -> B(11, 0),
+    // 9 core stages + 5 local-only spreadIfNarrow shuffles (no-ops on
+    // pre-split cluster scans) for the per-child stack+partial-agg passes
+    "fk_integrity" -> B(16, 0),
     "funnel_steps" -> B(7, 0),
     "hop_window_agg" -> B(4, 0),
     "importance_sample" -> B(4, 0),
