@@ -150,7 +150,41 @@ object Bench {
       n -> math.min(passes.map(_(i)._2).min,
         extraMin.getOrElse(n, Double.MaxValue))
     }
+    // Streaming end-to-end row (r7): the REAL stateful sessionizer —
+    // parquet stream source → flatMapGroupsWithState under the RocksDB
+    // state store → noop streaming sink, AvailableNow — over the same
+    // sf's events. The batch mirror (stream_sessionize) times the
+    // window-function twin; this row is the only wall-clock record of the
+    // streaming engine itself (state store, micro-batch planning,
+    // watermark bookkeeping). Staged dir + one warmup run untimed;
+    // excluded from `total` like the CTAS row.
+    val streamSec = try {
+      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        sdir.resolve("part-00000.parquet"))
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      def run(): Unit = {
+        val cp = java.nio.file.Files.createTempDirectory("graft-bench-stream-cp")
+        val ev = graft.streaming.StreamOps.readEventStream(spark, sdir.toString)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[graft.streaming.StreamOps.Event]
+        val q = graft.streaming.StreamOps.sessionize(ev).writeStream
+          .format("noop").option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      run() // warmup: codegen + RocksDB open
+      val t0 = System.nanoTime(); run()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream row failed: $e"); -1.0
+    }
     val reported = results :+ ("capex_bucketed_ctas" -> ctasSec) :+
+      ("stream_sessionize_e2e" -> streamSec) :+
       ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)
     val qs = reported.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

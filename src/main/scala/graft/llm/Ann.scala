@@ -515,6 +515,64 @@ object Ann {
            (mean_e4p - ce4p) > $OutlierDevE4 AS is_outlier
     FROM asg JOIN st USING (cluster)"""
 
+  /** D61 (r7): diversity-aware core-set selection — the curation op behind
+    * "give me a small subset that COVERS the embedding space" (pretraining
+    * subset selection, eval-set seeding, labeling-budget allocation). Per
+    * IVF cell: the PROTOTYPE (max cosine to the refined centroid — the
+    * cell's most central member, covering its mode) and the FRINGE (min
+    * cosine — its most boundary member, covering diversity), each with the
+    * cell size. The scalable approximation of k-center selection: the
+    * budget is ≤ 2·cells rows no matter the corpus size, and at 100 TB
+    * cells scale with the corpus so the core-set tracks its mode
+    * structure. Ties break to the lowest vec_id; a cell whose fringe IS
+    * its prototype (singleton, or all members tie) emits the prototype
+    * row only — deterministic, so the oracle hash-checks it.
+    *
+    * Plan: reuses the IVF assignment (broadcast centroids, one corpus
+    * pass); BOTH rank windows share one cell-clustered exchange; sizes
+    * are a cells-bounded aggregate broadcast back.
+    */
+  def sampleDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell").as("cluster"),
+        floor((col("ccos") + lit(1d)) * lit(10000d)).cast("bigint").as("ce4p"))
+      .transform(graft.Checkpoints.cp)
+    val sizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    val wProto = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("ce4p").desc, col("vec_id").asc)
+    val wFringe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("ce4p").asc, col("vec_id").asc)
+    val ranked = asg.withColumn("rp", row_number().over(wProto))
+      .withColumn("rf", row_number().over(wFringe))
+    val proto = ranked.filter(col("rp") === 1)
+      .select(col("cluster"), lit("proto").as("role"), col("vec_id"), col("ce4p"))
+    val fringe = ranked.filter(col("rf") === 1 && col("rp") =!= 1)
+      .select(col("cluster"), lit("fringe").as("role"), col("vec_id"), col("ce4p"))
+    proto.unionAll(fringe).join(broadcast(sizes), Seq("cluster"))
+      .select(col("cluster"), col("role"), col("vec_id"),
+        (col("ce4p") - lit(10000L)).as("cos_e4"), col("cluster_size"))
+  }
+
+  val sampleDiverseSql: String =
+    s"""WITH $ivfRankedCtes,
+    asg AS MATERIALIZED (
+      SELECT vec_id, cell AS cluster,
+             CAST(floor((ccos + 1) * 10000) AS BIGINT) AS ce4p
+      FROM ranked WHERE rn = 1),
+    st AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM asg GROUP BY cluster),
+    rk AS (SELECT *,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY ce4p DESC, vec_id ASC) AS rp,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY ce4p ASC, vec_id ASC) AS rf
+           FROM asg)
+    SELECT cluster, 'proto' AS role, vec_id, ce4p - 10000 AS cos_e4, cluster_size
+    FROM rk JOIN st USING (cluster) WHERE rp = 1
+    UNION ALL
+    SELECT cluster, 'fringe' AS role, vec_id, ce4p - 10000 AS cos_e4, cluster_size
+    FROM rk JOIN st USING (cluster) WHERE rf = 1 AND rp != 1"""
+
   /** Semantic-dedup cosine threshold: pairs at or above it inside one
     * k-means cell are semantic duplicates. 0.35 is deliberately permissive
     * because the synthetic embeddings are uniform random (measured max

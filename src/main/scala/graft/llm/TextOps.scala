@@ -241,7 +241,7 @@ object TextOps {
     * array (not raw text) so both engines share one normal form with no
     * regex-dialect drift beyond the already-mirrored tokenizer.
     */
-  private[llm] def lmNorm(text: Column): Column =
+  private[graft] def lmNorm(text: Column): Column =
     regexp_replace(array_join(toks(text), " "), "[0-9]", "0")
   private[llm] val lmNormSql: String =
     s"regexp_replace(array_to_string($toksSql, ' '), '[0-9]', '0', 'g')"
@@ -642,6 +642,73 @@ object TextOps {
            coalesce(array_to_string(l, ','), '') AS token_csv
     FROM ids"""
   }
+
+  /** D62 (r7): tokenizer coverage report — the QC gate behind "is the
+    * mined BPE vocabulary actually covering this corpus": per source,
+    * docs, total tokens under the mined merges, tokens that ARE merges
+    * (vs byte fallbacks), the merged fraction in exact basis points, and
+    * normalized-chars-per-token in exact centi-units (the compression
+    * ratio a tokenizer buys — 100 = no compression). A new source whose
+    * merged_bp collapses is out-of-domain for the tokenizer and shows up
+    * here BEFORE it inflates training sequence lengths.
+    *
+    * Shape: the same baked merge fold as D54 (no join — merges are
+    * code-time literals per run), all counting on the folded string
+    * (every char = one token; merge placeholders are the A..T band), then
+    * ONE partial-agg shuffle bounded by the source alphabet. Ratios in
+    * exact integer arithmetic, zero-token sources guard to 0.
+    */
+  def bpeCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir).select(col("pair"))
+      .collect().map(_.getString(0))
+    val encoded = merges.zipWithIndex.foldLeft(lmNorm(col("text"))) {
+      case (s, (p, i)) =>
+        call_function("replace", s, lit(p), lit((65 + i).toChar.toString))
+    }
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        coalesce(length(encoded), lit(0)).cast("bigint").as("toks"),
+        coalesce(length(encoded) -
+          length(regexp_replace(encoded, lit("[A-Z]"), lit(""))), lit(0))
+          .cast("bigint").as("merged"),
+        coalesce(length(lmNorm(col("text"))), lit(0)).cast("bigint").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("merged")).as("n_merged"), sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_merged"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(10000 * n_merged) div n_tokens")).as("merged_bp"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(100 * n_chars) div n_tokens")).as("chars_per_token_e2"))
+  }
+
+  val bpeCoverageSql: String =
+    s"""WITH RECURSIVE m AS (
+      SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, slot ASC) - 1 AS INT) AS rank
+      FROM ($bpeMergesSql)),
+    t AS (SELECT doc_id, $lmNormSql AS s FROM documents),
+    ap AS (
+      SELECT doc_id, s, 0 AS i FROM t
+      UNION ALL
+      SELECT ap.doc_id, replace(ap.s, m.pair, chr(65 + m.rank)), ap.i + 1
+      FROM ap JOIN m ON m.rank = ap.i
+      WHERE ap.i < $BpeTopMerges),
+    enc AS (SELECT doc_id, s FROM ap WHERE i = (SELECT count(*) FROM m)),
+    per AS (
+      SELECT e.doc_id, CAST(len(e.s) AS BIGINT) AS toks,
+             CAST(len(e.s) - len(regexp_replace(e.s, '[A-Z]', '', 'g')) AS BIGINT) AS merged,
+             CAST(len(p.s) AS BIGINT) AS chars
+      FROM enc e JOIN t p USING (doc_id))
+    SELECT coalesce(d.source, '') AS source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(per.toks) AS BIGINT) AS n_tokens,
+      CAST(sum(per.merged) AS BIGINT) AS n_merged,
+      CASE WHEN sum(per.toks) = 0 THEN 0
+           ELSE CAST((10000 * sum(per.merged)) // sum(per.toks) AS BIGINT) END AS merged_bp,
+      CASE WHEN sum(per.toks) = 0 THEN 0
+           ELSE CAST((100 * sum(per.chars)) // sum(per.toks) AS BIGINT) END AS chars_per_token_e2
+    FROM per JOIN documents d USING (doc_id)
+    GROUP BY 1"""
 
   /** Power-of-two length-bucket edges for D43 (tokens counted by the same
     * BPE-ish segmentation as D10). The top bucket is open-ended. */

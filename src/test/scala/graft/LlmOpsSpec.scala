@@ -1330,4 +1330,70 @@ class LlmOpsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("contained_id") !== r.getAs[Long]("container_id"))
     }
   }
+
+  test("sample_diverse: per-cluster argmax/argmin roles match a driver recompute") {
+    val asg = graft.llm.Ann.ivfRanked(spark, sfDir).filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"),
+        floor((col("ccos") + lit(1d)) * lit(10000d)).cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = graft.llm.Ann.sampleDiverse(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[String]("role")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("cos_e4"), r.getAs[Long]("cluster_size")))
+      .toMap
+    Checkpoints.releaseAll()
+    val byCell = asg.groupBy(_._1)
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (cell, ms) =>
+      val proto = ms.minBy(m => (-m._3, m._2))
+      val fringe = ms.minBy(m => (m._3, m._2))
+      val p = out((cell, "proto"))
+      assert(p._1 === proto._2 && p._2 === proto._3 - 10000L)
+      assert(p._3 === ms.length.toLong)
+      if (fringe._2 != proto._2) {
+        val f = out((cell, "fringe"))
+        assert(f._1 === fringe._2 && f._2 === fringe._3 - 10000L)
+        assert(f._2 <= p._2, "fringe must not out-center the prototype")
+      } else assert(!out.contains((cell, "fringe")))
+    }
+    // the core-set is genuinely small: ≤ 2 rows per cell
+    assert(out.size <= 2 * byCell.size)
+  }
+
+  test("bpe_coverage: counts match a driver-side replay of the merge fold") {
+    val merges = graft.llm.TextOps.bpeMerges(spark, sfDir)
+      .select(col("pair")).collect().map(_.getString(0))
+    assert(merges.nonEmpty)
+    // normalized text from the SAME expression the operator folds over
+    val normed = Tables.documents(spark, sfDir)
+      .select(coalesce(col("source"), lit("")),
+        graft.llm.TextOps.lmNorm(col("text")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+    val perSource = normed.groupBy(_._1).map { case (src, docs) =>
+      var toks = 0L; var merged = 0L; var chars = 0L
+      docs.foreach { case (_, s0) =>
+        chars += s0.length
+        val s = merges.zipWithIndex.foldLeft(s0) { case (acc, (p, i)) =>
+          acc.replace(p, (65 + i).toChar.toString)
+        }
+        toks += s.length
+        merged += s.count(c => c >= 'A' && c <= 'Z')
+      }
+      src -> (docs.length.toLong, toks, merged, chars)
+    }
+    val out = graft.llm.TextOps.bpeCoverage(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet === perSource.keySet)
+    perSource.foreach { case (src, (nd, toks, merged, chars)) =>
+      val r = out(src)
+      assert(r.getAs[Long]("n_docs") === nd, s"n_docs($src)")
+      assert(r.getAs[Long]("n_tokens") === toks, s"n_tokens($src)")
+      assert(r.getAs[Long]("n_merged") === merged, s"n_merged($src)")
+      assert(r.getAs[Long]("merged_bp") ===
+        (if (toks == 0) 0L else 10000L * merged / toks))
+      assert(r.getAs[Long]("chars_per_token_e2") ===
+        (if (toks == 0) 0L else 100L * chars / toks))
+      // the fold only shrinks: compression ratio is never below 1.0
+      if (toks > 0) assert(r.getAs[Long]("chars_per_token_e2") >= 100L)
+    }
+  }
 }

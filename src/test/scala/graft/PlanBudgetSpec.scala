@@ -45,6 +45,7 @@ class PlanBudgetSpec extends SparkSpecBase {
     "append_region_comment" -> B(6, 0),
     "asof_join" -> B(4, 0),
     "basket_pairs" -> B(6, 4),
+    "bpe_coverage" -> B(6, 0),
     "bpe_merges" -> B(4, 0),
     "capex_pipeline" -> B(14, 0),
     "capex_pipeline_bucketed" -> B(2, 0),
@@ -152,6 +153,7 @@ class PlanBudgetSpec extends SparkSpecBase {
     "rule_remark_filter" -> B(6, 0),
     "rule_status_filter" -> B(6, 0),
     "sample_cap_domain" -> B(4, 0),
+    "sample_diverse" -> B(9, 0),
     "sample_exact_n" -> B(3, 0),
     "sample_stratified" -> B(2, 0),
     "scd2_intervals" -> B(3, 0),

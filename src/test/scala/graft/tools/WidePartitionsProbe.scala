@@ -14,9 +14,11 @@ object WidePartitionsProbe {
                   else Seq("part_pagerank", "split_holdout", "part_communities",
                            "dedup_components")
     for (canChange <- Seq("false", "true")) {
-      val spark = graft.GraftSession.builder(8)
+      val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+      val parts = sys.env.getOrElse("GRAFT_PROBE_PARTITIONS", "2048")
+      val spark = graft.GraftSession.builder(cores)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", canChange)
-        .config("spark.sql.shuffle.partitions", "2048")
+        .config("spark.sql.shuffle.partitions", parts)
         .appName(s"wide-$canChange")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
