@@ -844,6 +844,98 @@ object Dedup {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3"""
 
+  /** Threshold sweep for the dedup-rate curve, in basis points (floor =
+    * D4's 0.30 candidate cut; above 0.90 near-dup families collapse into
+    * D1's exact dedup).
+    */
+  val CurveThresholds: Seq[Int] = 3000 to 9000 by 1000
+
+  /** D63 (r7): dedup-rate curve — the THRESHOLD-tuning artifact the
+    * single-threshold pair operators can't give (the D60 pattern applied
+    * to near-dup policy): for every candidate Jaccard threshold, how many
+    * pairs qualify, how many DOCUMENTS the keep-lowest-id rule would drop
+    * (a doc is dropped iff it is the higher id of some qualifying pair),
+    * and the drop rate over the corpus in exact basis points. This is the
+    * number a data lead looks at before burning a threshold into a 100 TB
+    * dedup pass — "0.7 drops 4% of the corpus, 0.5 drops 19%".
+    *
+    * ONE candidate pass serves every threshold: the D4 inverted-index
+    * equality join computes each pair's exact similarity ONCE in integer
+    * basis points, pairs explode only to the thresholds they meet
+    * (≤ |thresholds| rows per pair), and two bounded aggregates follow. A
+    * static threshold frame keeps zero-pair thresholds reporting 0s; the
+    * 1-row corpus count broadcasts (no driver action). Exact integer
+    * arithmetic throughout → hash-checked oracle.
+    */
+  def dedupRateCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docsWithShingles(spark, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .transform(graft.Checkpoints.cp)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val pairs = inv.select(col("doc_id").as("doc_a"), col("h"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("sim_bp", expr("(10000 * inter) div (n_a + n_b - inter)"))
+    val qual = pairs.select(col("doc_b"),
+      explode(filter(array(CurveThresholds.map(lit): _*),
+        t => t <= col("sim_bp"))).as("threshold_bp"))
+    val agg = qual.groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("c_pairs"),
+        countDistinct(col("doc_b")).as("c_dropped"))
+    val totals = sh.agg(count(lit(1)).as("n_docs"))
+    CurveThresholds.toDF("threshold_bp")
+      .join(agg, Seq("threshold_bp"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("threshold_bp"),
+        coalesce(col("c_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("c_dropped"), lit(0L)).as("n_docs_dropped"),
+        col("n_docs"),
+        when(col("n_docs") === 0, lit(0L)).otherwise(
+          expr("(10000 * coalesce(c_dropped, 0)) div n_docs")).as("drop_bp"))
+  }
+
+  def dedupRateCurveSql: String = {
+    val ths = CurveThresholds.mkString(", ")
+    s"""WITH sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(${TextOps.shinglesSql("toks")}) AS shingles
+      FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)),
+    sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh2),
+    inv AS MATERIALIZED (
+      SELECT doc_id, md5(s) AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh2)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    bp AS MATERIALIZED (
+      SELECT doc_a, doc_b,
+             (10000 * inter) // (sa.n_sh + sb.n_sh - inter) AS sim_bp
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sh2),
+    th AS (SELECT CAST(unnest([$ths]) AS INT) AS threshold_bp),
+    q AS (
+      SELECT t.threshold_bp, CAST(count(*) AS BIGINT) AS c_pairs,
+             CAST(count(DISTINCT doc_b) AS BIGINT) AS c_dropped
+      FROM th t JOIN bp ON bp.sim_bp >= t.threshold_bp
+      GROUP BY 1)
+    SELECT t.threshold_bp,
+      coalesce(q.c_pairs, 0) AS n_pairs,
+      coalesce(q.c_dropped, 0) AS n_docs_dropped,
+      n.n_docs,
+      CASE WHEN n.n_docs = 0 THEN 0
+           ELSE (10000 * coalesce(q.c_dropped, 0)) // n.n_docs END AS drop_bp
+    FROM th t LEFT JOIN q USING (threshold_bp), n"""
+  }
+
   /** Containment floor in basis points: 0.80 of the smaller doc's shingles
     * must appear in the larger one.
     */

@@ -1331,6 +1331,40 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_rate_curve matches a driver recompute and is threshold-monotone") {
+    val out = Dedup.dedupRateCurve(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("threshold_bp") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_dropped"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("drop_bp"))).toMap
+    // driver recompute from the SAME pair semantics (exact integer bp)
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Checkpoints.releaseAll()
+    val nDocs = out.values.head._3
+    assert(out.keySet === Dedup.CurveThresholds.toSet)
+    Dedup.CurveThresholds.foreach { t =>
+      // D4's pairs carry exact jaccard; integer bp floors it, so recompute
+      // via the integer identity: sim_bp >= t  <=>  10000*inter >= t*union
+      val q = pairs.filter { case (_, _, inter, j) =>
+        val union = math.round(inter / j) // exact: j = inter/union
+        10000L * inter >= t.toLong * union
+      }
+      val (np, nd, _, bp) = out(t)
+      assert(np === q.length.toLong, s"n_pairs($t)")
+      assert(nd === q.map(_._2).distinct.length.toLong, s"n_docs_dropped($t)")
+      assert(bp === (if (nDocs == 0) 0L else 10000L * nd / nDocs))
+    }
+    // monotone: raising the threshold never qualifies more pairs or docs
+    Dedup.CurveThresholds.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(out(a)._1 >= out(b)._1 && out(a)._2 >= out(b)._2)
+      case _ =>
+    }
+    // non-vacuous: the seeded near-dups qualify somewhere on the curve
+    assert(out(Dedup.CurveThresholds.head)._1 > 0)
+  }
+
   test("sample_diverse: per-cluster argmax/argmin roles match a driver recompute") {
     val asg = graft.llm.Ann.ivfRanked(spark, sfDir).filter(col("rn") === 1)
       .select(col("cell"), col("vec_id"),

@@ -69,6 +69,7 @@ class PlanBudgetSpec extends SparkSpecBase {
     "dedup_jaccard_prefix" -> B(6, 0),
     "dedup_minhash" -> B(4, 0),
     "dedup_ngram_jaccard" -> B(4, 0),
+    "dedup_rate_curve" -> B(8, 4),
     "dedup_rate_source" -> B(16, 0),
     "dedup_rewrite" -> B(7, 0),
     "dedup_semantic" -> B(12, 0),
