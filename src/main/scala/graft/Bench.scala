@@ -42,7 +42,14 @@ object Bench {
     "ann_index_probe", "text_bpe_encode", "table_stats", "fk_integrity",
     // the third iterative-propagation plan (shared early-exit CC loop) and
     // the session-journey ranking (window + path fold + TakeOrdered)
-    "part_communities", "events_top_paths")
+    "part_communities", "events_top_paths",
+    // r7 additions with real scan/shuffle cost: the threshold-sweep dedup
+    // curve (one D4 candidate pass serving 7 thresholds) and the IVF
+    // core-set selection (assignment pass + twin rank windows); the other
+    // r7 newcomers are bounded-aggregate maps (bpe_coverage rides the
+    // same fold as the tracked text_bpe_encode; table_stats_approx's gate
+    // form embeds the tracked table_stats)
+    "dedup_rate_curve", "sample_diverse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

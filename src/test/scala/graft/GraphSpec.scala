@@ -142,4 +142,33 @@ class GraphSpec extends SparkSpecBase {
     bruteTri.foreach { case (v, t) => assert(out(v) === t, s"triangles($v)") }
     assert(bruteTri.values.sum > 0, "testdata graph should contain triangles")
   }
+
+  test("ccLabelsOf: iteration-cap hit is observable, convergence clears it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a path graph whose min-id vertex has eccentricity > MaxCcIters:
+    // one-hop min-label spreading CANNOT finish inside the cap, and the
+    // r7 contract is that this is REPORTED (ccCapHit), not silent
+    val n = graft.llm.Dedup.MaxCcIters + 5
+    val chain = (0L until n.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
+    val sym = chain ++ chain.map(_.swap)
+    val labels = graft.llm.Dedup.ccLabelsOf(
+      sym.toDF("src", "dst").repartition(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.llm.Dedup.ccCapHit,
+      "a chain longer than the cap must set the cap-hit flag")
+    // labels are k-hop-ball minima: vertex i holds max(0, i - cap)
+    val cap = graft.llm.Dedup.MaxCcIters
+    (0L until n.toLong).foreach { i =>
+      assert(labels(i) === math.max(0L, i - cap), s"label($i)")
+    }
+    Checkpoints.releaseAll()
+    // a dense graph converges inside the cap and clears the flag
+    val clique = (for (a <- 0L until 5L; b <- 0L until 5L if a != b)
+      yield (a, b)).toDF("src", "dst")
+    val cl = graft.llm.Dedup.ccLabelsOf(clique).collect()
+    assert(!graft.llm.Dedup.ccCapHit, "converged run must clear the flag")
+    assert(cl.forall(_.getLong(1) === 0L))
+    Checkpoints.releaseAll()
+  }
 }
