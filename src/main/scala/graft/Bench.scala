@@ -145,11 +145,15 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        // a failed attempt must NOT enter the min (its near-zero elapsed
+        // time would publish an impossible best and read as a speedup)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false }
         graft.capex.CapexDerive.clearCache()
         graft.Checkpoints.releaseAll()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
       name -> ts.min
     }.toMap

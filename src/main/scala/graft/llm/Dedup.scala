@@ -561,8 +561,19 @@ object Dedup {
       if (changed == 0L) done = true
       round += 1
     }
-    ccCapHitTl.set(!done)
-    if (!done)
+    // Cap-hit probe: the loop exiting with changes in its FINAL round does
+    // not prove the labeling is unfinished — the fixed point may have been
+    // reached exactly at the cap (a component whose min-id vertex has
+    // eccentricity == MaxCcIters). One extra read-only change count on the
+    // final labels settles it; paid only in the rare cap-exit case.
+    val capHit = !done && {
+      val nb = edges.join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("v2")).agg(min(col("lbl")).as("nb"))
+      labels.join(nb, col("v") === col("v2"))
+        .filter(col("nb") < col("lbl")).limit(1).count() > 0
+    }
+    ccCapHitTl.set(capHit)
+    if (capHit)
       System.err.println(s"[graft] ccLabelsOf hit the $MaxCcIters-round cap " +
         "before the fixed point: labels are k-hop-ball minima, not component " +
         "minima (long-chain graph — raise MaxCcIters AND the oracle unroll)")

@@ -597,13 +597,26 @@ object TextOps {
     * literals. The encode itself is then one map-only pass over the
     * corpus: no join, no shuffle, embarrassingly parallel at 100 TB.
     */
-  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** The baked BPE merge fold shared by D54 (encode) and D62 (coverage):
+    * the mined merges collect as code-time literals (bounded by
+    * BpeTopMerges — the §5 bounded-scalar contract) and replay over the
+    * normalized text left-to-right, each merge collapsing to one char in
+    * the A.. placeholder band (65+rank; BpeTopMerges ≤ 26 keeps the band
+    * inside A-Z — D62's `[A-Z]` counting depends on that). ONE definition
+    * so the two operators' tokenizations cannot drift.
+    */
+  private def bakedMergeFold(spark: SparkSession, dir: String): Column = {
+    require(BpeTopMerges <= 26, "placeholder band must stay within A-Z")
     val merges = bpeMerges(spark, dir).select(col("pair"))
       .collect().map(_.getString(0))
-    val encoded = merges.zipWithIndex.foldLeft(lmNorm(col("text"))) {
+    merges.zipWithIndex.foldLeft(lmNorm(col("text"))) {
       case (s, (p, i)) =>
         call_function("replace", s, lit(p), lit((65 + i).toChar.toString))
     }
+  }
+
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val encoded = bakedMergeFold(spark, dir)
     val ids = transform(
       filter(split(encoded, ""), c => length(c) === 1),
       c => when(c === " ", lit(27)).when(c === "0", lit(26))
@@ -659,12 +672,7 @@ object TextOps {
     * exact integer arithmetic, zero-token sources guard to 0.
     */
   def bpeCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMerges(spark, dir).select(col("pair"))
-      .collect().map(_.getString(0))
-    val encoded = merges.zipWithIndex.foldLeft(lmNorm(col("text"))) {
-      case (s, (p, i)) =>
-        call_function("replace", s, lit(p), lit((65 + i).toChar.toString))
-    }
+    val encoded = bakedMergeFold(spark, dir)
     Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
       .select(coalesce(col("source"), lit("")).as("source"),
         coalesce(length(encoded), lit(0)).cast("bigint").as("toks"),

@@ -65,11 +65,14 @@ object AnnIndexSink {
     *
     * Idempotent under redelivery (r7): a retried batch must not plant
     * duplicate vec_ids — duplicate index rows silently change probe
-    * results (doubled neighbor rows, shifted top-k tie-breaks). The batch
-    * anti-joins the stored vec_id set before insert, so re-running an
-    * append is a no-op; the anti-join's index side is the bucketed scan
-    * (one pruned column), the batch side is the day's crawl — the small
-    * side, broadcast by AQE.
+    * results (doubled neighbor rows, shifted top-k tie-breaks). Two
+    * broadcast-small-side joins keep the dedup O(batch): the stored
+    * index is SEMI-joined against the broadcast batch-id set (one pruned
+    * vec_id column scan, no index shuffle — a LeftAnti can only build
+    * its right side, so anti-joining the batch directly against the full
+    * index would broadcast or shuffle the INDEX, growing every daily
+    * append with index size), yielding the already-present ids (≤ batch,
+    * so IT broadcasts), and the batch anti-joins that bounded set.
     *
     * File proliferation: V1 bucketed insert writes one file per (task,
     * bucket) pair, so an unpartitioned 32-task batch appends up to
@@ -84,9 +87,11 @@ object AnnIndexSink {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val existing = spark.table(table).select(col("vec_id"))
+    val batchIds = batch.select(col("vec_id")).distinct()
+    val present = spark.table(table).select(col("vec_id"))
+      .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
     batch.select(col("vec_id"), col("embedding"))
-      .join(existing, Seq("vec_id"), "left_anti")
+      .join(broadcast(present), Seq("vec_id"), "left_anti")
       .withColumn("bucket", graft.llm.Ann.lshBucket(col("embedding")))
       .repartition(nBuckets, col("bucket"))
       .write.insertInto(table)

@@ -91,7 +91,11 @@ object BucketedSink {
   def readServing(spark: SparkSession, table: String, keyCol: String): DataFrame = {
     val tt = tombTableOf(table)
     val base = spark.table(table)
-    if (spark.catalog.tableExists(tt) && !spark.table(tt).isEmpty)
+    // catalog-only existence check: no Spark job on the serving path (an
+    // empty tombstone table broadcasts near-free, so the anti-join needs
+    // no emptiness probe; compaction DROPS the table, restoring the plain
+    // bucketed scan)
+    if (spark.catalog.tableExists(tt))
       base.join(broadcast(spark.table(tt)), Seq(keyCol), "left_anti")
     else base
   }
@@ -122,9 +126,18 @@ object BucketedSink {
     (if (spec.sortColumnNames.nonEmpty)
        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else w).saveAsTable(staging)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"DROP TABLE `$tt`")
+    // crash-safe swap order: the serving table is offline only between the
+    // two metadata renames (no data movement in that window), the backup
+    // keeps the pre-compaction files recoverable until the swap succeeded,
+    // and the tombstone record is dropped LAST — a crash anywhere earlier
+    // leaves either the old (table, tombstones) pair or the compacted
+    // table plus a redoable record, never a lost index.
+    val backup = table + "_precompact"
+    spark.sql(s"DROP TABLE IF EXISTS `$backup`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$backup`")
+    spark.sql(s"DROP TABLE `$tt`")
   }
 
   /** Run `write` only if `table` is absent from the catalog, first clearing

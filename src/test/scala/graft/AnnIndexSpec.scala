@@ -115,17 +115,19 @@ class AnnIndexSpec extends SparkSpecBase {
     AnnIndexSink.writeEmbeddingIndexOf(
       v.filter(col("vec_id") % 2 === 0), tbl, buckets = 8)
     val batch = v.filter(col("vec_id") % 2 === 1)
+    def parquetFiles(): Int = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$tbl")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    // capture BEFORE the append so the bound is on the append's DELTA —
+    // deriving it from the post-append total would hold vacuously
+    val filesBuild = parquetFiles()
     AnnIndexSink.appendEmbeddings(batch, tbl)
     val afterFirst = spark.table(tbl).count()
     val probeFirst = rows(Ann.probeIndexTable(spark, tbl))
-    val filesFirst = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$tbl")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    // the day's append lands as exactly `buckets` new files (batch
+    // the day's append lands as at most one new file per bucket (batch
     // repartitioned by the bucket hash), not tasks x buckets
-    val buildFiles = filesFirst - 8
-    assert(buildFiles >= 0 && filesFirst <= buildFiles + 8,
-      s"append wrote more than one file per bucket ($filesFirst total)")
+    assert(parquetFiles() - filesBuild <= 8,
+      s"append wrote ${parquetFiles() - filesBuild} files (> one per bucket)")
     // redelivered batch: a retry must be a no-op — same row count, same
     // probe results, no duplicate vec_ids shifting top-k tie-breaks
     AnnIndexSink.appendEmbeddings(batch, tbl)

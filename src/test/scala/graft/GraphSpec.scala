@@ -163,6 +163,18 @@ class GraphSpec extends SparkSpecBase {
       assert(labels(i) === math.max(0L, i - cap), s"label($i)")
     }
     Checkpoints.releaseAll()
+    // boundary: eccentricity EXACTLY the cap converges in the final
+    // permitted round — the loop exits on the round budget, but the
+    // labels ARE the component minima and the probe must clear the flag
+    val bn = cap + 1
+    val bchain = (0L until bn.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
+    val blabels = graft.llm.Dedup.ccLabelsOf(
+      (bchain ++ bchain.map(_.swap)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!graft.llm.Dedup.ccCapHit,
+      "exact-boundary convergence must NOT report a cap hit")
+    (0L until bn.toLong).foreach(i => assert(blabels(i) === 0L))
+    Checkpoints.releaseAll()
     // a dense graph converges inside the cap and clears the flag
     val clique = (for (a <- 0L until 5L; b <- 0L until 5L if a != b)
       yield (a, b)).toDF("src", "dst")

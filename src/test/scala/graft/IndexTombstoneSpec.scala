@@ -74,6 +74,7 @@ class IndexTombstoneSpec extends SparkSpecBase {
       .filter(col("doc_id") % Dedup.IncrementalBatchMod === 0)
     // take down two docs that actually pair with the batch, so the delete
     // provably changes probe output
+    val preDelete = rows(IndexSink.probe(spark, full, batch))
     val hit = IndexSink.probe(spark, full, batch)
       .select(col("index_id")).distinct().orderBy(col("index_id"))
       .limit(2).collect().map(_.getLong(0)).toSeq
@@ -88,9 +89,10 @@ class IndexTombstoneSpec extends SparkSpecBase {
     BucketedSink.writeBucketed(sigs, rebuilt, "band_key", 4)
     val rebuiltPairs = rows(IndexSink.probe(spark, rebuilt, batch))
     assert(rows(IndexSink.probe(spark, full, batch)) == rebuiltPairs)
-    assert(rebuiltPairs.size <
-      rows(IndexSink.probe(spark, rebuilt, batch)).size + hit.size,
-      "sanity: deletions changed output size bound")
+    // non-vacuity: the takedown genuinely changed probe output vs the
+    // PRE-delete probe (both-sides-broken cannot sneak past equality)
+    assert(rebuiltPairs != preDelete && rebuiltPairs.size < preDelete.size,
+      "sanity: deletions must remove pairs vs the pre-delete probe")
     assert(bucketShuffles(IndexSink.probe(spark, full, batch)).isEmpty,
       "tombstone anti-join broke the band_key layout")
     // compaction: probe unchanged, band rows of the deleted docs gone
