@@ -105,9 +105,14 @@ object Bench {
     def pass(): Seq[(String, Double)] = Headliners.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed attempt must NOT enter the best-of-3 min (its near-zero
+      // elapsed time would publish an impossible best and read as a
+      // speedup) — same guard the wobbler extra passes carry
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       // don't tax later queries' memory: drop capex caches AND every
       // ephemeral dedup/ann checkpoint from the finished query
       graft.capex.CapexDerive.clearCache()

@@ -87,11 +87,32 @@ object AnnIndexSink {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val batchIds = batch.select(col("vec_id")).distinct()
+    // Intra-batch dedup (r8): the stored-row check below only guards
+    // against ids ALREADY in the index — a batch carrying the same vec_id
+    // twice (e.g. an upstream union of two feeds) would sail through it
+    // and plant duplicate index rows, the exact silent probe corruption
+    // (doubled neighbor rows, shifted top-k tie-breaks) the redelivery
+    // contract exists to prevent, just from inside one call.
+    val b = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+    val batchIds = b.select(col("vec_id"))
+    // Tombstone reinstatement (r8): while a vec_id is tombstoned its
+    // physical row still exists, so the idempotence check would silently
+    // swallow the re-append while the tombstone keeps hiding the stored
+    // row — an UPDATED vector lost with no signal. When the batch
+    // intersects the tombstone set, compact first: the old physical rows
+    // are folded out and the tombstone table dropped, so the new rows
+    // insert and serve. The trigger join is bounded (tombstones are a
+    // takedown list; batch ids broadcast), and the rewrite only fires on
+    // the rare delete-then-re-ingest path — the common daily append pays
+    // one catalog-existence check.
+    val tt = BucketedSink.tombTableOf(table)
+    if (spark.catalog.tableExists(tt) &&
+        !spark.table(tt).join(broadcast(batchIds), Seq("vec_id"), "left_semi").isEmpty)
+      compact(spark, table)
     val present = spark.table(table).select(col("vec_id"))
       .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
-    batch.select(col("vec_id"), col("embedding"))
-      .join(broadcast(present), Seq("vec_id"), "left_anti")
+    b.join(broadcast(present), Seq("vec_id"), "left_anti")
       .withColumn("bucket", graft.llm.Ann.lshBucket(col("embedding")))
       .repartition(nBuckets, col("bucket"))
       .write.insertInto(table)
@@ -102,10 +123,10 @@ object AnnIndexSink {
     * vectors as neighbors): record vec_ids as tombstones; every probe
     * excludes them via the bounded broadcast anti-join in
     * `BucketedSink.readServing`, index-side bucket layout and exchange
-    * count unchanged. While a vec_id is tombstoned, re-appending it is
-    * hidden (append's idempotence check sees the physical row) — compact
-    * first to reinstate; AnnIndexSpec/IndexTombstoneSpec pin the
-    * delete ≡ rebuild contract.
+    * count unchanged. Re-appending a tombstoned vec_id triggers a
+    * compaction inside `appendEmbeddings` (r8) so the new vector lands
+    * and serves instead of being silently hidden;
+    * AnnIndexSpec/IndexTombstoneSpec pin the delete ≡ rebuild contract.
     */
   def deleteEmbeddings(spark: SparkSession, table: String, vecIds: DataFrame): Unit =
     BucketedSink.appendTombstones(spark, table,

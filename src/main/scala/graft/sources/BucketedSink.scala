@@ -112,6 +112,14 @@ object BucketedSink {
     */
   def compactTombstones(spark: SparkSession, table: String, keyCol: String): Unit = {
     val tt = tombTableOf(table)
+    // Crash recovery (r8): between the two RENAMEs below the serving name
+    // is briefly absent — a crash in that window strands the index under
+    // <table>_precompact, and a naive rerun would throw at getTableMetadata
+    // instead of finishing the job. Roll the interrupted swap forward
+    // first: if the serving name is gone but the backup exists, the
+    // staging table (when present and complete) becomes the serving table,
+    // else the backup is restored. Only then proceed (or return) normally.
+    recoverSwap(spark, table, tt)
     if (!spark.catalog.tableExists(tt)) return
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -126,18 +134,49 @@ object BucketedSink {
     (if (spec.sortColumnNames.nonEmpty)
        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else w).saveAsTable(staging)
-    // crash-safe swap order: the serving table is offline only between the
-    // two metadata renames (no data movement in that window), the backup
-    // keeps the pre-compaction files recoverable until the swap succeeded,
-    // and the tombstone record is dropped LAST — a crash anywhere earlier
-    // leaves either the old (table, tombstones) pair or the compacted
-    // table plus a redoable record, never a lost index.
+    // Swap order: the serving table is offline only between the two
+    // metadata renames (no data movement in that window — concurrent reads
+    // in that instant DO fail; single-writer-brief-outage is the contract,
+    // not online swap), the backup keeps the pre-compaction files
+    // recoverable until the swap succeeded, and the tombstone record is
+    // dropped LAST — a crash anywhere leaves either the old
+    // (table, tombstones) pair, a `recoverSwap`-completable rename pair,
+    // or the compacted table plus a redoable record; never a lost index.
     val backup = table + "_precompact"
     spark.sql(s"DROP TABLE IF EXISTS `$backup`")
     spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
     spark.sql(s"DROP TABLE `$backup`")
     spark.sql(s"DROP TABLE `$tt`")
+  }
+
+  /** Complete a compaction swap interrupted by a crash (r8). The swap's
+    * only unsafe window is between its two RENAMEs: the serving name is
+    * absent and the index lives under `<table>_precompact`. Roll FORWARD
+    * when the fully-written staging table is present (it always is in
+    * that window — `saveAsTable` completed before the swap began), else
+    * roll BACK to the backup. A backup left beside an intact serving
+    * table means the crash hit AFTER the swap, before cleanup — drop the
+    * backup only. The tombstone table is deliberately NOT dropped here:
+    * tombstones appended after the crash must survive recovery, and
+    * already-folded keys anti-join against nothing — the compaction that
+    * follows re-folds whatever remains. Idempotent; no-op when no rename
+    * pair is stranded.
+    */
+  private def recoverSwap(spark: SparkSession, table: String, tt: String): Unit = {
+    val backup = table + "_precompact"
+    val staging = table + "_compacting"
+    if (!spark.catalog.tableExists(backup)) return
+    if (!spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(staging)) {
+        spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+        spark.sql(s"DROP TABLE `$backup`")
+      } else {
+        spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")
+      }
+    } else {
+      spark.sql(s"DROP TABLE `$backup`")
+    }
   }
 
   /** Run `write` only if `table` is absent from the catalog, first clearing

@@ -139,6 +139,50 @@ class AnnIndexSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("append dedupes duplicate vec_ids within one batch") {
+    val tbl = "ann_emb_idx_intradup_case"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val v = Tables.embeddings(spark, sfDir)
+    AnnIndexSink.writeEmbeddingIndexOf(
+      v.filter(col("vec_id") % 2 === 0), tbl, buckets = 8)
+    val batch = v.filter(col("vec_id") % 2 === 1)
+    // an upstream union of two feeds delivers the same vec_id twice in ONE
+    // call — the cross-call redelivery check can't see it, so the append
+    // itself must dedup the batch before inserting
+    AnnIndexSink.appendEmbeddings(batch.union(batch), tbl)
+    assert(spark.table(tbl).groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count() === 0L,
+      "intra-batch duplicate vec_ids reached the index")
+    assert(rows(Ann.probeIndexTable(spark, tbl)) == rows(Ann.annLsh(spark, sfDir)))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    Checkpoints.releaseAll()
+  }
+
+  test("re-appending a deleted vec_id serves the NEW embedding") {
+    val tbl = "ann_emb_idx_reinstate_case"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    spark.sql(s"DROP TABLE IF EXISTS `${graft.sources.BucketedSink.tombTableOf(tbl)}`")
+    val v = Tables.embeddings(spark, sfDir)
+    AnnIndexSink.writeEmbeddingIndexOf(v, tbl, buckets = 8)
+    import spark.implicits._
+    AnnIndexSink.deleteEmbeddings(spark, tbl, Seq(7L).toDF("vec_id"))
+    // the corpus re-ingests id 7 with an UPDATED vector: without the r8
+    // reinstatement, the tombstone hides the stored row while the
+    // physical-row idempotence check hides the append — silent data loss
+    val updated = v.filter(col("vec_id") === 7L)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(-1.0f)).as("embedding"))
+    val expectedVec = updated.select(col("embedding")).head().getSeq[Float](0)
+    AnnIndexSink.appendEmbeddings(updated, tbl)
+    val served = graft.sources.BucketedSink.readServing(spark, tbl, "vec_id")
+      .filter(col("vec_id") === 7L)
+    assert(served.count() === 1L, "re-appended id must serve exactly once")
+    assert(served.select(col("embedding")).head().getSeq[Float](0) == expectedVec,
+      "re-append served the stale pre-delete vector")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    Checkpoints.releaseAll()
+  }
+
   test("index table is content-fingerprinted per dataset") {
     val t1 = AnnIndexSink.ensureEmbeddingIndex(spark, sfDir)
     val t2 = AnnIndexSink.ensureEmbeddingIndex(spark, "/root/testdata/sf0.01")

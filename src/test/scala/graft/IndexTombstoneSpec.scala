@@ -66,6 +66,45 @@ class IndexTombstoneSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("compaction recovers a swap interrupted between the two renames") {
+    val tbl = "ann_idx_tomb_crash"
+    val staging = tbl + "_compacting"; val backup = tbl + "_precompact"
+    drop(tbl, staging, backup, BucketedSink.tombTableOf(tbl))
+    val v = Tables.embeddings(spark, sfDir)
+    AnnIndexSink.writeEmbeddingIndexOf(v, tbl, buckets = 8)
+    import spark.implicits._
+    AnnIndexSink.deleteEmbeddings(spark, tbl, Seq(5L, 20L).toDF("vec_id"))
+    val expected = rows(Ann.probeIndexTable(spark, tbl))
+    // reproduce the swap's one unsafe window by hand: survivors-only
+    // staging fully written, serving renamed to the backup name, CRASH
+    // before the second rename — the serving name does not exist
+    BucketedSink.writeBucketed(BucketedSink.readServing(spark, tbl, "vec_id"),
+      staging, "bucket", 8, sortCols = Seq("bucket"))
+    spark.sql(s"ALTER TABLE `$tbl` RENAME TO `$backup`")
+    assert(!spark.catalog.tableExists(tbl))
+    // a rerun must roll the swap FORWARD and finish the compaction, not
+    // throw at getTableMetadata
+    AnnIndexSink.compact(spark, tbl)
+    assert(spark.catalog.tableExists(tbl), "recovery lost the serving table")
+    assert(!spark.catalog.tableExists(backup) && !spark.catalog.tableExists(staging))
+    assert(!spark.catalog.tableExists(BucketedSink.tombTableOf(tbl)))
+    assert(rows(Ann.probeIndexTable(spark, tbl)) == expected)
+    // crash AFTER the swap, before cleanup: backup beside an intact
+    // serving table — recovery drops the stale backup only
+    spark.table(tbl).limit(1).write.format("parquet").saveAsTable(backup)
+    AnnIndexSink.compact(spark, tbl)
+    assert(!spark.catalog.tableExists(backup), "stale backup not cleaned up")
+    assert(rows(Ann.probeIndexTable(spark, tbl)) == expected)
+    // crash with NO staging (rolled back state): serving restored from backup
+    spark.sql(s"ALTER TABLE `$tbl` RENAME TO `$backup`")
+    AnnIndexSink.compact(spark, tbl)
+    assert(spark.catalog.tableExists(tbl), "roll-back did not restore serving")
+    assert(!spark.catalog.tableExists(backup))
+    assert(rows(Ann.probeIndexTable(spark, tbl)) == expected)
+    drop(tbl)
+    Checkpoints.releaseAll()
+  }
+
   test("minhash index: delete == rebuild, layout kept, compact folds tombstones") {
     val full = "sig_idx_tomb_full"; val rebuilt = "sig_idx_tomb_rebuilt"
     drop(full, rebuilt, BucketedSink.tombTableOf(full))
