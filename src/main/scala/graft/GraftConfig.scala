@@ -1,0 +1,38 @@
+package graft
+
+/** Engine-level scale knobs (r8, VERDICT items 2/7): JVM-wide system
+  * properties read at PLAN-CONSTRUCTION time by BOTH the Spark expression
+  * builders and the DuckDB oracle-SQL generators — one source of truth, so
+  * the two engines cannot disagree on a width (the oracle generator runs
+  * without a SparkSession, which rules out spark.conf as the carrier; and
+  * several knobs define PERSISTED layouts — the ANN index's hyperplane
+  * bucket scheme — that must not drift per-session within one JVM; the
+  * index table name folds the width in, so a width change builds a fresh
+  * index instead of silently mis-probing a stale one).
+  *
+  * Knobs (defaults = the sf-test-scale values; each scaladoc'd at its
+  * consumer):
+  *  - graft.simhash.blocks      (llm.Dedup.simhashBlocks,    default 8)
+  *  - graft.ann.embBands        (llm.Ann.EmbBands,           default 4)
+  *  - graft.ann.embPlanesPerBand(llm.Ann.EmbPlanesPerBand,   default 4)
+  *  - graft.ann.numPlanes       (llm.Ann.NumPlanes,          default 8)
+  *  - graft.ann.numCells        (llm.Ann.NumCells,           default 16)
+  */
+object GraftConfig {
+  def int(key: String, default: Int): Int =
+    sys.props.get(key).map(_.trim.toInt).getOrElse(default)
+
+  /** Run `body` with `key` temporarily set — spec harness for the
+    * two-width invariance tests; not a production path (widths are
+    * process-lifetime constants there, see object scaladoc).
+    */
+  def withInt[A](key: String, value: Int)(body: => A): A = {
+    val old = sys.props.get(key)
+    sys.props(key) = value.toString
+    try body
+    finally old match {
+      case Some(v) => sys.props(key) = v
+      case None    => sys.props -= key
+    }
+  }
+}

@@ -40,10 +40,18 @@ object Ann {
     * 1-(1-p^P)^B with p = 1-θ/π (≈0.87 at cos 0.8, ≈0.95 at cos 0.9 for
     * 4×4); the 100 TB lever is P: bucket count per band is 2^P, so raising
     * P (e.g. 16 → 65k buckets) keeps per-bucket pair generation bounded
-    * while B compensates recall.
+    * while B compensates recall. Both are live config since r8
+    * (graft.ann.embBands / graft.ann.embPlanesPerBand, defaults = the
+    * test-scale 4×4) and thread through the oracle-SQL generator too —
+    * AnnWidthSpec pins the two-engine agreement at non-default widths and
+    * the candidate-volume scaling that makes P the lever.
     */
-  val EmbBands = 4
-  val EmbPlanesPerBand = 4
+  def EmbBands: Int = graft.GraftConfig.int("graft.ann.embBands", 4)
+  def EmbPlanesPerBand: Int = {
+    val p = graft.GraftConfig.int("graft.ann.embPlanesPerBand", 4)
+    require(p >= 1 && p <= 30, s"graft.ann.embPlanesPerBand must be in [1,30], got $p")
+    p
+  }
 
   private def embPlaneBit(v: Column, j: Int): Column = {
     val proj = (0 until Dim).map { d =>
@@ -58,16 +66,21 @@ object Ann {
     * all-pairs (the pre-round-3 crossJoin form was the engine's last O(n²)
     * join). A pair matching several bands dedups via the final distinct.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingOf(vecs(spark, dir))
+
+  /** Banded LSH signature rows at the CURRENT width config. Plane bits as
+    * separate columns, materialized BEFORE the band explode: one 1024-term
+    * expression inside the Generate blows Janino's method limit (codegen
+    * falls back to interpreted), while 16 × 64-term columns codegen
+    * cleanly; the barrier also stops project-collapse from inlining them
+    * into the explode AND lets both sides of the bucket self-join reuse
+    * the computed projections.
+    */
+  private def embBanded(v: DataFrame): DataFrame = {
     val nPlanes = EmbBands * EmbPlanesPerBand
-    // Plane bits as separate columns, materialized BEFORE the band
-    // explode: one 1024-term expression inside the Generate blows Janino's
-    // method limit (codegen falls back to interpreted), while 16 × 64-term
-    // columns codegen cleanly; the barrier also stops project-collapse from
-    // inlining them into the explode AND lets both sides of the bucket
-    // self-join reuse the computed projections.
     val sigs = graft.Checkpoints.cp(
-      vecs(spark, dir).select(
+      v.select(
         col("vec_id") +: col("embedding") +:
           (0 until nPlanes).map(j => embPlaneBit(col("embedding"), j).as(s"pb$j")): _*))
     val bandCols = (0 until EmbBands).map { b =>
@@ -75,9 +88,13 @@ object Ann {
         .map(r => col(s"pb${b * EmbPlanesPerBand + r}") * (1 << r)).reduce(_ + _)
       struct(lit(b).as("band_idx"), key.as("band_key"))
     }
-    val banded = sigs
+    sigs
       .withColumn("band", explode(array(bandCols: _*)))
       .select(col("vec_id"), col("embedding"), col("band.band_idx"), col("band.band_key"))
+  }
+
+  private[graft] def dedupEmbeddingOf(v: DataFrame): DataFrame = {
+    val banded = embBanded(v)
     val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("band_idx"), col("band_key"))
     val c = banded.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -88,7 +105,22 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
       .distinct()
   }
-  val dedupEmbeddingSql: String = {
+
+  /** Candidate-join volume at the current width config (spec/tuning probe,
+    * not a catalog query): the banded self-join's row count BEFORE the
+    * cosine confirm — the quantity the `graft.ann.*` widths exist to
+    * bound, measured so AnnWidthSpec can pin (a) strictly smaller volume
+    * at a wider P and (b) the superlinear growth with corpus size at a
+    * FIXED width that makes the lever necessary.
+    */
+  private[graft] def embCandidateRows(v: DataFrame): Long = {
+    val banded = embBanded(v)
+    banded.select(col("vec_id").as("id_a"), col("band_idx"), col("band_key"))
+      .join(banded.select(col("vec_id").as("id_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b")).count()
+  }
+  def dedupEmbeddingSql: String = {
     // Same ±1 signs, same left-to-right fold as the Spark expression (see
     // annLshSql IEEE notes), emitted per band.
     def bandKeyExpr(b: Int): String =
@@ -153,7 +185,17 @@ object Ann {
     if ((Integer.parseInt(hex.substring(0, 1), 16) & 1) == 1) 1 else -1
   }
 
-  val NumPlanes = 8
+  /** Single-table LSH width: bucket universe is 2^NumPlanes, so this is
+    * the per-probe occupancy lever (n/2^NumPlanes vectors per bucket) —
+    * raise it as the corpus grows; the persisted index folds the value
+    * into its table name, so a width change triggers a rebuild rather
+    * than a silent mis-probe.
+    */
+  def NumPlanes: Int = {
+    val p = graft.GraftConfig.int("graft.ann.numPlanes", 8)
+    require(p >= 1 && p <= 62, s"graft.ann.numPlanes must be in [1,62], got $p")
+    p
+  }
 
   /** Random-hyperplane LSH bucket id: bit j set iff Σ_d sign(j,d)·x_d > 0.
     * Signs are baked in as literals (the "hyperplane matrix" is code-time
@@ -276,7 +318,17 @@ object Ann {
       .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  val NumCells = 16
+  /** IVF/k-means cell count: per-cell occupancy is n/NumCells, and IVF
+    * probes NProbe/NumCells of the corpus per query — both scale levers.
+    * Published IVF practice sizes cells ~√n; the default is the test-scale
+    * value (seeds are the first NumCells vec_ids, so the corpus must have
+    * at least that many rows at any chosen width).
+    */
+  def NumCells: Int = {
+    val c = graft.GraftConfig.int("graft.ann.numCells", 16)
+    require(c >= 1, s"graft.ann.numCells must be >= 1, got $c")
+    c
+  }
   val NProbe = 2
 
   /** Deterministic one-step Lloyd (spherical k-means) refinement of the
@@ -418,7 +470,7 @@ object Ann {
           ORDER BY ccos DESC, cell ASC) AS rn FROM r0) WHERE rn <= $NProbe)"""
   }
 
-  val annIvfSql: String =
+  def annIvfSql: String =
     s"""WITH $ivfRankedCtes,
     members AS (SELECT vec_id AS nb_id, embedding, cell FROM ranked WHERE rn = 1),
     probes AS (SELECT vec_id AS q_id, embedding, cell FROM ranked WHERE vec_id < 10)
@@ -453,7 +505,7 @@ object Ann {
       .select(col("vec_id"), col("cluster"), col("cluster_size"))
   }
 
-  val embedKmeansSql: String =
+  def embedKmeansSql: String =
     s"""WITH $ivfRankedCtes,
     asg AS (SELECT vec_id, cell AS cluster FROM ranked WHERE rn = 1),
     sz AS (SELECT cluster, count(*) AS cluster_size FROM asg GROUP BY cluster)
@@ -501,7 +553,7 @@ object Ann {
         (col("mean_e4p") - col("ce4p") > lit(OutlierDevE4)).as("is_outlier"))
   }
 
-  val embedOutliersSql: String =
+  def embedOutliersSql: String =
     s"""WITH $ivfRankedCtes,
     asg AS MATERIALIZED (
       SELECT vec_id, cell AS cluster,
@@ -553,7 +605,7 @@ object Ann {
         (col("ce4p") - lit(10000L)).as("cos_e4"), col("cluster_size"))
   }
 
-  val sampleDiverseSql: String =
+  def sampleDiverseSql: String =
     s"""WITH $ivfRankedCtes,
     asg AS MATERIALIZED (
       SELECT vec_id, cell AS cluster,
@@ -618,7 +670,7 @@ object Ann {
         col("dup_of").isNull.as("is_kept"))
   }
 
-  val dedupSemanticSql: String = {
+  def dedupSemanticSql: String = {
     val cos = s"${dotSql("a.embedding", "b.embedding")}" +
       s" / (${normSql("a.embedding")} * ${normSql("b.embedding")})"
     s"""WITH $ivfRankedCtes,
@@ -665,7 +717,7 @@ object Ann {
     * a + (-x) ≡ a - x bit-exactly, so emitting `- x` for negative signs
     * matches Spark's multiply-then-add fold.
     */
-  private lazy val bucketExprSql: String = (0 until NumPlanes).map { j =>
+  private def bucketExprSql: String = (0 until NumPlanes).map { j =>
     val proj = (0 until Dim).map { d =>
       val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
       val s = planeSign(j, d)
@@ -675,7 +727,7 @@ object Ann {
     s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
-  val annLshSql: String = {
+  def annLshSql: String = {
     val bucketExpr = bucketExprSql
     s"""WITH b AS MATERIALIZED (
       SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings)
@@ -691,7 +743,7 @@ object Ann {
       WHERE q.vec_id < 10) WHERE rank <= 5"""
   }
 
-  val annLshMultiprobeSql: String = {
+  def annLshMultiprobeSql: String = {
     val flips = (0 until NumPlanes).map(j => s"xor(bucket, ${1L << j})").mkString(", ")
     s"""WITH b AS MATERIALIZED (
       SELECT vec_id, embedding, $bucketExprSql AS bucket FROM embeddings),
@@ -733,7 +785,7 @@ object Ann {
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .withColumn("recall_bp", expr("n_hit * 10000 div n_exact"))
   }
-  lazy val annRecallReportSql: String =
+  def annRecallReportSql: String =
     s"""WITH exact AS ($annBruteforceSql),
     approx AS ($annLshSql)
     SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
@@ -800,7 +852,7 @@ object Ann {
           .otherwise(expr("n_hit * 10000 div n_exact")))
   }
 
-  lazy val annRecallCurveSql: String =
+  def annRecallCurveSql: String =
     s"""WITH b AS MATERIALIZED (
       SELECT vec_id, embedding, $bucketExprSql AS bucket FROM embeddings),
     q AS (

@@ -8,7 +8,7 @@ import graft.Tables
   *
   * Scale design: every near-dup variant avoids the O(n²) all-pairs join —
   * candidate pairs come from equality joins on bounded-size buckets
-  * (minhash band hash, simhash byte-band, shared shingle hash), which at
+  * (minhash band hash, simhash block-combo key, shared shingle hash), which at
   * 100 TB means one shuffle keyed by bucket and pair generation only inside
   * buckets. Hash functions are md5-based so the DuckDB oracle verifies real
   * signatures, not just row counts (SURVEY.md §4).
@@ -185,75 +185,179 @@ object Dedup {
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     WHERE $estSql >= 0.5"""
 
-  /** 32-bit simhash from md5 hex-digit parities: bit i is set iff the
-    * weighted token vote Σ(±1) for hex position i is positive.
+  /** 64-bit simhash over a pre-materialized token-word list column `ws`
+    * (each element = [lo32, hi32] of the token's md5-derived 64-bit hash):
+    * bit j (0..63) is set iff the weighted token vote Σ(±1) on bit j of
+    * the token hashes is positive. Word 0 carries bits 0..31, word 1 bits
+    * 32..63; summing disjoint powers of two is carry-free, so the signed
+    * BIGINT sum IS the 64-bit pattern (bit 63's term is Long.MinValue).
     */
-  def simhash(t: Column): Column = {
-    val hexes = transform(t, x => md5(x.cast("binary")))
-    (1 to 32).map { i =>
-      val vote = aggregate(hexes, lit(0), (acc, h) =>
-        acc + when(substring(h, i, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1))
-      when(vote > 0, lit(1L << (i - 1))).otherwise(0L)
+  def simhash64FromWords(ws: Column): Column =
+    (0 until 64).map { j =>
+      val word = j / 32 + 1 // element_at is 1-based
+      val bit = j % 32
+      val vote = aggregate(ws, lit(0), (acc, e) =>
+        acc + when(shiftright(element_at(e, word), bit).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
-  /** Same vote/bit formula over a pre-computed `hexes` list column. */
-  def simhashSqlOverHexes: String = {
-    val bits = (1 to 32).map { i =>
-      s"""CASE WHEN list_sum(list_transform(hexes, h ->
-        CASE WHEN substr(h, $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
-        THEN ${1L << (i - 1)} ELSE 0 END"""
+  /** Per-token [lo32, hi32] words from an md5-hex list column — the two
+    * 32-bit halves of the hash's first 16 hex digits, parsed as longs so
+    * the 64 bit votes run on integer ops, not substring scans.
+    */
+  def simhashWords(hexes: Column): Column =
+    transform(hexes, h => array(
+      conv(substring(h, 1, 8), 16, 10).cast("long"),
+      conv(substring(h, 9, 8), 16, 10).cast("long")))
+
+  /** 64-bit simhash of a token-list column (test/utility entry — the
+    * operator pipeline materializes hexes and words as bound columns).
+    */
+  def simhash(t: Column): Column =
+    simhash64FromWords(simhashWords(transform(t, x => md5(x.cast("binary")))))
+
+  /** DuckDB mirror of `simhash64FromWords` over a `ws` list column. */
+  def simhashSqlOverWords: String = {
+    val bits = (0 until 64).map { j =>
+      val word = j / 32 + 1
+      val bit = j % 32
+      // DuckDB rejects 1::BIGINT << 63 (overflow); the top bit's term is
+      // the min-long literal, same two's-complement pattern Spark sums
+      val pow = if (j == 63) "(-9223372036854775807 - 1)" else s"(CAST(1 AS BIGINT) << $j)"
+      s"""CASE WHEN list_sum(list_transform(ws, w ->
+        CASE WHEN ((w[$word] >> $bit) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        THEN $pow ELSE 0 END"""
     }.mkString(" + ")
     s"CAST($bits AS BIGINT)"
   }
 
-  /** D3: SimHash near-dup pairs — byte-band bucketing (4 bands of 8 bits),
-    * Hamming distance ≤ 6 via bit_count(xor).
+  /** Block count b for the Manku-style simhash blocking (g = b − SimhashK
+    * blocks must agree). `graft.simhash.blocks` is the scale lever: the
+    * combo key is (b−6)·(64/b) bits wide, so raising b grows the bucket
+    * universe exponentially (b=8 → 2^16 keys, b=10 → ~2^25, b=12 → ~2^32)
+    * at the price of C(b,6) candidate rows per doc (28 / 210 / 924) —
+    * choose b so per-bucket occupancy n·C(b,6)/2^keybits stays bounded.
     */
-  /** simhash bit votes over a pre-materialized md5-hex list column. */
-  def simhashFromHexes(hexes: Column): Column =
-    (1 to 32).map { i =>
-      val vote = aggregate(hexes, lit(0), (acc, h) =>
-        acc + when(substring(h, i, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1))
-      when(vote > 0, lit(1L << (i - 1))).otherwise(0L)
-    }.reduce(_ + _)
+  val SimhashK = 6
+  def simhashBlocks: Int = {
+    val b = graft.GraftConfig.int("graft.simhash.blocks", 8)
+    require(b > SimhashK && b <= 16, s"graft.simhash.blocks must be in [7,16], got $b")
+    b
+  }
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val base = docsWithToks(spark, dir).filter(size(col("toks")) >= 1)
-      // hexes materialized first: the 32 bit-vote aggregates each reference
-      // the list; keeping it a bound column avoids 32 re-tokenizations
-      .withColumn("hexes", transform(col("toks"), x => md5(x.cast("binary"))))
-      .transform(graft.Checkpoints.cp)
-      .select(col("doc_id"), simhashFromHexes(col("hexes")).as("sh"))
-      .transform(graft.Checkpoints.cp)
-    val banded = base.withColumn("band",
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_idx"),
-          expr(s"shiftright(sh, ${b * 8}) & 255").as("band_key"))): _*)))
-      .select(col("doc_id"), col("sh"), col("band.band_idx"), col("band.band_key"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band_idx"), col("band_key"))
-    val c = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band_idx"), col("band_key"))
-    a.join(c, Seq("band_idx", "band_key")).filter(col("doc_a") < col("doc_b"))
+  /** LSB-first (offset, width) layout of b contiguous blocks over 64 bits
+    * (widths differ by at most 1: 64 mod b leading blocks get the extra).
+    */
+  def simhashLayout(b: Int): Seq[(Int, Int)] = {
+    val base = 64 / b; val rem = 64 % b
+    val widths = (0 until b).map(i => base + (if (i < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** All Hamming-≤-k candidate pairs from a (doc_id, sh) signature frame,
+    * confirmed exact — the blocking-independent core of D3.
+    *
+    * Completeness theorem (the Manku block-permutation argument,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): partition
+    * the 64 bits into b blocks and emit one bucket row per g-subset of
+    * blocks (g = b − k), keyed by the concatenated block values. A pair at
+    * Hamming ≤ k has ≤ k dirty blocks, hence ≥ b − k = g clean ones, hence
+    * SOME g-subset of clean blocks — which is one of the C(b,g) enumerated
+    * combos, so the equality join finds the pair. The exact
+    * bit_count(xor) ≤ k confirm then makes the OUTPUT independent of the
+    * blocking entirely: candidates ⊇ all qualifying pairs in any complete
+    * scheme, the filter keeps exactly the qualifying ones, DISTINCT drops
+    * combo multiplicity. SimhashCompleteSpec property-tests this against
+    * brute-force Hamming on bit-mutant batteries at several b.
+    *
+    * Scale shape: candidates come ONLY from equality joins on the combo
+    * key, whose universe is 2^((b−k)·64/b) — corpus-scaling via the b
+    * config, unlike a fixed band width (the r7-flagged Θ(n²/256) shape).
+    * One shuffle keyed by (combo, key); no cross join anywhere.
+    */
+  def simhashPairs(sigs: DataFrame, b: Int): DataFrame = {
+    val g = b - SimhashK
+    val layout = simhashLayout(b)
+    val combos = layout.indices.combinations(g).toSeq
+    val keyed = sigs.withColumn("c",
+      explode(array(combos.zipWithIndex.map { case (c, ci) =>
+        val keyExpr = c.foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+          val (off, w) = layout(i)
+          // arithmetic shiftright sign-extends past bit 63−off; the block
+          // mask truncates to width w, so the key bits are exact
+          s"(shiftleft($acc, $w) | (shiftright(sh, $off) & ${(1L << w) - 1}))"
+        }
+        struct(lit(ci).as("combo"), expr(keyExpr).as("key"))
+      }: _*)))
+      .select(col("doc_id"), col("sh"),
+        col("c.combo").as("combo"), col("c.key").as("key"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("combo"), col("key"))
+    val c2 = keyed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("combo"), col("key"))
+    a.join(c2, Seq("combo", "key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimhashK)
       .distinct()
   }
-  def dedupSimhashSql: String =
+
+  /** (doc_id, sh) 64-bit signatures for `dir`'s documents. Hexes and token
+    * words are materialized as bound columns first: the 64 bit-vote
+    * aggregates each reference the list, and Catalyst's project collapsing
+    * would otherwise re-run md5+conv once per vote.
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    docsWithToks(spark, dir).filter(size(col("toks")) >= 1)
+      .withColumn("hexes", transform(col("toks"), x => md5(x.cast("binary"))))
+      .transform(graft.Checkpoints.cp)
+      .withColumn("ws", simhashWords(col("hexes")))
+      .transform(graft.Checkpoints.cp)
+      .select(col("doc_id"), simhash64FromWords(col("ws")).as("sh"))
+      .transform(graft.Checkpoints.cp)
+
+  /** D3: SimHash near-dup pairs — 64-bit signature, Manku block-combo
+    * bucketing (see `simhashPairs`), exact Hamming ≤ 6 confirm.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashSignatures(spark, dir), simhashBlocks)
+
+  /** The oracle uses the SIMPLEST complete blocking — b=7 blocks, agree on
+    * any one — rather than mirroring the engine's combo scheme: both are
+    * complete for Hamming ≤ 6 (pigeonhole: 6 flips leave ≥1 of 7 blocks
+    * clean), and `simhashPairs`' exact confirm + DISTINCT makes the output
+    * of ANY complete blocking identical, so the cheap oracle verifies the
+    * full pair semantics (the D4c pattern). Deliberately NOT the engine's
+    * blocking: agreement across two independently-derived schemes also
+    * guards against a shared blocking bug.
+    */
+  def dedupSimhashSql: String = {
+    val layout7 = simhashLayout(7)
+    val keyCase = layout7.zipWithIndex.map { case ((off, w), i) =>
+      s"WHEN $i THEN (sh >> $off) & ${(1L << w) - 1}"
+    }.mkString(" ")
     s"""WITH hx AS (
       SELECT doc_id, list_transform(toks, x -> md5(x)) AS hexes
       FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)
       WHERE len(toks) >= 1),
+    wsx AS MATERIALIZED (
+      SELECT doc_id, list_transform(hexes, h ->
+        [CAST('0x' || substr(h, 1, 8) AS BIGINT),
+         CAST('0x' || substr(h, 9, 8) AS BIGINT)]) AS ws
+      FROM hx),
     sh AS MATERIALIZED (
-      SELECT doc_id, $simhashSqlOverHexes AS sh FROM hx),
+      SELECT doc_id, $simhashSqlOverWords AS sh FROM wsx),
     banded AS MATERIALIZED (
-      SELECT doc_id, sh, b.band_idx, (sh >> (b.band_idx * 8)) & 255 AS band_key
-      FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b)
+      SELECT doc_id, sh, b.band_idx,
+             CASE b.band_idx $keyCase END AS band_key
+      FROM sh, (SELECT unnest([0,1,2,3,4,5,6]) AS band_idx) b)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.sh, b.sh)) AS hamming
     FROM banded a JOIN banded b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= 6"""
+    WHERE bit_count(xor(a.sh, b.sh)) <= $SimhashK"""
+  }
 
   /** D4: n-gram Jaccard pairs via a shared-shingle inverted index — pairs
     * are generated only for docs sharing ≥1 shingle hash (the 100 TB path:
@@ -507,14 +611,19 @@ object Dedup {
     * instead of growing exponentially. Near-dup graphs have tiny diameters
     * (duplicates of the same content), so the fixed bound is generous.
     */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOfPairs(dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** D19's clustering over an arbitrary (doc_a, doc_b) pair frame — the
+    * composable form corpus_pipeline_indexed feeds with pairs served from
+    * the persisted signature index instead of the per-run recompute.
+    */
+  private[graft] def componentsOfPairs(pairs: DataFrame): DataFrame =
     ccLabelsOf(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("v").as("doc_id"), col("lbl").as("component_id"))
       .withColumn("is_keeper", col("doc_id") === col("component_id"))
-  }
 
   /** Shared min-label connected-components loop over a SYMMETRIC
     * (src, dst) edge list — used by D19's dedup clustering and E45's

@@ -34,7 +34,12 @@ object AnnIndexSink {
     */
   private def tableFor(dir: String): String = {
     val fp = BucketedSink.contentFingerprint(Seq(s"$dir/embeddings.parquet"))
-    "ann_emb_idx_" + BucketedSink.nameHash(s"$dir\n$fp")
+    // the hyperplane width is part of the layout contract: a NumPlanes
+    // change (graft.ann.numPlanes, r8) must build a FRESH index — probing
+    // a stale table whose stored bucket ids used another width would
+    // silently miss every candidate, not fail
+    "ann_emb_idx_" + BucketedSink.nameHash(
+      s"$dir\n$fp\nplanes=${graft.llm.Ann.NumPlanes}")
   }
 
   /** Write the hyperplane-bucketed embedding index for `dir`'s corpus. */
