@@ -49,7 +49,13 @@ object Bench {
     // r7 newcomers are bounded-aggregate maps (bpe_coverage rides the
     // same fold as the tracked text_bpe_encode; table_stats_approx's gate
     // form embeds the tracked table_stats)
-    "dedup_rate_curve", "sample_diverse")
+    "dedup_rate_curve", "sample_diverse",
+    // r8 additions: the D-family FLAGSHIP (the full clean → mixture →
+    // BPE-pack manifest a pretraining run executes) and its persisted-
+    // index twin (near-dup pairs served from the stored band table —
+    // index built in the untimed warmup, the pay-at-ingest convention of
+    // capex_pipeline_bucketed / ann_index_probe)
+    "corpus_pipeline", "corpus_pipeline_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -199,8 +205,78 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream row failed: $e"); -1.0
     }
+    // r8 streaming e2e rows (VERDICT item 6): the daily-ingest dedup probe
+    // (documents stream → stream-static band join against the PERSISTED
+    // signature index → watermarked pair-dedup state) and the
+    // stream-stream interval click attribution — each reporting wall time
+    // AND the ending state-store row count, the lifecycle metric a
+    // streaming deployment capacity-plans on (wall time says how fast the
+    // day drained; state rows say what RocksDB must hold to do it).
+    // Same conventions as stream_sessionize_e2e: staged input, untimed
+    // warmup (and, for the probe, the pay-at-ingest index build),
+    // AvailableNow, excluded from `total`.
+    def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      if (ps.isEmpty) 0.0
+      else ps.last.stateOperators.map(_.numRowsTotal.toDouble).sum
+    }
+    val (probeSec, probeStateRows) = try {
+      val tbl = "bench_sig_index"
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      graft.sources.IndexSink.writeSignatureIndex(spark, sfDir, tbl, buckets = 32)
+      graft.Checkpoints.releaseAll()
+      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-probe")
+      import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % graft.llm.Dedup.IncrementalBatchMod === 0)
+        .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+        .coalesce(4).write.mode("overwrite").parquet(sdir.toString)
+      val schema = spark.read.parquet(sdir.toString).schema
+      var stateRows = 0.0
+      def run(): Unit = {
+        val cp = java.nio.file.Files.createTempDirectory("graft-bench-probe-cp")
+        val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+        val q = graft.streaming.StreamOps.indexProbeStream(spark, tbl, stream, "arrived")
+          .writeStream.format("noop").option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        stateRows = lastStateRows(q)
+      }
+      run()
+      val t0 = System.nanoTime(); run()
+      ((System.nanoTime() - t0) / 1e9, stateRows)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] index probe stream row failed: $e"); (-1.0, -1.0)
+    }
+    val (clickSec, clickStateRows) = try {
+      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-click")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        sdir.resolve("part-00000.parquet"))
+      var stateRows = 0.0
+      def run(): Unit = {
+        val cp = java.nio.file.Files.createTempDirectory("graft-bench-click-cp")
+        val ev = graft.streaming.StreamOps.readEventStream(spark, sdir.toString)
+        val q = graft.streaming.StreamOps.clickAttributionStream(ev)
+          .writeStream.format("noop").option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        stateRows = lastStateRows(q)
+      }
+      run()
+      val t0 = System.nanoTime(); run()
+      ((System.nanoTime() - t0) / 1e9, stateRows)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] click attribution stream row failed: $e"); (-1.0, -1.0)
+    }
     val reported = results :+ ("capex_bucketed_ctas" -> ctasSec) :+
       ("stream_sessionize_e2e" -> streamSec) :+
+      ("stream_index_probe_e2e" -> probeSec) :+
+      ("stream_index_probe_state_rows" -> probeStateRows) :+
+      ("stream_click_attr_e2e" -> clickSec) :+
+      ("stream_click_attr_state_rows" -> clickStateRows) :+
       ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)
     val qs = reported.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

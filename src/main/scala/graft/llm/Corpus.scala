@@ -22,10 +22,18 @@ object Corpus {
 
   val QualityFloor = 0.45
 
-  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    corpusCleanWith(spark, dir, Dedup.dedupComponents(spark, dir))
+
+  /** D21 with the near-dup component frame injected — corpus_pipeline's
+    * indexed twin passes components built from the persisted signature
+    * index; the frame must carry (doc_id, is_keeper).
+    */
+  private[llm] def corpusCleanWith(spark: SparkSession, dir: String,
+                                   components: DataFrame): DataFrame = {
     val q = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality_score"))
     val exactKeep = Dedup.dedupExact(spark, dir).select(col("keeper_id").as("doc_id"))
-    val ccDrop = Dedup.dedupComponents(spark, dir)
+    val ccDrop = components
       .filter(!col("is_keeper")).select("doc_id")
     val contam = Dedup.decontaminate(spark, dir)
       .filter(col("contaminated")).select("doc_id")
@@ -57,6 +65,113 @@ object Corpus {
       AND d.doc_id NOT IN (SELECT doc_id FROM cc_drop)
       AND d.doc_id NOT IN (SELECT doc_id FROM contam)
       AND q.quality_score >= $QualityFloor"""
+
+  /** D64 (r8): corpus_pipeline — the D-family FLAGSHIP, the full assembly
+    * a 100 TB pretraining-data run actually executes, materialized as ONE
+    * query: clean (exact-dedup keepers ∩ near-dup-cluster keepers ∖
+    * contaminated, above the quality floor — D21's composition) → language
+    * mixture selection with rates computed over the CLEANED mass (D24's
+    * rate table, fed the survivors — the trainer samples from what
+    * survived cleaning, not the raw crawl) → tokenizer-true sequence
+    * packing of the selected docs (D54's BPE counts through D18's
+    * shard-windowed concat-then-chunk). Output: one row per packed doc
+    * with its provenance (lang, quality) and its training-layout address
+    * (shard, seq_id, seq_offset) — the manifest a shard writer consumes.
+    *
+    * Shape: the cleaned keeper set is materialized ONCE (it feeds both
+    * the mixture mass aggregate and the final join); every stage is a
+    * semi/anti join against bounded key sets or a broadcast rate table;
+    * packing's one exchange is the PackShards-way cumsum window. No stage
+    * collects, no stage self-joins the corpus outside the band-bucketed
+    * near-dup join.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
+    corpusPipelineFrom(spark, dir, corpusClean(spark, dir))
+
+  /** The flagship's serving twin (the capex_pipeline_bucketed pattern):
+    * identical output, but the near-dup stage's pair generation reads the
+    * PERSISTED full-corpus signature index (sources/IndexSink, bucketed by
+    * band_key) instead of recomputing shingles → digests → signatures →
+    * bands per run — the band self-join consumes the stored layout on
+    * both sides with zero join-key exchanges, and the signature CPU cost
+    * is paid once at ingest. Same oracle as corpus_pipeline: the stored
+    * band rows are minhashSignatures' expressions verbatim, so the pair
+    * set — and everything downstream — is identical (spec-asserted, and
+    * the driver hash-checks both against one SQL).
+    */
+  def corpusPipelineIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.sources.IndexSink.ensureFullSignatureIndex(spark, dir)
+    val comps = Dedup.componentsOfPairs(
+      graft.sources.IndexSink.pairsFromIndex(spark, table)
+        .select(col("doc_a"), col("doc_b")))
+    corpusPipelineFrom(spark, dir, corpusCleanWith(spark, dir, comps))
+  }
+
+  private def corpusPipelineFrom(spark: SparkSession, dir: String,
+                                 clean: DataFrame): DataFrame = {
+    // keeper set materialized once — consumed by the mixture mass
+    // aggregate, the packing input, and the final manifest join
+    val kept = graft.Checkpoints.cp(clean)
+    val cleanedDocs = Tables.documents(spark, dir)
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val mixKeep = Sampling.corpusMixtureOf(cleanedDocs).select(col("doc_id"))
+    val counts = TextOps.textBpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(mixKeep, Seq("doc_id"), "left_semi")
+    val packed = Packing.packOfCounts(counts)
+    kept.join(packed, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("n_tokens"), col("shard"), col("seq_id"), col("seq_offset"))
+  }
+
+  /** One composed statement mirroring the stage order exactly: clean CTE =
+    * corpusCleanSql verbatim; mixture rates over the cleaned docs
+    * (corpusMixtureSql's arithmetic with `documents` swapped for the
+    * survivors); BPE counts nest D54's recursive encode as a derived
+    * table (the packSequencesBpeSql precedent); the pack window is
+    * packSequencesSql's, PARTITIONed over the selected docs only.
+    */
+  def corpusPipelineSql: String = {
+    val mixCases = Sampling.MixTargets
+      .map { case (l, t) => s"WHEN lang = '$l' THEN $t" }.mkString(" ")
+    val mixBucket = "CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) " +
+      "|| ':' || coalesce(lang, '')), 1, 6) AS BIGINT) % 100"
+    s"""WITH clean AS MATERIALIZED ($corpusCleanSql),
+    md AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws_tokens
+      FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM clean)),
+    lt AS (SELECT lang, CAST(sum(n_ws_tokens) AS BIGINT) AS lang_toks
+           FROM md GROUP BY lang),
+    tot AS (SELECT CAST(sum(lang_toks) AS BIGINT) AS total_toks FROM lt),
+    rates AS (
+      SELECT lang, CAST(least(100, ((CASE $mixCases ELSE 100 END) * total_toks)
+                                    // lang_toks) AS BIGINT) AS keep_rate_pct
+      FROM lt CROSS JOIN tot),
+    mixkeep AS (
+      SELECT doc_id FROM md JOIN rates USING (lang)
+      WHERE $mixBucket < keep_rate_pct),
+    sel AS (
+      SELECT doc_id, n_tokens FROM (${TextOps.textBpeEncodeSql}) enc
+      WHERE doc_id IN (SELECT doc_id FROM mixkeep)),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+        CAST((cum - n_tokens) // ${Packing.PackBudget} AS BIGINT) AS seq_id,
+        CAST((cum - n_tokens) % ${Packing.PackBudget} AS BIGINT) AS seq_offset
+      FROM (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 6)
+                      AS BIGINT) % ${Packing.PackShards} AS shard,
+                 n_tokens
+          FROM sel)))
+    SELECT c.doc_id, c.lang, c.quality_score,
+           p.n_tokens, p.shard, p.seq_id, p.seq_offset
+    FROM clean c JOIN packed p USING (doc_id)"""
+  }
 
   /** D27: corpus report ("dataset card") — per (source, lang): doc count,
     * total BPE-ish tokens, mean quality, exact median token count. ONE

@@ -175,8 +175,16 @@ object Sampling {
            ELSE 'test' END AS split
     FROM keyed"""
 
-  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame =
+    corpusMixtureOf(Tables.documents(spark, dir))
+
+  /** D24 over an arbitrary docs frame (doc_id, lang, text) — the
+    * composable form corpus_pipeline feeds with the CLEANED corpus, so
+    * mixture rates are computed from the mass the trainer actually
+    * samples, not the raw crawl's.
+    */
+  private[graft] def corpusMixtureOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(
       col("doc_id"), col("lang"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
         .cast("bigint").as("n_ws_tokens"))

@@ -69,6 +69,50 @@ object IndexSink {
       .select(col("index_id"), col("batch_id")).distinct()
   }
 
+  /** Full-corpus signature index (r8, corpus_pipeline_indexed): EVERY
+    * doc's band rows — unlike `writeSignatureIndex`'s non-batch slice —
+    * persisted once per dataset, bucketed by band_key, content-
+    * fingerprinted so a rewritten corpus invalidates the table (the
+    * AnnIndexSink naming contract). This is the ingest-time artifact that
+    * lets the cleaning pipeline's near-dup stage SELF-join pre-partitioned
+    * band rows instead of recomputing shingles → digests → signatures →
+    * bands per run: at 100 TB the signature computation is the dominant
+    * dedup cost, and this pays it once.
+    */
+  def ensureFullSignatureIndex(spark: SparkSession, dir: String,
+                               buckets: Int = 32): String = {
+    val fp = BucketedSink.contentFingerprint(Seq(s"$dir/documents.parquet"))
+    val table = "sig_idx_full_" + BucketedSink.nameHash(s"$dir\n$fp")
+    BucketedSink.ensureTable(spark, table) {
+      val sigs = Dedup.minhashSignatures(spark, dir).withColumn("band_key", bandKey)
+      BucketedSink.writeBucketed(sigs, table, "band_key", buckets)
+    }
+    table
+  }
+
+  /** D2's near-dup pair generation served from the stored full-corpus
+    * index: the band-bucket SELF-join reads both sides from the SAME
+    * bucketed layout, so neither side pays an exchange on the join key
+    * (CorpusPipelineSpec proves the plan delta vs the recompute form);
+    * est_sim and the ≥ 0.5 confirm are dedupMinhash's expressions
+    * verbatim, so the pair set is identical — the recompute query's
+    * oracle verifies this path too.
+    */
+  def pairsFromIndex(spark: SparkSession, table: String): DataFrame = {
+    val idx = BucketedSink.readServing(spark, table, "doc_id")
+    val a = idx.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_key"))
+    val c = idx.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_key"))
+    val est = (1 to Dedup.NumHashes).map(j =>
+      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / Dedup.NumHashes
+    a.join(c, Seq("band_key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
+      .filter(col("est_sim") >= 0.5)
+      .distinct()
+  }
+
   /** Retract documents from the stored index (takedowns / robots
     * retractions): record their doc_ids as tombstones — every subsequent
     * probe excludes them via `BucketedSink.readServing`'s bounded

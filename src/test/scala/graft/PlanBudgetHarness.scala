@@ -22,18 +22,31 @@ object PlanBudgetHarness {
 
   private class StageCounter extends SparkListener {
     val shuffleStages: java.util.Set[Integer] = ConcurrentHashMap.newKeySet[Integer]()
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    val shuffleWriteBytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       if (e.taskType == "ShuffleMapTask") { shuffleStages.add(e.stageId); () }
+      // shuffle WRITE bytes summed over every task of the query's jobs —
+      // the r8 volume axis (VERDICT item 3): a query can keep its stage
+      // COUNT while 10×-ing the data it pushes through an exchange (the
+      // fk_integrity 7-join form vs the single-scan rewrite differed only
+      // here), and write bytes is the side that measures what the query
+      // SENDS, independent of how many reducers re-read it.
+      val m = e.taskMetrics
+      if (m != null) { shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+    }
   }
 
+  /** One catalog query's executed-plan measurements. */
+  case class Measured(stages: Int, plan: String, shuffleWriteBytes: Long)
+
   /** Run one catalog query end-to-end (construction + collect) under a
-    * fresh stage counter; returns (executed shuffle-map stage count,
-    * final-plan formatted string). Caches are cleared BEFORE the run so
-    * every query is measured self-contained (deterministic regardless of
-    * catalog order), and released after.
+    * fresh counter; returns executed shuffle-map stage count, the
+    * final-plan formatted string, and total shuffle write bytes. Caches
+    * are cleared BEFORE the run so every query is measured self-contained
+    * (deterministic regardless of catalog order), and released after.
     */
   def measure(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
-              sfDir: String): (Int, String) = {
+              sfDir: String): Measured = {
     graft.capex.CapexDerive.clearCache()
     Checkpoints.releaseAll()
     val counter = new StageCounter
@@ -44,7 +57,7 @@ object PlanBudgetHarness {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       org.apache.spark.GraftTestBridges.waitUntilListenerBusEmpty(spark.sparkContext)
-      (counter.shuffleStages.size(), plan)
+      Measured(counter.shuffleStages.size(), plan, counter.shuffleWriteBytes.get())
     } finally {
       spark.sparkContext.removeSparkListener(counter)
       graft.capex.CapexDerive.clearCache()
@@ -58,6 +71,7 @@ object PlanBudgetHarness {
     */
   def warmPersistedIndexes(spark: SparkSession, sfDir: String): Unit = {
     graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, sfDir)
+    graft.sources.IndexSink.ensureFullSignatureIndex(spark, sfDir)
     graft.capex.CapexDerive.ensureBucketedEnriched(spark, sfDir)
     graft.capex.CapexDerive.clearCache()
     Checkpoints.releaseAll()

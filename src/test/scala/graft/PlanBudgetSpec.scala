@@ -55,6 +55,15 @@ class PlanBudgetSpec extends SparkSpecBase {
     "contamination_frac" -> B(5, 0),
     "corpus_clean" -> B(21, 0),
     "corpus_mixture" -> B(5, 4),
+    // flagship composition: corpus_clean's stages + mixture aggregate +
+    // BPE pack window; iterative slack for the CC rounds (r8 observed 28;
+    // the 4 BNLJs are the mixture's 1-row broadcast total, as in
+    // corpus_mixture). The indexed twin swaps signature recompute for the
+    // stored band table — same stage count at spec scale (the saving is
+    // CPU + the index-side exchange, which is not a separate map stage
+    // here because the recompute's exchange serves the same join).
+    "corpus_pipeline" -> B(32, 4),
+    "corpus_pipeline_indexed" -> B(32, 4),
     "corpus_report" -> B(4, 0),
     "corpus_temperature" -> B(4, 4),
     "decontaminate" -> B(6, 0),
@@ -199,6 +208,16 @@ class PlanBudgetSpec extends SparkSpecBase {
     "validate_report" -> B(33, 28),
   )
 
+  // Shuffle WRITE byte ceilings (r8, VERDICT item 3): the volume axis the
+  // stage count can't see — fk_integrity's r7 single-scan rewrite shipped
+  // 3.1× less shuffle at an EQUAL stage count, so a regression back to the
+  // wide form (the r5-pagerank class, in bytes) needs its own net.
+  // Ceilings are the r8 probe observations at spec scale × 2 (+64 KiB
+  // floor for near-zero queries, absorbing testdata-regen jitter);
+  // deliberately tight exhibits are marked. Regenerate observations with
+  // tools.PlanBudgetProbe (prints shuffleWriteBytes per query).
+  private val byteBudgets: Map[String, Long] = ByteBudgets.table
+
   test("every catalog query has a budget row (new operators inherit the gate)") {
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty,
@@ -210,21 +229,32 @@ class PlanBudgetSpec extends SparkSpecBase {
     PlanBudgetHarness.warmPersistedIndexes(spark, sfDir)
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (stages, plan) = try PlanBudgetHarness.measure(spark, fn, sfDir)
+      val m = try PlanBudgetHarness.measure(spark, fn, sfDir)
       catch { case e: Throwable =>
-        violations += s"$name: threw $e"; (-1, "")
+        violations += s"$name: threw $e"; PlanBudgetHarness.Measured(-1, "", 0L)
       }
-      if (stages >= 0) {
+      if (m.stages >= 0) {
         val b = budgets.getOrElse(name, B(0, 0))
-        if (stages > b.maxStages)
-          violations += s"$name: $stages shuffle stages > budget ${b.maxStages}"
-        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+        if (m.stages > b.maxStages)
+          violations += s"$name: ${m.stages} shuffle stages > budget ${b.maxStages}"
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(m.plan).length
         if (bnlj != b.bnlj)
           violations += s"$name: $bnlj BNLJ occurrences != pinned ${b.bnlj}"
-        if (plan.contains("CartesianProduct"))
+        if (m.plan.contains("CartesianProduct"))
           violations += s"$name: CartesianProduct in final plan"
+        byteBudgets.get(name).foreach { cap =>
+          if (m.shuffleWriteBytes > cap)
+            violations += s"$name: ${m.shuffleWriteBytes} shuffle write bytes > budget $cap"
+        }
       }
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("every catalog query has a shuffle-byte budget row") {
+    val missing = SparkEntry.queries.keySet -- byteBudgets.keySet
+    assert(missing.isEmpty,
+      s"add byte budgets for: ${missing.toSeq.sorted.mkString(", ")} " +
+        "(observe with tools.PlanBudgetProbe)")
   }
 }

@@ -18,10 +18,11 @@ object PlanBudgetProbe {
       .filter(kv => only.isEmpty || only(kv._1))
       .foreach { case (name, fn) =>
       try {
-        val (stages, plan) = graft.PlanBudgetHarness.measure(spark, fn, sfDir)
-        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-        val cart = "CartesianProduct".r.findAllIn(plan).length
-        println(s"BUDGET $name stages=$stages bnlj=$bnlj cart=$cart")
+        val m = graft.PlanBudgetHarness.measure(spark, fn, sfDir)
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(m.plan).length
+        val cart = "CartesianProduct".r.findAllIn(m.plan).length
+        println(s"BUDGET $name stages=${m.stages} bnlj=$bnlj cart=$cart " +
+          s"shuffleWriteBytes=${m.shuffleWriteBytes}")
       } catch { case e: Throwable =>
         println(s"BUDGET $name FAILED ${e.getMessage}")
       }
