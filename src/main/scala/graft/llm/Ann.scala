@@ -386,7 +386,11 @@ object Ann {
                 refined: Boolean = true): DataFrame =
     ivfRankedOf(vecs(spark, dir), refined)
 
-  private[graft] def ivfRankedOf(v: DataFrame, refined: Boolean): DataFrame = {
+  /** maxRn bounds the kept centroid ranks: NProbe for the serving probe
+    * list (the default), NumCells for D65's full-depth recall sweep.
+    */
+  private[graft] def ivfRankedOf(v: DataFrame, refined: Boolean,
+                                 maxRn: Int = NProbe): DataFrame = {
     val cents =
       if (refined) ivfCentroidsOf(v).select(col("cell").as("cent_id"), col("cv"))
       else v.filter(col("vec_id") < NumCells)
@@ -397,7 +401,7 @@ object Ann {
       .withColumn("ccos",
         dot(col("embedding"), col("cv")) / (norm(col("embedding")) * norm(col("cv"))))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= maxRn)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
         col("ccos"), col("rn"))
   }
@@ -439,7 +443,11 @@ object Ann {
     * centroids → per-vector probe ranking (used by annIvfSql and
     * embedKmeansSql — both engines run the identical pipeline).
     */
-  private def ivfRankedCtes: String = {
+  private def ivfRankedCtes: String = ivfRankedCtesAt(NProbe)
+
+  /** Depth-parametric variant (rn ≤ `depth`): NProbe for the serving
+    * queries, NumCells for D65's full recall sweep. */
+  private def ivfRankedCtesAt(depth: Int): String = {
     val ccosSeed = s"${dotSql("v.embedding", "s.cv")}" +
       s" / (${normSql("v.embedding")} * ${normSql("s.cv")})"
     val ccosCent = s"${dotSql("v.embedding", "c.cv")}" +
@@ -467,7 +475,7 @@ object Ann {
     ranked AS MATERIALIZED (
       SELECT vec_id, embedding, cell, ccos, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
-          ORDER BY ccos DESC, cell ASC) AS rn FROM r0) WHERE rn <= $NProbe)"""
+          ORDER BY ccos DESC, cell ASC) AS rn FROM r0) WHERE rn <= $depth)"""
   }
 
   def annIvfSql: String =
@@ -885,6 +893,87 @@ object Ann {
            CASE WHEN t.n_exact = 0 THEN 0
                 ELSE coalesce(h.n_hit, 0) * 10000 // t.n_exact END AS recall_bp
     FROM spine s CROSS JOIN tot t LEFT JOIN hits h ON h.breadth = s.breadth"""
+
+  /** D65 (r8): recall-vs-nprobe curve for the IVF index — D60's tuning
+    * artifact for the OTHER serving structure: for every probe depth
+    * nprobe = 1 .. NumCells, the corpus-level recall of searching only
+    * the query's nprobe nearest cells, against the exact brute-force
+    * top-k. nprobe = NProbe is `ann_ivf`'s operating point (spec-asserted
+    * endpoint parity); nprobe = NumCells is exhaustive, so the curve ends
+    * at 10000 bp by construction — between them is where an operator
+    * trades per-query scan fraction (~nprobe/NumCells of the corpus) for
+    * recall. D60's one-pass trick carries over: each (query, neighbor)
+    * pair's MINIMUM finding depth is just the rank of the neighbor's
+    * assigned cell in the query's centroid ranking, so one assignment
+    * pass + one query-side full ranking serve every depth; candidate
+    * volume is query-set × corpus (the brute-force-report shape — the
+    * query set is contract-bounded), never corpus². All-integer output
+    * over the decimal-exact centroids → hash-checked.
+    */
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = ivfRankedOf(vecs(spark, dir), refined = true, maxRn = NumCells)
+      .transform(graft.Checkpoints.cp)
+    val exact = graft.Checkpoints.cp(
+      annBruteforce(spark, dir).select(col("q_id"), col("nb_id")))
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("cv"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("cell"), col("rn").as("minp"))
+    val cand = broadcast(probes).join(members, Seq("cell"))
+      .filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .select(col("q_id"), col("nb_id"), col("cos"), col("minp"))
+    val vis = cand.withColumn("nprobe",
+      explode(sequence(col("minp"), lit(NumCells))))
+    val w = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    val top = vis.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    val hits = top.join(exact, Seq("q_id", "nb_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    val spine = spark.range(1, NumCells + 1L)
+      .select(col("id").cast("int").as("nprobe"))
+    spine.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp",
+        when(col("n_exact") === 0, lit(0L))
+          .otherwise(expr("n_hit * 10000 div n_exact")))
+  }
+
+  def ivfRecallCurveSql: String =
+    s"""WITH ${ivfRankedCtesAt(NumCells)},
+    members AS (SELECT vec_id AS nb_id, embedding AS cv, cell
+                FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, embedding AS qv, cell, rn AS minp
+               FROM ranked WHERE vec_id < 10),
+    cand AS (
+      SELECT q.q_id, m.nb_id,
+             ${dotSql("q.qv", "m.cv")} / (${normSql("q.qv")} * ${normSql("m.cv")}) AS cos,
+             q.minp
+      FROM probes q JOIN members m USING (cell) WHERE q.q_id != m.nb_id),
+    vis AS (
+      SELECT q_id, nb_id, cos, unnest(range(minp, ${NumCells + 1})) AS nprobe
+      FROM cand),
+    rankd AS (
+      SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+        ORDER BY cos DESC, nb_id ASC) AS rk FROM vis),
+    top AS (SELECT nprobe, q_id, nb_id FROM rankd WHERE rk <= 5),
+    exact AS ($annBruteforceSql),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    hits AS (
+      SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hit
+      FROM top JOIN exact e ON top.q_id = e.q_id AND top.nb_id = e.nb_id
+      GROUP BY nprobe),
+    spine AS (SELECT unnest(range(1, ${NumCells + 1})) AS nprobe)
+    SELECT CAST(s.nprobe AS INTEGER) AS nprobe, t.n_exact,
+           coalesce(h.n_hit, 0) AS n_hit,
+           CASE WHEN t.n_exact = 0 THEN 0
+                ELSE coalesce(h.n_hit, 0) * 10000 // t.n_exact END AS recall_bp
+    FROM spine s CROSS JOIN tot t LEFT JOIN hits h ON h.nprobe = s.nprobe"""
 
   val ReduceDims = 16
   /** Offset into the planeSign family so the projection matrix is disjoint

@@ -173,6 +173,33 @@ object Corpus {
     FROM clean c JOIN packed p USING (doc_id)"""
   }
 
+  /** D67 (r8): shard manifest — the per-shard summary a shard WRITER
+    * consumes from the flagship's per-doc manifest: docs, languages,
+    * total BPE tokens, distinct start-sequences, and the last sequence id
+    * (capacity: last_seq_id + 1 ≈ total_tokens/PackBudget windows). This
+    * is the row a training launcher reads to size readers and validate
+    * shard balance BEFORE copying 100 TB of shards — a skewed shard shows
+    * up here as a token-count outlier. One bounded aggregate (PackShards
+    * rows) over the pipeline output; exact integers → hash-checked.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    corpusPipeline(spark, dir)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("seq_id")).as("n_start_seqs"),
+        max(col("seq_id")).as("last_seq_id"))
+  def shardManifestSql: String =
+    s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(count(DISTINCT seq_id) AS BIGINT) AS n_start_seqs,
+      CAST(max(seq_id) AS BIGINT) AS last_seq_id
+    FROM ($corpusPipelineSql) p
+    GROUP BY shard"""
+
   /** D27: corpus report ("dataset card") — per (source, lang): doc count,
     * total BPE-ish tokens, mean quality, exact median token count. ONE
     * scan computes every per-doc feature as a projection (same expression

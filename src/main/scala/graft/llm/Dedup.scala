@@ -185,6 +185,62 @@ object Dedup {
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     WHERE $estSql >= 0.5"""
 
+  /** D68 (r8): minhash candidates with an EXACT Jaccard confirm — the
+    * estimate-then-verify composition a production near-dedup actually
+    * ships (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" runs exactly this two-phase shape): D2's banded
+    * signature agreement is a 16-component ESTIMATE whose ±1/16
+    * granularity both admits false positives at the 0.5 threshold and
+    * drops borderline true pairs into the output with wrong similarity
+    * values; this operator recomputes the true shingle-set Jaccard on the
+    * CANDIDATES ONLY and keeps pairs at exact J ≥ 0.5, emitting both
+    * numbers (the est-vs-exact gap is itself the signature-quality
+    * diagnostic). Cost shape: the confirm joins the per-doc distinct
+    * shingle-hash arrays onto the candidate frame — bounded by
+    * |candidates|, never corpus² — and the arrays come from the SAME
+    * checkpointed shingle scan the signatures used. Contract: run after
+    * D1 (byte-identical copies share every band).
+    */
+  def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val cand = dedupMinhash(spark, dir)
+    val hsets = docsWithShingles(spark, dir)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), s => md5(s.cast("binary"))))
+          .as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("bigint"))
+      .transform(graft.Checkpoints.cp)
+    cand
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("bigint"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+  def dedupMinhashVerifiedSql: String =
+    s"""WITH cand AS ($dedupMinhashSql),
+    hsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(${TextOps.shinglesSql("toks")}, s -> md5(s))) AS hs
+      FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)
+      WHERE len(${TextOps.shinglesSql("toks")}) > 0),
+    joined AS (
+      SELECT c.doc_a, c.doc_b, c.est_sim,
+             CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+             CAST(len(a.hs) AS BIGINT) AS n_a, CAST(len(b.hs) AS BIGINT) AS n_b
+      FROM cand c
+      JOIN hsets a ON a.doc_id = c.doc_a
+      JOIN hsets b ON b.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, est_sim,
+           round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
+    FROM joined
+    WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5"""
+
   /** 64-bit simhash over a pre-materialized token-word list column `ws`
     * (each element = [lo32, hi32] of the token's md5-derived 64-bit hash):
     * bit j (0..63) is set iff the weighted token vote Σ(±1) on bit j of

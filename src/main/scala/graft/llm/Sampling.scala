@@ -232,6 +232,54 @@ object Sampling {
                AS BIGINT) % 100 < keep_rate_pct"""
   }
 
+  /** D66 (r8): realized-mixture audit — the QC row a mixture rebalance is
+    * judged by: per language, the tokens the D24 selection actually KEPT,
+    * the realized share of the post-selection corpus in exact basis
+    * points, the target share (null for untargeted languages, which D24
+    * keeps whole), and the deviation. The floor-rate + integer-bucket
+    * mechanics mean realized never hits target exactly — this is the
+    * operator that says by how much, BEFORE a training run discovers the
+    * corpus is 3 points short of its English budget. Shape: one bounded
+    * aggregate over D24's output (#languages rows), the 1-row total
+    * broadcast back; exact integer arithmetic → hash-checked.
+    */
+  def mixtureRealized(spark: SparkSession, dir: String): DataFrame = {
+    val kept = corpusMixture(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws_tokens")).as("kept_toks"))
+    val tot = kept.agg(sum(col("kept_toks")).as("total_kept"))
+    val target = MixTargets.foldRight(lit(null).cast("bigint"): Column) {
+      case ((l, t), acc) => when(col("lang") === l, lit(t.toLong * 100)).otherwise(acc)
+    }
+    kept.crossJoin(broadcast(tot))
+      .withColumn("realized_bp",
+        when(col("total_kept") === 0, lit(0L))
+          .otherwise(expr("kept_toks * 10000 div total_kept")))
+      .withColumn("target_bp", target)
+      .withColumn("dev_bp", col("realized_bp") - col("target_bp"))
+      .select(col("lang"), col("n_docs"), col("kept_toks"),
+        col("realized_bp"), col("target_bp"), col("dev_bp"))
+  }
+  def mixtureRealizedSql: String = {
+    val cases = MixTargets
+      .map { case (l, t) => s"WHEN lang = '$l' THEN ${t.toLong * 100}" }
+      .mkString(" ")
+    s"""WITH sel AS ($corpusMixtureSql),
+    kept AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_ws_tokens) AS BIGINT) AS kept_toks
+      FROM sel GROUP BY lang),
+    tot AS (SELECT CAST(sum(kept_toks) AS BIGINT) AS total_kept FROM kept)
+    SELECT lang, n_docs, kept_toks,
+      CASE WHEN total_kept = 0 THEN 0
+           ELSE kept_toks * 10000 // total_kept END AS realized_bp,
+      CAST(CASE $cases ELSE NULL END AS BIGINT) AS target_bp,
+      (CASE WHEN total_kept = 0 THEN 0
+            ELSE kept_toks * 10000 // total_kept END)
+        - CAST(CASE $cases ELSE NULL END AS BIGINT) AS dev_bp
+    FROM kept CROSS JOIN tot"""
+  }
+
   /** D52: temperature-flattened source mixing (τ = 2, i.e. √-smoothing —
     * the multilingual-sampling standard of Conneau & Lample 2019, applied
     * by provenance feed): target share q_s ∝ √p_s, so dominant feeds

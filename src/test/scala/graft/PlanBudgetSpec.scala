@@ -77,6 +77,8 @@ class PlanBudgetSpec extends SparkSpecBase {
     "dedup_incremental" -> B(6, 0),
     "dedup_jaccard_prefix" -> B(6, 0),
     "dedup_minhash" -> B(4, 0),
+    // r8: banded candidates + |candidates|-bounded exact-Jaccard confirm
+    "dedup_minhash_verified" -> B(5, 0),
     "dedup_ngram_jaccard" -> B(4, 0),
     "dedup_rate_curve" -> B(8, 4),
     "dedup_rate_source" -> B(16, 0),
@@ -119,12 +121,18 @@ class PlanBudgetSpec extends SparkSpecBase {
     "hop_window_agg" -> B(4, 0),
     "importance_sample" -> B(4, 0),
     "importance_weights" -> B(4, 0),
+    // r8: all-depth IVF curve from ONE assignment pass; BNLJs are the
+    // broadcast query set (the ann family's contract-bounded side)
+    "ivf_recall_curve" -> B(12, 4),
     "langid_confusion" -> B(5, 0),
     "length_buckets" -> B(4, 0),
     "map_zone_region" -> B(6, 0),
     "merge_upsert" -> B(7, 0),
     "metric_drift" -> B(5, 0),
     "mixture_epochs" -> B(4, 4),
+    // r8: inherits corpus_mixture's rate-table broadcasts + its own 1-row
+    // totals broadcast — all contract-bounded 1-row/`#langs`-row sides
+    "mixture_realized" -> B(8, 10),
     "mm_dedup" -> B(4, 0),
     "mm_frame_sample" -> B(3, 0),
     "mm_pipeline" -> B(3, 0),
@@ -168,6 +176,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     "sample_stratified" -> B(2, 0),
     "scd2_intervals" -> B(3, 0),
     "semi_filter" -> B(8, 0),
+    // r8: composes the flagship manifest (corpus_pipeline's stage set) +
+    // one shard-bounded aggregate; same iterative CC slack as the flagship
+    "shard_manifest" -> B(34, 4),
     "session_overlap" -> B(3, 0),
     "skew_report" -> B(5, 0),
     "skew_report_sketch" -> B(6, 0),

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Corpus, Dedup, Sampling}
+
+/** The four r8 catalog additions: D65 ivf_recall_curve, D66
+  * mixture_realized, D67 shard_manifest, D68 dedup_minhash_verified.
+  * Each is oracle-gated like everything else; these tests pin the
+  * SEMANTIC contracts the hash compare can't state (curve endpoints and
+  * monotonicity, audit-row arithmetic, manifest-vs-recompute parity,
+  * confirm-subset relations).
+  */
+class R8OpsSpec extends SparkSpecBase {
+
+  test("ivf_recall_curve: exhaustive endpoint, monotone, matches ann_ivf at NProbe") {
+    val curve = Ann.ivfRecallCurve(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(curve.keySet === (1 to Ann.NumCells).toSet)
+    // nprobe = NumCells searches every cell = brute force ⇒ recall 10000
+    assert(curve(Ann.NumCells)._3 === 10000L, "exhaustive depth must have full recall")
+    // more probed cells can only add candidates ⇒ hits nondecreasing
+    (2 to Ann.NumCells).foreach { p =>
+      assert(curve(p)._2 >= curve(p - 1)._2, s"hits decreased at nprobe=$p")
+    }
+    // the NProbe point IS ann_ivf's recall (same candidates, same ranking)
+    val exact = Ann.annBruteforce(spark, sfDir).select(col("q_id"), col("nb_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.annIvf(spark, sfDir).select(col("q_id"), col("nb_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(curve(Ann.NProbe)._2 === (ivf & exact).size.toLong,
+      "curve's NProbe point diverged from ann_ivf's realized recall")
+    // non-vacuity: the curve must actually climb somewhere (a flat curve
+    // would mean the probe depth doesn't matter and the operator is noise)
+    assert(curve(Ann.NumCells)._2 > curve(1)._2)
+    Checkpoints.releaseAll()
+  }
+
+  test("mixture_realized: shares sum to ~100%, audit arithmetic is exact") {
+    val rows = Sampling.mixtureRealized(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalBp = rows.map(_.getLong(3)).sum
+    // integer floor division: sum in (10000 - #langs, 10000]
+    assert(totalBp <= 10000L && totalBp > 10000L - rows.length,
+      s"realized shares sum to $totalBp bp")
+    // per-row recompute from corpus_mixture's kept set
+    val kept = Sampling.corpusMixture(spark, sfDir)
+      .groupBy(col("lang")).agg(sum(col("n_ws_tokens")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(2) === kept(lang), s"kept_toks wrong for $lang")
+      assert(r.getLong(3) === kept(lang) * 10000L / total, s"realized_bp wrong for $lang")
+      if (!r.isNullAt(4))
+        assert(r.getLong(5) === r.getLong(3) - r.getLong(4), s"dev_bp wrong for $lang")
+    }
+    // at least one targeted language present (else the audit is vacuous
+    // on this corpus)
+    assert(rows.exists(!_.isNullAt(4)))
+    Checkpoints.releaseAll()
+  }
+
+  test("shard_manifest matches a driver-side recompute of the pipeline output") {
+    val manifest = Corpus.shardManifest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(manifest.nonEmpty && manifest.size <= graft.llm.Packing.PackShards)
+    val docs = Corpus.corpusPipeline(spark, sfDir)
+      .select(col("shard"), col("lang"), col("n_tokens"), col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    docs.groupBy(_._1).foreach { case (shard, rows) =>
+      val (nDocs, nLangs, totToks, nSeqs, lastSeq) = manifest(shard)
+      assert(nDocs === rows.size.toLong)
+      assert(nLangs === rows.map(_._2).distinct.size.toLong)
+      assert(totToks === rows.map(_._3).sum)
+      assert(nSeqs === rows.map(_._4).distinct.size.toLong)
+      assert(lastSeq === rows.map(_._4).max)
+    }
+    Checkpoints.releaseAll()
+  }
+
+  test("dedup_minhash_verified: confirmed subset with exact Jaccard >= 0.5") {
+    val cand = Dedup.dedupMinhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.dedupMinhashVerified(spark, sfDir).collect()
+    val vPairs = verified.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(vPairs.nonEmpty && vPairs.subsetOf(cand),
+      "verified pairs must be a subset of the minhash candidates")
+    verified.foreach(r => assert(r.getDouble(3) >= 0.5))
+    // non-vacuity of the CONFIRM: the estimate and the exact number must
+    // genuinely differ somewhere (16-component granularity vs true J) —
+    // otherwise the second phase proves nothing on this corpus
+    assert(verified.exists(r => math.abs(r.getDouble(2) - r.getDouble(3)) > 1e-9),
+      "est_sim == exact jaccard everywhere — confirm is vacuous here")
+    Checkpoints.releaseAll()
+  }
+}
