@@ -120,9 +120,12 @@ object Ann {
         Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b")).count()
   }
-  def dedupEmbeddingSql: String = {
-    // Same ±1 signs, same left-to-right fold as the Spark expression (see
-    // annLshSql IEEE notes), emitted per band.
+  /** SQL twin of `embBanded`'s band rows: same ±1 signs, same
+    * left-to-right fold as the Spark expression (see annLshSql IEEE
+    * notes), emitted per band — shared by the pair oracle and D69's
+    * occupancy audit.
+    */
+  private def embBandedSqlRows: String = {
     def bandKeyExpr(b: Int): String =
       (0 until EmbPlanesPerBand).map { r =>
         val j = b * EmbPlanesPerBand + r
@@ -134,10 +137,32 @@ object Ann {
         }.mkString(" ")
         s"(CASE WHEN ($proj) > 0 THEN ${1 << r} ELSE 0 END)"
       }.mkString(" + ")
-    val bandRows = (0 until EmbBands).map { b =>
+    (0 until EmbBands).map { b =>
       s"SELECT vec_id, embedding, $b AS band_idx, ${bandKeyExpr(b)} AS band_key FROM embeddings"
     }.mkString("\n      UNION ALL ")
-    s"""WITH banded AS MATERIALIZED ($bandRows)
+  }
+
+  /** The banded-LSH bucket rows D5's candidate join consumes, exposed for
+    * D69's occupancy report. */
+  private[graft] def embBandedRows(spark: SparkSession, dir: String): DataFrame =
+    embBanded(vecs(spark, dir))
+
+  /** D69 oracle piece: per-band occupancy of the embedding-LSH layout at
+    * the live `graft.ann.*` widths (parenthesized for IndexQc's UNION).
+    */
+  private[graft] def embLshOccupancySql: String =
+    s"""(WITH embband AS MATERIALIZED ($embBandedSqlRows),
+    bc AS (SELECT band_idx, band_key, CAST(count(*) AS BIGINT) AS c
+           FROM embband GROUP BY band_idx, band_key)
+    SELECT 'emb_lsh' AS family, CAST(band_idx AS INTEGER) AS block_idx,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM bc GROUP BY band_idx)"""
+
+  def dedupEmbeddingSql: String = {
+    s"""WITH banded AS MATERIALIZED ($embBandedSqlRows)
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
       round(${dotSql("a.embedding", "b.embedding")}
             / (${normSql("a.embedding")} * ${normSql("b.embedding")}), 4) AS cos_sim

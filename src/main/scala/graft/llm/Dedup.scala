@@ -332,11 +332,16 @@ object Dedup {
     * config, unlike a fixed band width (the r7-flagged Θ(n²/256) shape).
     * One shuffle keyed by (combo, key); no cross join anywhere.
     */
-  def simhashPairs(sigs: DataFrame, b: Int): DataFrame = {
+  /** The blocking's bucket rows: one (doc_id, sh, combo, key) row per
+    * g-subset of blocks, key = the subset's concatenated block bits —
+    * factored out so D69's occupancy report audits EXACTLY the bucket
+    * layout the candidate join consumes.
+    */
+  private[graft] def simhashKeyed(sigs: DataFrame, b: Int): DataFrame = {
     val g = b - SimhashK
     val layout = simhashLayout(b)
     val combos = layout.indices.combinations(g).toSeq
-    val keyed = sigs.withColumn("c",
+    sigs.withColumn("c",
       explode(array(combos.zipWithIndex.map { case (c, ci) =>
         val keyExpr = c.foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
           val (off, w) = layout(i)
@@ -348,6 +353,10 @@ object Dedup {
       }: _*)))
       .select(col("doc_id"), col("sh"),
         col("c.combo").as("combo"), col("c.key").as("key"))
+  }
+
+  def simhashPairs(sigs: DataFrame, b: Int): DataFrame = {
+    val keyed = simhashKeyed(sigs, b)
     val a = keyed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
       col("combo"), col("key"))
     val c2 = keyed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
@@ -388,12 +397,12 @@ object Dedup {
     * blocking: agreement across two independently-derived schemes also
     * guards against a shared blocking bug.
     */
-  def dedupSimhashSql: String = {
-    val layout7 = simhashLayout(7)
-    val keyCase = layout7.zipWithIndex.map { case ((off, w), i) =>
-      s"WHEN $i THEN (sh >> $off) & ${(1L << w) - 1}"
-    }.mkString(" ")
-    s"""WITH hx AS (
+  /** Shared CTE preamble: (doc_id, sh) 64-bit signatures — the SQL twin of
+    * `simhashSignatures`, reused by the pair oracle and D69's occupancy
+    * audit.
+    */
+  private def simhashShCtes: String =
+    s"""hx AS (
       SELECT doc_id, list_transform(toks, x -> md5(x)) AS hexes
       FROM (SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents)
       WHERE len(toks) >= 1),
@@ -403,7 +412,14 @@ object Dedup {
          CAST('0x' || substr(h, 9, 8) AS BIGINT)]) AS ws
       FROM hx),
     sh AS MATERIALIZED (
-      SELECT doc_id, $simhashSqlOverWords AS sh FROM wsx),
+      SELECT doc_id, $simhashSqlOverWords AS sh FROM wsx)"""
+
+  def dedupSimhashSql: String = {
+    val layout7 = simhashLayout(7)
+    val keyCase = layout7.zipWithIndex.map { case ((off, w), i) =>
+      s"WHEN $i THEN (sh >> $off) & ${(1L << w) - 1}"
+    }.mkString(" ")
+    s"""WITH $simhashShCtes,
     banded AS MATERIALIZED (
       SELECT doc_id, sh, b.band_idx,
              CASE b.band_idx $keyCase END AS band_key
@@ -413,6 +429,53 @@ object Dedup {
     FROM banded a JOIN banded b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= $SimhashK"""
+  }
+
+  /** D69 oracle piece: per-band occupancy of the minhash LSH bucket layout
+    * (the EXACT band rows `dedup_minhash`'s candidate join consumes).
+    * Emitted as a parenthesized WITH-subquery so IndexQc can UNION the
+    * three structure audits into one statement.
+    */
+  private[graft] def minhashOccupancySql: String =
+    s"""(WITH $sigBandsCtes,
+    bc AS (SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS c
+           FROM bands GROUP BY band_idx, band_hash)
+    SELECT 'minhash' AS family, CAST(band_idx AS INTEGER) AS block_idx,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM bc GROUP BY band_idx)"""
+
+  /** D69 oracle piece: per-combo occupancy of the ENGINE's Manku block
+    * layout at the live `graft.simhash.blocks` width. Unlike the pair
+    * oracle (which deliberately uses an independent complete blocking,
+    * since the exact confirm makes pair OUTPUT blocking-independent), the
+    * occupancy report is a statement ABOUT the engine's bucket layout
+    * itself, so this SQL mirrors `simhashKeyed`'s key fold verbatim.
+    */
+  private[graft] def simhashOccupancySql: String = {
+    val b = simhashBlocks
+    val g = b - SimhashK
+    val layout = simhashLayout(b)
+    val comboRows = layout.indices.combinations(g).toSeq.zipWithIndex
+      .map { case (c, ci) =>
+        val keyExpr = c.foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+          val (off, w) = layout(i)
+          s"(($acc << $w) | ((sh >> $off) & ${(1L << w) - 1}))"
+        }
+        s"SELECT doc_id, $ci AS block_idx, $keyExpr AS bkey FROM sh"
+      }.mkString("\n      UNION ALL ")
+    s"""(WITH $simhashShCtes,
+    keyed AS ($comboRows),
+    bc AS (SELECT block_idx, bkey, CAST(count(*) AS BIGINT) AS c
+           FROM keyed GROUP BY block_idx, bkey)
+    SELECT 'simhash' AS family, CAST(block_idx AS INTEGER) AS block_idx,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM bc GROUP BY block_idx)"""
   }
 
   /** D4: n-gram Jaccard pairs via a shared-shingle inverted index — pairs

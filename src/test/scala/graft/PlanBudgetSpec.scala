@@ -120,6 +120,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     "funnel_steps" -> B(7, 0),
     "hop_window_agg" -> B(4, 0),
     "importance_sample" -> B(4, 0),
+    // r8: one linear keyed partial-agg per structure (minhash bands,
+    // emb-LSH bands, simhash combos) + the block-bounded rollup
+    "index_occupancy" -> B(10, 0),
     "importance_weights" -> B(4, 0),
     // r8: all-depth IVF curve from ONE assignment pass; BNLJs are the
     // broadcast query set (the ann family's contract-bounded side)

@@ -79,6 +79,41 @@ class R8OpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("index_occupancy: accounting identities hold for all three structures") {
+    val rows = graft.llm.IndexQc.indexOccupancy(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val fams = rows.keySet.map(_._1)
+    assert(fams === Set("minhash", "emb_lsh", "simhash"))
+    // block counts match each structure's layout
+    def blocks(f: String) = rows.keySet.filter(_._1 == f).map(_._2)
+    assert(blocks("minhash") === (0 until Dedup.Bands).toSet)
+    assert(blocks("emb_lsh") === (0 until Ann.EmbBands).toSet)
+    val nCombos = (Dedup.simhashBlocks - Dedup.SimhashK, Dedup.simhashBlocks) match {
+      case (g, b) => (0 until b).combinations(g).size
+    }
+    assert(blocks("simhash") === (0 until nCombos).toSet)
+    rows.foreach { case ((f, blk), (nKeys, nRows, maxB, candPairs)) =>
+      // every block of a family indexes the same underlying row set
+      val famRows = rows.collect { case ((`f`, _), v) => v._2 }
+      assert(famRows.forall(_ === nRows), s"$f rows differ across blocks")
+      assert(nKeys <= nRows && maxB <= nRows && nKeys >= 1, s"$f/$blk bounds")
+      // candidate volume brackets: 0 when all buckets singleton; at most
+      // the one-bucket worst case
+      assert(candPairs >= 0 && candPairs <= nRows * (nRows - 1) / 2, s"$f/$blk volume")
+      // a block where every key is distinct must report zero pairs
+      if (nKeys == nRows) assert(candPairs === 0L, s"$f/$blk singleton block")
+    }
+    // driver-side recompute of one minhash band from the engine's own rows
+    val band0 = Dedup.minhashSignatures(spark, sfDir)
+      .filter(col("band_idx") === 0).groupBy(col("band_hash"))
+      .agg(count(lit(1)).as("c")).collect().map(_.getLong(1))
+    val (k0, r0, m0, p0) = rows(("minhash", 0))
+    assert(k0 === band0.length.toLong && r0 === band0.sum &&
+      m0 === band0.max && p0 === band0.map(c => c * (c - 1) / 2).sum)
+    Checkpoints.releaseAll()
+  }
+
   test("dedup_minhash_verified: confirmed subset with exact Jaccard >= 0.5") {
     val cand = Dedup.dedupMinhash(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
