@@ -175,6 +175,86 @@ object Sampling {
            ELSE 'test' END AS split
     FROM keyed"""
 
+  /** D70 (r8): split-leakage audit — does ANY near-dup relation cross the
+    * D33 train/val/test boundary? Per detector family: total links, links
+    * whose endpoints land in different splits, and the crossing rate in
+    * exact basis points. The split is leakage-safe BY CONSTRUCTION against
+    * its own channel (exact dups share a content-hash key; minhash pairs
+    * share a component key), so `exact` and `minhash` are POSITIVE
+    * CONTROLS that must read 0 — a nonzero value means the split keying
+    * itself regressed. `simhash` and `containment` detect similarity the
+    * component key never saw (bit-level token permutations; asymmetric
+    * coverage), so their crossings are the RESIDUAL eval-contamination a
+    * training run actually ships — the number this audit exists to read.
+    *
+    * Scale shape: every family's link set is candidate-bounded (equality
+    * joins on scaling bucket universes — D1-D3/D57's own contracts); the
+    * audit joins links to the doc-keyed split frame (shuffle by doc id)
+    * and reduces to ONE row per family. Nothing here is quadratic that
+    * the underlying detectors aren't already.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = splitHoldout(spark, dir)
+      .select(col("doc_id"), col("split"))
+      .transform(graft.Checkpoints.cp)
+    def crossOf(pairs: DataFrame, aCol: String, bCol: String, fam: String) =
+      pairs.select(col(aCol).as("da"), col(bCol).as("db"))
+        .join(split.select(col("doc_id").as("da"), col("split").as("sa")), Seq("da"))
+        .join(split.select(col("doc_id").as("db"), col("split").as("sb")), Seq("db"))
+        .agg(count(lit(1)).as("n_links"),
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L)), lit(0L)).as("n_cross"))
+        .select(lit(fam).as("family"), col("n_links"), col("n_cross"))
+    val exact = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(graft.llm.TextOps.normText(col("text")).cast("binary")).as("th"))
+      .join(split, Seq("doc_id"))
+      .groupBy(col("th"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("split")).as("nds"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_links"),
+        coalesce(sum(when(col("nds") > 1, 1L)), lit(0L)).as("n_cross"))
+      .select(lit("exact").as("family"), col("n_links"), col("n_cross"))
+    exact
+      .unionByName(crossOf(Dedup.dedupMinhash(spark, dir), "doc_a", "doc_b", "minhash"))
+      .unionByName(crossOf(Dedup.dedupSimhash(spark, dir), "doc_a", "doc_b", "simhash"))
+      .unionByName(crossOf(Dedup.dedupContainment(spark, dir),
+        "contained_id", "container_id", "containment"))
+      .select(col("family"), col("n_links"), col("n_cross"),
+        when(col("n_links") === 0, lit(0L))
+          .otherwise(expr("(10000 * n_cross) div n_links")).as("cross_bp"))
+  }
+
+  /** Oracle: the split CTE is shared; each family's published pair SQL is
+    * consumed verbatim as a derived table (so the audit can never drift
+    * from the detectors it audits), joined to the split twice.
+    */
+  def splitLeakageSql: String = {
+    def crossSql(pairSql: String, aCol: String, bCol: String, fam: String) =
+      s"""(SELECT '$fam' AS family,
+        CAST(count(*) AS BIGINT) AS n_links,
+        CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 END), 0) AS BIGINT) AS n_cross
+      FROM ($pairSql) p
+      JOIN split sa ON p.$aCol = sa.doc_id
+      JOIN split sb ON p.$bCol = sb.doc_id)"""
+    s"""WITH split AS MATERIALIZED (SELECT doc_id, split FROM ($splitHoldoutSql) s0),
+    raw AS (
+      (SELECT 'exact' AS family,
+        CAST(count(*) AS BIGINT) AS n_links,
+        CAST(coalesce(sum(CASE WHEN nds > 1 THEN 1 END), 0) AS BIGINT) AS n_cross
+      FROM (SELECT th, count(*) AS n, count(DISTINCT sp.split) AS nds
+            FROM (SELECT doc_id, md5(${graft.llm.TextOps.normTextSql}) AS th
+                  FROM documents) d
+            JOIN split sp USING (doc_id) GROUP BY th) g
+      WHERE n > 1)
+      UNION ALL ${crossSql(Dedup.dedupMinhashSql, "doc_a", "doc_b", "minhash")}
+      UNION ALL ${crossSql(Dedup.dedupSimhashSql, "doc_a", "doc_b", "simhash")}
+      UNION ALL ${crossSql(Dedup.dedupContainmentSql, "contained_id", "container_id", "containment")})
+    SELECT family, n_links, n_cross,
+      CASE WHEN n_links = 0 THEN 0
+           ELSE CAST((10000 * n_cross) // n_links AS BIGINT) END AS cross_bp
+    FROM raw"""
+  }
+
   def corpusMixture(spark: SparkSession, dir: String): DataFrame =
     corpusMixtureOf(Tables.documents(spark, dir))
 

@@ -190,6 +190,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     "source_top_ngrams" -> B(5, 0),
     "specialized_items" -> B(7, 0),
     "split_holdout" -> B(15, 0),
+    // r8: split assignment (CC loop) + all four near-dup family link sets
+    // joined to the split frame; same iterative CC slack as split_holdout
+    "split_leakage" -> B(28, 0),
     "split_pm_subcategory" -> B(8, 0),
     "stream_sessionize" -> B(3, 0),
     "stream_window_agg" -> B(4, 0),

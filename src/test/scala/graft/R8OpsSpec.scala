@@ -114,6 +114,42 @@ class R8OpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("split_leakage: positive controls read 0; residual families recompute") {
+    val rows = Sampling.splitLeakage(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("exact", "minhash", "simhash", "containment"))
+    // the split keys on content hash / near-dup component: its own
+    // channels can NEVER cross — a nonzero here is a split-keying bug
+    assert(rows("exact")._2 === 0L, "exact-dup group crossed the split")
+    assert(rows("minhash")._2 === 0L, "minhash pair crossed the split")
+    rows.foreach { case (f, (links, cross, bp)) =>
+      assert(cross >= 0 && cross <= links, s"$f: cross outside [0, links]")
+      val expectBp = if (links == 0) 0L else 10000L * cross / links
+      assert(bp === expectBp, s"$f: cross_bp arithmetic")
+    }
+    // non-vacuity: the corpus has minhash pairs at spec scale, so the
+    // component-key control must be auditing something (exact dups are
+    // legitimately absent from the synthetic corpus — its row still
+    // proves the zero-group accounting)
+    assert(rows("minhash")._1 > 0)
+    // simhash detects similarity the component key never saw, so it is
+    // the one family that CAN cross — at spec scale it must find links,
+    // or the residual-leakage claim is vacuous
+    assert(rows("simhash")._1 > 0)
+    // driver-side recompute of the simhash residual from the operator's
+    // own published pieces (pairs + split are both bounded at spec scale)
+    val split = Sampling.splitHoldout(spark, sfDir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sim = Dedup.dedupSimhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val crossSim = sim.count { case (a, b) => split(a) != split(b) }
+    assert(rows("simhash") === ((sim.length.toLong, crossSim.toLong,
+      if (sim.isEmpty) 0L else 10000L * crossSim / sim.length)))
+    Checkpoints.releaseAll()
+  }
+
   test("dedup_minhash_verified: confirmed subset with exact Jaccard >= 0.5") {
     val cand = Dedup.dedupMinhash(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
