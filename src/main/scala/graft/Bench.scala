@@ -222,8 +222,14 @@ object Bench {
     }
     val (probeSec, probeStateRows) = try {
       val tbl = "bench_sig_index"
+      // DROP alone is not enough across JVMs: the in-memory catalog forgets
+      // the table but its warehouse directory persists, and a leftover dir
+      // fails the CTAS — ensureTable clears the orphan first (and, after
+      // the DROP, always rebuilds fresh)
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      graft.sources.IndexSink.writeSignatureIndex(spark, sfDir, tbl, buckets = 32)
+      graft.sources.BucketedSink.ensureTable(spark, tbl) {
+        graft.sources.IndexSink.writeSignatureIndex(spark, sfDir, tbl, buckets = 32)
+      }
       graft.Checkpoints.releaseAll()
       val sdir = java.nio.file.Files.createTempDirectory("graft-bench-probe")
       import org.apache.spark.sql.functions.{col, lit, to_timestamp}
