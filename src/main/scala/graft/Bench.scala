@@ -169,8 +169,12 @@ object Bench {
       name -> ts.min
     }.toMap
     val results = Headliners.zipWithIndex.map { case (n, i) =>
-      n -> math.min(passes.map(_(i)._2).min,
+      val best = math.min(passes.map(_(i)._2).min,
         extraMin.getOrElse(n, Double.MaxValue))
+      // a query that failed EVERY attempt must publish the same -1.0
+      // failure sentinel the stream/CTAS rows use, not Double.MaxValue
+      // (which would render a 310-digit json value and corrupt `total`)
+      n -> (if (best == Double.MaxValue) -1.0 else best)
     }
     // Streaming end-to-end row (r7): the REAL stateful sessionizer —
     // parquet stream source → flatMapGroupsWithState under the RocksDB
@@ -285,7 +289,9 @@ object Bench {
       ("stream_click_attr_state_rows" -> clickStateRows) :+
       ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)
     val qs = reported.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed rows (sentinel -1.0) stay visible per-query but must not
+    // deflate the round-over-round total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

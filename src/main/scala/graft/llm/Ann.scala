@@ -46,7 +46,17 @@ object Ann {
     * AnnWidthSpec pins the two-engine agreement at non-default widths and
     * the candidate-volume scaling that makes P the lever.
     */
-  def EmbBands: Int = graft.GraftConfig.int("graft.ann.embBands", 4)
+  def EmbBands: Int = {
+    val b = graft.GraftConfig.int("graft.ann.embBands", 4)
+    require(b >= 1, s"graft.ann.embBands must be >= 1, got $b")
+    // plane index band·P + row must stay clear of the ReducePlaneBase
+    // (=1000) family embed_reduce draws from the same sign generator —
+    // validate the PRODUCT here (the one place both knobs combine)
+    require(b * EmbPlanesPerBand <= ReducePlaneBase,
+      s"graft.ann.embBands * embPlanesPerBand must be <= $ReducePlaneBase " +
+        s"(the embed_reduce plane family starts there), got $b * $EmbPlanesPerBand")
+    b
+  }
   def EmbPlanesPerBand: Int = {
     val p = graft.GraftConfig.int("graft.ann.embPlanesPerBand", 4)
     require(p >= 1 && p <= 30, s"graft.ann.embPlanesPerBand must be in [1,30], got $p")

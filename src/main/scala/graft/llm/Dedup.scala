@@ -134,6 +134,18 @@ object Dedup {
       .drop("band")
   }
 
+  /** Signature-agreement estimate (matching component fraction) between
+    * two minhash signature arrays — THE similarity every minhash consumer
+    * thresholds at 0.5. One definition: dedup_minhash, the persisted-index
+    * probe/self-join, and the streaming ingest probe must stay
+    * byte-identical or the index-served pair sets silently desync from the
+    * recompute oracle.
+    */
+  private[graft] def sigAgreement(sigA: Column, sigB: Column): Column =
+    (1 to NumHashes).map(j =>
+      when(element_at(sigA, j) === element_at(sigB, j), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+
   /** D2: MinHash+LSH near-dup candidate pairs: equality-join on
     * (band_idx, band_hash) buckets; est_sim = matching signature fraction.
     */
@@ -146,9 +158,7 @@ object Dedup {
       col("band_idx"), col("band_hash"))
     val c = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("band_idx"), col("band_hash"))
-    val est = (1 to NumHashes).map(j =>
-      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / NumHashes
+    val est = sigAgreement(col("sig_a"), col("sig_b"))
     a.join(c, Seq("band_idx", "band_hash")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
       .filter(col("est_sim") >= 0.5)
@@ -898,9 +908,7 @@ object Dedup {
     val batch = sigs.filter(isBatch)
       .select(col("doc_id").as("batch_id"), col("sig").as("sig_b"),
         col("band_idx"), col("band_hash"))
-    val est = (1 to NumHashes).map(j =>
-      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / NumHashes
+    val est = sigAgreement(col("sig_a"), col("sig_b"))
     val dups = index.join(batch, Seq("band_idx", "band_hash"))
       .filter(est >= 0.5)
       .select(col("batch_id"), col("index_id")).distinct()

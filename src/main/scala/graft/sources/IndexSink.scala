@@ -61,9 +61,7 @@ object IndexSink {
       .withColumn("band_key", bandKey)
       .select(col("doc_id").as("batch_id"), col("sig").as("sig_b"),
         col("band_key"))
-    val est = (1 to Dedup.NumHashes).map(j =>
-      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / Dedup.NumHashes
+    val est = Dedup.sigAgreement(col("sig_a"), col("sig_b"))
     index.join(b, Seq("band_key"))
       .filter(est >= 0.5)
       .select(col("index_id"), col("batch_id")).distinct()
@@ -104,9 +102,7 @@ object IndexSink {
       col("band_key"))
     val c = idx.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("band_key"))
-    val est = (1 to Dedup.NumHashes).map(j =>
-      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / Dedup.NumHashes
+    val est = Dedup.sigAgreement(col("sig_a"), col("sig_b"))
     a.join(c, Seq("band_key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
       .filter(col("est_sim") >= 0.5)

@@ -354,9 +354,7 @@ object StreamOps {
       .withColumn("band_key", concat_ws(":", col("band_idx"), col("band_hash")))
       .select(col("doc_id").as("batch_id"), col("sig").as("sig_b"),
         col("band_key"), col(tsCol))
-    val est = (1 to graft.llm.Dedup.NumHashes).map(j =>
-      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / graft.llm.Dedup.NumHashes
+    val est = graft.llm.Dedup.sigAgreement(col("sig_a"), col("sig_b"))
     b.join(index, Seq("band_key"))
       .filter(est >= 0.5)
       .withWatermark(tsCol, "1 hour")

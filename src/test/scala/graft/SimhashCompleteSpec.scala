@@ -67,19 +67,10 @@ class SimhashCompleteSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(7L)
     val sigs = (0 until 600).map(i => (i.toLong, rnd.nextLong()))
       .toDF("doc_id", "sh")
+    // the ENGINE's own bucket rows (not a re-derivation: a copy here would
+    // keep measuring the old layout if the key fold ever changed)
     def candidates(b: Int): Long = {
-      val g = b - Dedup.SimhashK
-      val layout = Dedup.simhashLayout(b)
-      val combos = layout.indices.combinations(g).toSeq
-      val keyed = sigs.withColumn("c",
-        explode(array(combos.zipWithIndex.map { case (c, ci) =>
-          val keyExpr = c.foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
-            val (off, w) = layout(i)
-            s"(shiftleft($acc, $w) | (shiftright(sh, $off) & ${(1L << w) - 1}))"
-          }
-          struct(lit(ci).as("combo"), expr(keyExpr).as("key"))
-        }: _*)))
-        .select(col("doc_id"), col("c.combo").as("combo"), col("c.key").as("key"))
+      val keyed = Dedup.simhashKeyed(sigs, b)
       keyed.select(col("doc_id").as("doc_a"), col("combo"), col("key"))
         .join(keyed.select(col("doc_id").as("doc_b"), col("combo"), col("key")),
           Seq("combo", "key"))

@@ -41,7 +41,11 @@ object ScalingProbe {
         .foreach { case (name, fn) =>
           runOnce(fn, dir) // warmup: codegen + JIT + AQE plan choice
           val best = math.min(runOnce(fn, dir), runOnce(fn, dir))
-          println(f"SCALE $name $sf $best%.3f")
+          // a failed query must be LOUD in the ladder, not silently absent
+          // from SCALING.md (NaN would fail the report's number regex and
+          // drop the row — the likely-worst query vanishing from the net)
+          if (best.isNaN) println(s"SCALE $name $sf FAILED")
+          else println(f"SCALE $name $sf $best%.3f")
         }
     }
     spark.stop()
