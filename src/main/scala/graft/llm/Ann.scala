@@ -171,6 +171,48 @@ object Ann {
            CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
     FROM bc GROUP BY band_idx)"""
 
+  /** D69: the serving structures' bucket rows, exposed for the occupancy
+    * report. Both are single-block structures (block_idx 0): `ann_lsh` is
+    * the 2^NumPlanes single-table layout every probe (and the persisted
+    * AnnIndexSink) hashes into; `ivf` is the refined-centroid rn=1 cell
+    * assignment whose within-cell sizes bound dedup_semantic/embed_kmeans
+    * pair generation and IVF probe latency alike.
+    */
+  private[graft] def lshBucketRows(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).select(lit(0).as("block_idx"),
+      lshBucket(col("embedding")).cast("string").as("bkey"))
+
+  private[graft] def ivfCellRows(spark: SparkSession, dir: String): DataFrame =
+    ivfRankedOf(vecs(spark, dir), refined = true, maxRn = 1)
+      .select(lit(0).as("block_idx"), col("cell").cast("string").as("bkey"))
+
+  /** D69 oracle pieces (parenthesized for IndexQc's UNION): the single-
+    * table LSH layout at the live NumPlanes, and the refined IVF cells —
+    * both mirror the serving SQL verbatim (`bucketExprSql`,
+    * `ivfRankedCtesAt`), so occupancy audits EXACTLY the engine's buckets.
+    */
+  private[graft] def annLshOccupancySql: String =
+    s"""(WITH bc AS (
+      SELECT ($bucketExprSql) AS bucket, CAST(count(*) AS BIGINT) AS c
+      FROM embeddings GROUP BY 1)
+    SELECT 'ann_lsh' AS family, 0 AS block_idx,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM bc)"""
+
+  private[graft] def ivfOccupancySql: String =
+    s"""(WITH ${ivfRankedCtesAt(1)},
+    bc AS (SELECT cell, CAST(count(*) AS BIGINT) AS c
+           FROM ranked WHERE rn = 1 GROUP BY cell)
+    SELECT 'ivf' AS family, 0 AS block_idx,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM bc)"""
+
   def dedupEmbeddingSql: String = {
     s"""WITH banded AS MATERIALIZED ($embBandedSqlRows)
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * quadratically with the corpus. The r8 width configs (`graft.simhash
   * .blocks`, `graft.ann.*`) are the lever; THIS operator is the gauge: for
   * each candidate-generating structure the engine ships (minhash LSH bands,
-  * embedding hyperplane-LSH bands, simhash Manku block-combos), one row per
-  * block with the distinct-key count, row count, largest bucket, and the
-  * exact pre-confirm candidate-pair volume the bucket self-join would
-  * generate. An operator reads this at ingest scale and raises the width
-  * BEFORE the join runs, instead of discovering a 10¹⁵-pair stage at hour
-  * six of a 100 TB pass.
+  * embedding hyperplane-LSH bands, simhash Manku block-combos) plus the two
+  * SERVING structures (the 2^NumPlanes ann_lsh single-table buckets and the
+  * refined IVF cells), one row per block with the distinct-key count, row
+  * count, largest bucket, and the exact pre-confirm candidate-pair volume
+  * the bucket self-join would generate. An operator reads this at ingest
+  * scale and raises the width BEFORE the join runs, instead of discovering
+  * a 10¹⁵-pair stage at hour six of a 100 TB pass; for the serving
+  * structures, max_bucket IS the worst-case probe fan-in and the cell-size
+  * spread is IVF probe-latency skew.
   *
   * Scale shape: per family one partial-agg shuffle keyed by (block, key)
   * (map-side combinable counts), then a block-bounded second aggregate —
@@ -54,10 +57,18 @@ object IndexQc {
     occStats(mh, "minhash")
       .unionByName(occStats(emb, "emb_lsh"))
       .unionByName(occStats(sh, "simhash"))
+      // the two SERVING structures (r8 follow-up): single-block by
+      // construction — ann_lsh gauges per-probe bucket occupancy
+      // (n/2^NumPlanes), ivf gauges cell imbalance (probe-latency skew and
+      // dedup_semantic's within-cell pair volume)
+      .unionByName(occStats(Ann.lshBucketRows(spark, dir), "ann_lsh"))
+      .unionByName(occStats(Ann.ivfCellRows(spark, dir), "ivf"))
   }
 
   def indexOccupancySql: String =
     s"""${Dedup.minhashOccupancySql}
     UNION ALL ${Ann.embLshOccupancySql}
-    UNION ALL ${Dedup.simhashOccupancySql}"""
+    UNION ALL ${Dedup.simhashOccupancySql}
+    UNION ALL ${Ann.annLshOccupancySql}
+    UNION ALL ${Ann.ivfOccupancySql}"""
 }

@@ -121,8 +121,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     "hop_window_agg" -> B(4, 0),
     "importance_sample" -> B(4, 0),
     // r8: one linear keyed partial-agg per structure (minhash bands,
-    // emb-LSH bands, simhash combos) + the block-bounded rollup
-    "index_occupancy" -> B(10, 0),
+    // emb-LSH bands, simhash combos, ann_lsh buckets, ivf cells) + the
+    // block-bounded rollups; BNLJs are the IVF centroid broadcasts (the
+    // ann family's contract-bounded side)
+    "index_occupancy" -> B(18, 8),
     "importance_weights" -> B(4, 0),
     // r8: all-depth IVF curve from ONE assignment pass; BNLJs are the
     // broadcast query set (the ann family's contract-bounded side)

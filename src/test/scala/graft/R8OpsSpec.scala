@@ -79,12 +79,12 @@ class R8OpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
-  test("index_occupancy: accounting identities hold for all three structures") {
+  test("index_occupancy: accounting identities hold for all five structures") {
     val rows = graft.llm.IndexQc.indexOccupancy(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     val fams = rows.keySet.map(_._1)
-    assert(fams === Set("minhash", "emb_lsh", "simhash"))
+    assert(fams === Set("minhash", "emb_lsh", "simhash", "ann_lsh", "ivf"))
     // block counts match each structure's layout
     def blocks(f: String) = rows.keySet.filter(_._1 == f).map(_._2)
     assert(blocks("minhash") === (0 until Dedup.Bands).toSet)
@@ -93,6 +93,13 @@ class R8OpsSpec extends SparkSpecBase {
       case (g, b) => (0 until b).combinations(g).size
     }
     assert(blocks("simhash") === (0 until nCombos).toSet)
+    // the serving structures are single-block; every vector lands in
+    // exactly one bucket/cell, and the cell universe is bounded by config
+    assert(blocks("ann_lsh") === Set(0) && blocks("ivf") === Set(0))
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows(("ann_lsh", 0))._2 === nVecs && rows(("ivf", 0))._2 === nVecs)
+    assert(rows(("ivf", 0))._1 <= Ann.NumCells.toLong)
+    assert(rows(("ann_lsh", 0))._1 <= (1L << Ann.NumPlanes))
     rows.foreach { case ((f, blk), (nKeys, nRows, maxB, candPairs)) =>
       // every block of a family indexes the same underlying row set
       val famRows = rows.collect { case ((`f`, _), v) => v._2 }
