@@ -743,6 +743,36 @@ object Dedup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     componentsOfPairs(dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b")))
 
+  /** D71 (r8): near-dup cluster-size accounting — per component size s:
+    * how many clusters, how many docs they hold, and how many docs dedup
+    * removes (s−1 per cluster). The histogram a curation run reads to
+    * understand WHAT the near-dedup is doing: a fat tail of giant
+    * clusters means boilerplate/template contamination (one keeper
+    * replaces thousands), a spike at s=2 means genuine near-copies; and
+    * `n_removed` summed is the exact doc count the keeper-filter drops —
+    * reconciling corpus_clean's before/after without rerunning it.
+    *
+    * Scale shape: one count-by-component over D19's labels (shuffle
+    * bounded by components), then a count-by-size (bounded by DISTINCT
+    * sizes ≤ √(2·docs-in-components)); both partial-agg combinable.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy(col("component_id")).agg(count(lit(1)).as("s"))
+      .groupBy(col("s").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("s")).as("n_docs"),
+        sum(col("s") - 1).as("n_removed"))
+
+  def dedupClusterSizesSql: String =
+    s"""WITH cc AS MATERIALIZED (SELECT component_id FROM ($dedupComponentsSql) c),
+    sz AS (SELECT component_id, CAST(count(*) AS BIGINT) AS s
+           FROM cc GROUP BY component_id)
+    SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(s) AS BIGINT) AS n_docs,
+           CAST(sum(s - 1) AS BIGINT) AS n_removed
+    FROM sz GROUP BY s"""
+
   /** D19's clustering over an arbitrary (doc_a, doc_b) pair frame — the
     * composable form corpus_pipeline_indexed feeds with pairs served from
     * the persisted signature index instead of the per-run recompute.

@@ -69,6 +69,8 @@ class PlanBudgetSpec extends SparkSpecBase {
     "decontaminate" -> B(6, 0),
     "decontaminate_bloom" -> B(7, 0),
     "dedup_best_rep" -> B(15, 0),
+    // r8: D19's CC labels + two bounded partial-agg rollups
+    "dedup_cluster_sizes" -> B(15, 0),
     "dedup_components" -> B(13, 0),
     "dedup_containment" -> B(4, 0),
     "dedup_edit_distance" -> B(4, 0),

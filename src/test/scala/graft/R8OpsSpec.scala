@@ -121,6 +121,29 @@ class R8OpsSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("dedup_cluster_sizes: histogram matches a driver-side recompute; accounting exact") {
+    val hist = Dedup.dedupClusterSizes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hist.nonEmpty)
+    // every component has >= 2 members (labels exist only for docs with a
+    // near-dup edge, and edges are symmetric)
+    assert(hist.keySet.min >= 2L)
+    hist.foreach { case (s, (nc, nd, nr)) =>
+      assert(nd === s * nc, s"size $s: n_docs != size * clusters")
+      assert(nr === nd - nc, s"size $s: n_removed != docs - keepers")
+    }
+    // recompute from the engine's own component labels
+    val sizes = Dedup.dedupComponents(spark, sfDir)
+      .groupBy(col("component_id")).agg(count(lit(1)).as("s"))
+      .collect().map(_.getLong(1))
+    val expect = sizes.groupBy(identity).map { case (s, xs) =>
+      s -> (xs.length.toLong, s * xs.length, (s - 1) * xs.length) }
+    assert(hist === expect)
+    // the removed total IS the doc count the keeper filter drops
+    assert(hist.values.map(_._3).sum === sizes.map(_ - 1).sum)
+    Checkpoints.releaseAll()
+  }
+
   test("split_leakage: positive controls read 0; residual families recompute") {
     val rows = Sampling.splitLeakage(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
