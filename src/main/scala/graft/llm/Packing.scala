@@ -152,4 +152,71 @@ object Packing {
                     AS BIGINT) % $PackShards AS shard,
                n_tokens
         FROM (${TextOps.textBpeEncodeSql}) enc))"""
+
+  /** D72: packing-efficiency QC — per (counter, shard), the accounting a
+    * batch assembler reads before committing a packed corpus: doc/token
+    * totals, chunk count, tail padding (the only padding concat-then-chunk
+    * ever wastes — the final partial chunk per shard), and fragmentation
+    * (docs that straddle a chunk boundary, and the total number of
+    * boundary crossings — each crossing is a doc split across training
+    * sequences, the rows attention masking has to handle). Emitted for
+    * BOTH packers — the whitespace proxy (D18) and the tokenizer-true BPE
+    * layout (D59) — because the comparison is the point: the two layouts
+    * fragment differently for the same corpus, and this table is where
+    * that shows up as numbers rather than as a training-time surprise.
+    *
+    * Derivations are pure integer arithmetic on the pack outputs
+    * (seq_offset, n_tokens): a doc crosses iff seq_offset + n_tokens > B,
+    * and its crossing count is (seq_offset + n_tokens - 1) div B — exact
+    * because cum = seq_id*B + seq_offset + n_tokens per shard. Shape: the
+    * two pack windows are the operators' own ONE-exchange plans; the
+    * per-shard aggregate partially combines map-side into PackShards
+    * groups (2 x 16 output rows), so the add-on cost at 100 TB is a
+    * shards-bounded aggregate over frames already clustered by shard.
+    * 10000 * total_tokens stays under 2^63 until ~9e14 tokens/shard —
+    * raise PackShards long before that.
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packStatsOf(packSequences(spark, dir), "ws")
+      .unionByName(packStatsOf(packSequencesBpe(spark, dir), "bpe"))
+
+  private def packStatsOf(pack: DataFrame, counter: String): DataFrame =
+    pack.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("seq_offset") + col("n_tokens") > PackBudget, 1L)
+          .otherwise(0L)).as("crossing_docs"),
+        sum(when(col("n_tokens") > 0,
+            expr(s"(seq_offset + n_tokens - 1) div $PackBudget"))
+          .otherwise(0L)).as("boundary_crossings"))
+      .withColumn("n_chunks",
+        expr(s"(total_tokens + ${PackBudget - 1}) div $PackBudget"))
+      .withColumn("tail_padding",
+        expr(s"($PackBudget - total_tokens % $PackBudget) % $PackBudget"))
+      .withColumn("utilization_bp",
+        when(col("n_chunks") > 0,
+          expr(s"(10000 * total_tokens) div (n_chunks * $PackBudget)")))
+      .select(lit(counter).as("counter"), col("shard"), col("n_docs"),
+        col("total_tokens"), col("n_chunks"), col("tail_padding"),
+        col("crossing_docs"), col("boundary_crossings"), col("utilization_bp"))
+
+  /** D72 oracle: the identical integer derivations over each pack
+    * statement's own output (every output column CAST — DuckDB's SUM over
+    * BIGINT widens to HUGEINT). */
+  val packEfficiencySql: String = {
+    def stats(sub: String, counter: String) =
+      s"""SELECT '$counter' AS counter, shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST((SUM(n_tokens) + ${PackBudget - 1}) // $PackBudget AS BIGINT) AS n_chunks,
+        CAST(($PackBudget - SUM(n_tokens) % $PackBudget) % $PackBudget AS BIGINT) AS tail_padding,
+        CAST(SUM(CASE WHEN seq_offset + n_tokens > $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs,
+        CAST(SUM(CASE WHEN n_tokens > 0 THEN (seq_offset + n_tokens - 1) // $PackBudget ELSE 0 END) AS BIGINT) AS boundary_crossings,
+        CASE WHEN SUM(n_tokens) > 0 THEN
+          CAST((10000 * SUM(n_tokens)) // (((SUM(n_tokens) + ${PackBudget - 1}) // $PackBudget) * $PackBudget) AS BIGINT)
+        ELSE CAST(NULL AS BIGINT) END AS utilization_bp
+      FROM ($sub) p GROUP BY shard"""
+    s"${stats(packSequencesSql, "ws")} UNION ALL ${stats(packSequencesBpeSql, "bpe")}"
+  }
 }

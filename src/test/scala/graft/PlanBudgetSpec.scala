@@ -145,6 +145,8 @@ class PlanBudgetSpec extends SparkSpecBase {
     "mm_pipeline" -> B(3, 0),
     "mm_resize" -> B(3, 0),
     "normalize_category" -> B(6, 0),
+    // r8: both packers' windows + the shards-bounded stats aggregate
+    "pack_efficiency" -> B(7, 0),
     "pack_sequences" -> B(4, 0),
     "pack_sequences_bpe" -> B(6, 0),
     "part_communities" -> B(22, 0),

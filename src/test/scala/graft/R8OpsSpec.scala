@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Ann, Corpus, Dedup, Sampling}
+import graft.llm.{Ann, Corpus, Dedup, Packing, Sampling}
 
 /** The four r8 catalog additions: D65 ivf_recall_curve, D66
   * mixture_realized, D67 shard_manifest, D68 dedup_minhash_verified.
@@ -194,6 +194,45 @@ class R8OpsSpec extends SparkSpecBase {
     // otherwise the second phase proves nothing on this corpus
     assert(verified.exists(r => math.abs(r.getDouble(2) - r.getDouble(3)) > 1e-9),
       "est_sim == exact jaccard everywhere — confirm is vacuous here")
+    Checkpoints.releaseAll()
+  }
+
+  test("pack_efficiency: per-shard accounting matches a driver-side recompute of both packings") {
+    val B = Packing.PackBudget
+    val eff = Packing.packEfficiency(spark, sfDir).collect().map { r =>
+      assert(!r.isNullAt(8), "empty shard at spec scale — utilization null")
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6), r.getLong(7), r.getLong(8))
+    }.toMap
+    assert(eff.keys.map(_._1).toSet === Set("ws", "bpe"))
+    eff.foreach { case ((c, shard), (_, tt, nc, tp, cd, bc, ub)) =>
+      // tail padding is the ONLY padding: tokens + padding fill the chunks
+      assert(tt + tp === nc * B, s"$c/$shard: tokens + tail != chunks * budget")
+      // every crossing doc crosses at least once
+      assert(bc >= cd, s"$c/$shard: crossings < crossing docs")
+      assert(ub === 10000L * tt / (nc * B), s"$c/$shard: utilization arithmetic")
+    }
+    // recompute per counter from the pack operators' own outputs
+    for ((counter, pack) <- Seq("ws" -> Packing.packSequences(spark, sfDir),
+                                "bpe" -> Packing.packSequencesBpe(spark, sfDir))) {
+      val rows = pack.collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))) // (shard, n_tokens, seq_offset)
+      assert(rows.map(_._1).distinct.length === eff.count(_._1._1 == counter),
+        s"$counter: shard sets differ")
+      rows.groupBy(_._1).foreach { case (shard, xs) =>
+        val total = xs.map(_._2).sum
+        val nChunks = (total + B - 1) / B
+        val expect = (xs.length.toLong, total, nChunks, (B - total % B) % B,
+          xs.count(x => x._3 + x._2 > B).toLong,
+          xs.map(x => if (x._2 > 0) (x._3 + x._2 - 1) / B else 0L).sum,
+          10000L * total / (nChunks * B))
+        assert(eff((counter, shard)) === expect, s"$counter/$shard accounting")
+      }
+    }
+    // non-vacuity: at spec scale some docs exceed the 128-token budget's
+    // remainder, so fragmentation must be observed somewhere
+    assert(eff.values.exists(_._5 > 0), "no crossing docs anywhere — gauge is vacuous")
     Checkpoints.releaseAll()
   }
 }
