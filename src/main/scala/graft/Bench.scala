@@ -55,7 +55,14 @@ object Bench {
     // index twin (near-dup pairs served from the stored band table —
     // index built in the untimed warmup, the pay-at-ingest convention of
     // capex_pipeline_bucketed / ann_index_probe)
-    "corpus_pipeline", "corpus_pipeline_indexed")
+    "corpus_pipeline", "corpus_pipeline_indexed",
+    // r8: the PQ two-stage serving query (codebook train + encode + ADC
+    // scan + exact re-rank, all in one tracked plan — the compressed
+    // complement of ann_index_probe's float-bucket serving) and its
+    // persisted-pair probe (codebook + codes stored at ingest, so the
+    // tracked number is LUT + ADC scan + R-row refine — the recurring
+    // cost of a deployed PQ tier; pair built in the untimed warmup)
+    "ann_pq", "pq_index_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -17,6 +17,8 @@ package graft
   *  - graft.ann.embPlanesPerBand(llm.Ann.EmbPlanesPerBand,   default 4)
   *  - graft.ann.numPlanes       (llm.Ann.NumPlanes,          default 8)
   *  - graft.ann.numCells        (llm.Ann.NumCells,           default 16)
+  *  - graft.pq.subspaces        (llm.Pq.NumSubspaces,        default 8)
+  *  - graft.pq.codebook         (llm.Pq.CodebookSize,        default 16)
   */
 object GraftConfig {
   def int(key: String, default: Int): Int =

@@ -1,0 +1,356 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product quantization for ANN serving (SURVEY §2 D73/D74).
+  *
+  * PQ (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011 — public literature) is the 100 TB ANN serving
+  * compression the D-family was missing: split each Dim-dim vector into M
+  * subvectors, vector-quantize each subspace against its own K-entry
+  * codebook, and serve each corpus vector as M small integer codes (M=8
+  * byte-ish codes vs 64 float32s = a ~32× memory cut at the defaults).
+  * Query-time distance is ADC (asymmetric distance computation): the query
+  * stays un-quantized, a per-query lookup table of exact
+  * query-subvector-to-centroid distances is built against the tiny
+  * codebook, and each corpus vector's approximate distance is the sum of M
+  * table lookups — the scan that touches every vector reads only codes,
+  * never floats. A second refine stage (Jégou et al.'s "ADC + R") re-ranks
+  * ONLY the R shortlisted vectors by exact L2, so the float store pays R
+  * point-reads per query instead of a scan.
+  *
+  * Scale shape (the reason PQ exists): the codebook is M×K rows
+  * (data-derived, broadcast), encoding is ONE corpus pass whose argmin is
+  * a map-side-combinable min(struct(d2, code)) aggregate — no window, no
+  * wide shuffle of corpus×K rows — and the serving join is
+  * broadcast(LUT) ⋈ codes with a partial-agg ADC sum, so the only
+  * exchange volume is (queries × corpus) rows of three small integers and
+  * one decimal. At 10⁹ vectors the codes table is ~4 GB where the float
+  * corpus is 256 GB: the scan PQ serves from is the one you can afford to
+  * keep hot.
+  *
+  * Exactness discipline (the engine's established ANN conventions,
+  * Ann.scala): subvector L2 distances fold left-to-right in double in both
+  * engines; codebook refinement is ONE deterministic Lloyd step whose
+  * element sums accumulate in DECIMAL(28,10) (order-independent, so
+  * centroids are bit-identical across engines and partitionings); ADC
+  * terms are cast to DECIMAL(28,10) BEFORE the sum so the M-term addition
+  * is exact and order-independent; ties in every argmin/rank break on the
+  * lowest code / neighbor id. The DuckDB oracle mirrors each step
+  * verbatim (window-rn form where the engine uses min(struct) — same
+  * (d2 asc, code asc) order, so identical selections).
+  *
+  * Widths are live config like the LSH/IVF levers (GraftConfig):
+  * `graft.pq.subspaces` (M, default 8) and `graft.pq.codebook` (K, default
+  * 16). At 10⁹-vector scale the published operating point is M=8..16,
+  * K=256; both knobs thread through the oracle generator so the two
+  * engines cannot disagree on a width (PqSpec pins the config plumbing).
+  */
+object Pq {
+
+  val Dim: Int = Ann.Dim
+
+  /** M — number of subspaces. Must divide Dim (contiguous equal slices). */
+  def NumSubspaces: Int = {
+    val m = graft.GraftConfig.int("graft.pq.subspaces", 8)
+    require(m >= 1 && m <= Dim && Dim % m == 0,
+      s"graft.pq.subspaces must divide Dim=$Dim, got $m")
+    m
+  }
+
+  /** K — codebook entries per subspace. Seeds are the first K vectors'
+    * subvectors, so K is also the seed-id range (the IVF convention).
+    */
+  def CodebookSize: Int = {
+    val k = graft.GraftConfig.int("graft.pq.codebook", 16)
+    require(k >= 2, s"graft.pq.codebook must be >= 2, got $k")
+    k
+  }
+
+  private def subDim: Int = Dim / NumSubspaces
+
+  /** Query-set contract shared with the other ANN operators: vec_id < 10. */
+  private val NQueries = 10
+  private val TopK = 5
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+  /** Exact left-to-right double fold of the squared L2 distance between two
+    * float-array columns of length `len` — the ANN-family arithmetic
+    * contract (same fold order as Ann's dot/dotSql pair).
+    */
+  private def l2(a: Column, b: Column, len: Int): Column =
+    (0 until len).map { i =>
+      val d = element_at(a, i + 1).cast("double") - element_at(b, i + 1).cast("double")
+      d * d
+    }.reduce(_ + _)
+
+  private def l2Sql(a: String, b: String, len: Int): String =
+    s"list_sum(list_transform(range(1, $len + 1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) ** 2))"
+
+  /** (vec_id, m, sv): each vector exploded into its M contiguous
+    * subvectors. Map-side only — no shuffle.
+    */
+  private def subvecs(v: DataFrame): DataFrame = {
+    val s = subDim
+    v.select(col("vec_id"), posexplode(array(
+      (0 until NumSubspaces).map(m => slice(col("embedding"), m * s + 1, s)): _*))
+      .as(Seq("m", "sv")))
+  }
+
+  /** Per-subspace codebook: seeds = first K vectors' subvectors, one
+    * deterministic Lloyd step (assign by exact L2, ties → lowest code;
+    * per-(m, code) mean via exact decimal sums). Returns (m, code, cv).
+    * A code whose seed duplicates an earlier seed in that subspace drops
+    * out empty — identically in both engines (the IVF convention).
+    */
+  private[graft] def codebookOf(v: DataFrame): DataFrame = {
+    val sub = subvecs(v)
+    val seeds = sub.filter(col("vec_id") < CodebookSize)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    val assigned = sub.join(broadcast(seeds), Seq("m"))
+      .withColumn("d2", l2(col("sv"), col("cv"), subDim))
+      // min(struct) = (d2 asc, code asc) argmin, partial-agg combinable —
+      // the map-side-combining alternative to the IVF window (no corpus×K
+      // rows ever cross an exchange). sv rides along in the struct tail;
+      // code is unique per group, so comparison never reaches it.
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"), col("sv"))).as("best"))
+      .select(col("m"), col("best.code").as("code"), col("best.sv").as("sv"))
+    assigned.select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      // float → double exact; double → decimal(28,10) rounds identically
+      // in Spark and DuckDB; decimal sum is order-independent
+      .agg(sum(col("x").cast("double").cast("decimal(28,10)")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("n")).cast("float").as("c")))),
+        x => x.getField("c")).as("cv"))
+  }
+
+  /** PQ encoding against a (broadcast) codebook frame: one corpus pass,
+    * argmin per (vec_id, m) with the same min(struct) shape. Returns
+    * (vec_id, m, code, d2) — d2 is the subspace quantization error the
+    * distortion gauge aggregates, free at encode time.
+    */
+  private[graft] def encodeOf(v: DataFrame, cb: DataFrame): DataFrame =
+    subvecs(v).join(broadcast(cb), Seq("m"))
+      .withColumn("d2", l2(col("sv"), col("cv"), subDim))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.code").as("code"), col("best.d2").as("d2"))
+
+  /** Shortlist breadth R for the exact re-rank — the published "ADC + R"
+    * refinement (Jégou et al. §V): the quantized scan nominates R
+    * candidates per query, then ONLY those R full vectors are read for an
+    * exact re-rank. At 10⁹ vectors that is R point-reads against the float
+    * store per query instead of a full float scan — the quantized codes do
+    * the heavy scan, the floats pay only R rows.
+    */
+  val ShortlistR = 50
+
+  /** D73: PQ-served top-k — the brute-force contract (same query set, k=5)
+    * served in the published two-stage shape: (1) ADC scan over the M-code
+    * quantized corpus — LUT = queries' exact subvector-to-centroid
+    * distances (queries×M×K rows, broadcast); approximate distance =
+    * sum over m of LUT[q, m, code_m(x)], summed in exact decimal; top-R
+    * shortlist per query, ties → lowest id — then (2) exact L2 re-rank of
+    * the R shortlisted full vectors only. Output ranks/distances are exact
+    * L2 over the shortlist, so quantization error affects RECALL (did the
+    * true neighbor make the shortlist), never the reported distance.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqOf(vecs(spark, dir))
+
+  private[graft] def annPqOf(v: DataFrame): DataFrame = {
+    val cb = graft.Checkpoints.cp(codebookOf(v))
+    servePq(v, cb, encodeOf(v, cb).select(col("vec_id"), col("m"), col("code")))
+  }
+
+  /** The serving core over an arbitrary (codebook, codes) pair — shared by
+    * the recompute query (D73) and the persisted-index probe (D76).
+    */
+  private def servePq(v: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame = {
+    val lut = subvecs(v.filter(col("vec_id") < NQueries))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(cb, Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        l2(col("sv"), col("cv"), subDim).cast("decimal(28,10)").as("d2q"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc").asc, col("nb_id").asc)
+    val shortlist = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+      .agg(sum(col("d2q")).as("adc"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= ShortlistR)
+      .select(col("q_id"), col("nb_id"))
+    // refine: only the R shortlisted float vectors are read back — the
+    // shortlist (queries × R rows) broadcasts into the corpus join, so
+    // the re-rank costs one hash-probe pass, no corpus shuffle
+    val qv = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("nb_id").asc)
+    broadcast(shortlist)
+      .join(v.select(col("vec_id").as("nb_id"), col("embedding").as("nvec")), Seq("nb_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("d2", l2(col("qvec"), col("nvec"), Dim))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nb_id"), col("rank"),
+        round(col("d2"), 6).as("l2_dist"))
+  }
+
+  /** Per-dataset, content-fingerprinted PQ index table name (the
+    * AnnIndexSink convention): a rewritten corpus or a width change must
+    * build a FRESH pair — serving from codes quantized under another
+    * codebook would silently mis-rank, not fail.
+    */
+  private def tableFor(dir: String): String = {
+    val fp = graft.sources.BucketedSink.contentFingerprint(
+      Seq(s"$dir/embeddings.parquet"))
+    "pq_codes_" + graft.sources.BucketedSink.nameHash(
+      s"$dir\n$fp\nm=$NumSubspaces\nk=$CodebookSize")
+  }
+
+  /** Build (once) the persisted PQ pair for `dir`'s corpus: `<t>_cb` = the
+    * trained codebook (M×K rows), `<t>` = the encoded corpus (vec_id, m,
+    * code) — the ~32×-smaller serving copy. The pair is atomic-ish by
+    * existence gate: a partial build (one half present) drops both and
+    * rebuilds, and the codes are encoded against the STORED codebook so
+    * the pair cannot drift. Returns the codes table name.
+    */
+  def ensurePqIndex(spark: SparkSession, dir: String): String = {
+    val table = tableFor(dir)
+    val cbTable = table + "_cb"
+    if (!spark.catalog.tableExists(table) || !spark.catalog.tableExists(cbTable)) {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"DROP TABLE IF EXISTS `$cbTable`")
+      val v = vecs(spark, dir)
+      graft.sources.BucketedSink.ensureTable(spark, cbTable) {
+        codebookOf(v).write.format("parquet").saveAsTable(cbTable)
+      }
+      val stored = spark.table(cbTable)
+      graft.sources.BucketedSink.ensureTable(spark, table) {
+        encodeOf(v, stored).select(col("vec_id"), col("m"), col("code"))
+          .write.format("parquet").saveAsTable(table)
+      }
+    }
+    table
+  }
+
+  /** D76: PQ serving from the PERSISTED pair — identical contract and
+    * output to D73 (the oracle reuses annPqSql, the
+    * corpus_pipeline_indexed convention: same semantics by construction,
+    * since the stored codes are the encode expressions verbatim), but the
+    * per-query cost drops to LUT build + ADC scan of the codes table +
+    * R-row refine: no codebook training, no encode pass. The
+    * pay-at-ingest path a daily ANN deployment actually runs.
+    */
+  def pqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensurePqIndex(spark, dir)
+    servePq(vecs(spark, dir), spark.table(table + "_cb"), spark.table(table))
+  }
+
+  /** D74: PQ distortion gauge — per subspace: vectors encoded, mean and max
+    * squared quantization error. The QC row a serving deployment reads
+    * before trusting ADC ranks: distortion that is flat across subspaces
+    * and small vs the mean inter-vector distance means the codebook width
+    * (K) is adequate; one hot subspace means the energy is concentrated
+    * and M's contiguous split needs a rotation (OPQ) or a wider K. Mean
+    * via exact decimal sums; max of double is order-independent.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    pqDistortionOf(vecs(spark, dir))
+
+  private[graft] def pqDistortionOf(v: DataFrame): DataFrame = {
+    val cb = graft.Checkpoints.cp(codebookOf(v))
+    encodeOf(v, cb)
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast("decimal(28,10)")).as("s"),
+        max(col("d2")).as("mx"))
+      .select(col("m"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs"), 6).as("mean_err2"),
+        round(col("mx"), 6).as("max_err2"))
+  }
+
+  /** Shared oracle CTE prefix: subvector explode → seed assignment → one
+    * decimal-exact Lloyd step → codebook → encode (code + error). The
+    * argmins use window-rn form — same (d2 asc, code asc) order as the
+    * engine's min(struct), so identical selections.
+    */
+  private def pqCtes: String = {
+    val s = subDim
+    s"""sub AS MATERIALIZED (
+      SELECT vec_id, CAST(t.m AS INT) AS m,
+             embedding[t.m * $s + 1 : t.m * $s + $s] AS sv
+      FROM embeddings, range(0, $NumSubspaces) t(m)),
+    seeds AS (
+      SELECT m, CAST(vec_id AS INT) AS code, sv AS cv
+      FROM sub WHERE vec_id < $CodebookSize),
+    a0 AS (
+      SELECT s.vec_id, s.m, s.sv, d.code, ${l2Sql("s.sv", "d.cv", s)} AS d2
+      FROM sub s JOIN seeds d USING (m)),
+    a1 AS (
+      SELECT m, code, sv FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+          ORDER BY d2 ASC, code ASC) AS rn FROM a0) WHERE rn = 1),
+    sums AS (
+      SELECT m, code, CAST(p.pos AS INT) AS pos,
+             sum(CAST(CAST(sv[p.pos + 1] AS DOUBLE) AS DECIMAL(28,10))) AS sm,
+             count(*) AS n
+      FROM a1, range(0, $s) p(pos) GROUP BY 1, 2, 3),
+    cb AS MATERIALIZED (
+      SELECT m, code, list(CAST(CAST(sm AS DOUBLE) / n AS FLOAT) ORDER BY pos) AS cv
+      FROM sums GROUP BY m, code),
+    e0 AS (
+      SELECT s.vec_id, s.m, c.code, ${l2Sql("s.sv", "c.cv", s)} AS d2
+      FROM sub s JOIN cb c USING (m)),
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, code, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+          ORDER BY d2 ASC, code ASC) AS rn FROM e0) WHERE rn = 1)"""
+  }
+
+  def annPqSql: String =
+    s"""WITH $pqCtes,
+    lut AS (
+      SELECT s.vec_id AS q_id, s.m, c.code,
+             CAST(${l2Sql("s.sv", "c.cv", subDim)} AS DECIMAL(28,10)) AS d2q
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $NQueries),
+    adc AS (
+      SELECT l.q_id, e.vec_id AS nb_id, sum(l.d2q) AS adc
+      FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      WHERE l.q_id != e.vec_id GROUP BY 1, 2),
+    shortlist AS (
+      SELECT q_id, nb_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY adc ASC, nb_id ASC) AS srank FROM adc)
+      WHERE srank <= $ShortlistR)
+    SELECT q_id, nb_id, rank, round(d2, 6) AS l2_dist FROM (
+      SELECT s.q_id, s.nb_id,
+             ${l2Sql("q.embedding", "n.embedding", Dim)} AS d2,
+             row_number() OVER (PARTITION BY s.q_id
+               ORDER BY ${l2Sql("q.embedding", "n.embedding", Dim)} ASC,
+                 s.nb_id ASC) AS rank
+      FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.q_id
+        JOIN embeddings n ON n.vec_id = s.nb_id)
+    WHERE rank <= $TopK"""
+
+  def pqDistortionSql: String =
+    s"""WITH $pqCtes
+    SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_err2,
+           round(max(d2), 6) AS max_err2
+    FROM enc GROUP BY m"""
+}

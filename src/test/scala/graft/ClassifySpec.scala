@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Classify
+import graft.GraftConfig.withInt
+
+/** D75 distributed classifier training. The testdata labels are
+  * near-noise for a linear model, so learning is proven on a separable
+  * synthetic corpus (the embed_knn_classify pattern); the catalog query's
+  * cross-engine exactness is the oracle gate's job.
+  */
+class ClassifySpec extends SparkSpecBase {
+
+  /** Linearly separable corpus: class 1 concentrates mass on dim 0,
+    * class 0 on dim 1, with a deterministic per-id wobble on the rest.
+    * Labels: vec_id even → label 2 (y=1 under label<5), odd → label 7.
+    */
+  private def separable(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val y1 = i % 2 == 0
+      val emb = Array.tabulate(llm.Ann.Dim) { d =>
+        val wobble = (((i * 31 + d * 17) % 13) - 6) / 100.0f
+        if (d == 0 && y1) 1.0f + wobble
+        else if (d == 1 && !y1) 1.0f + wobble
+        else wobble
+      }
+      (i.toLong, emb, if (y1) 2 else 7)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private def featurizedOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec_id"),
+      when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
+      array(lit(1.0).cast("double") +:
+        (0 until llm.Ann.Dim).map(i => element_at(col("embedding"), i + 1).cast("double")): _*)
+        .as("x"))
+
+  test("trainer separates a linearly separable corpus") {
+    val out = Classify.embedLogregOf(featurizedOf(separable(400))).collect()
+    Checkpoints.releaseAll()
+    val n = out.map(_.getLong(2)).sum
+    assert(n === 80, s"holdout must be the vec_id%5 slice, got $n")
+    val correct = out.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
+    assert(correct.toDouble / n >= 0.95,
+      s"separable corpus not learned: ${correct}/$n correct ($out)")
+    // share_bp reconciles exactly: basis points over the holdout
+    out.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2) * 10000L / n, s"share_bp drift: $r")
+    }
+  }
+
+  test("more iterations do not hurt separable-holdout accuracy") {
+    def acc(iters: Int): Double = withInt("graft.logreg.iters", iters) {
+      val out = Classify.embedLogregOf(featurizedOf(separable(400))).collect()
+      Checkpoints.releaseAll()
+      val n = out.map(_.getLong(2)).sum
+      out.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum.toDouble / n
+    }
+    val a1 = acc(1); val a5 = acc(5)
+    assert(a5 >= a1 - 1e-9, s"accuracy degraded with iterations: T=1 $a1 vs T=5 $a5")
+  }
+
+  test("catalog query: consistent confusion accounting on testdata") {
+    val out = Classify.embedLogreg(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    val holdout = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(out.map(_.getLong(2)).sum === holdout, "confusion rows lose holdout docs")
+    assert(out.length <= 4 && out.nonEmpty)
+    assert(out.forall(r => Set(0, 1)(r.getInt(0)) && Set(0, 1)(r.getInt(1))))
+  }
+
+  test("oracle SQL re-reads the iteration config") {
+    assert(Classify.embedLogregSql.contains("w3 AS"))
+    withInt("graft.logreg.iters", 5) {
+      assert(Classify.embedLogregSql.contains("w5 AS"),
+        "embedLogregSql did not re-read graft.logreg.iters")
+    }
+  }
+}

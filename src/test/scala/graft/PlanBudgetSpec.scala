@@ -39,6 +39,16 @@ class PlanBudgetSpec extends SparkSpecBase {
     "ann_int8" -> B(4, 4),
     "ann_ivf" -> B(9, 0),
     "ann_lsh" -> B(3, 0),
+    "ann_pq" -> B(9, 0),
+    // probe ceiling covers the ensure-build path (codebook + encode jobs
+    // run inside the first call in a fresh JVM); a warm-index probe
+    // executes ~3
+    "pq_index_probe" -> B(9, 0),
+    "pq_distortion" -> B(7, 0),
+    // 3 GD iterations x (gradient + weight-rebuild) + the holdout
+    // confusion tail; the 10 BNLJs are the 1-row weight/total broadcasts
+    // (contract-bounded, the legitimate BNLJ class)
+    "embed_logreg" -> B(10, 10),
     "ann_lsh_multiprobe" -> B(4, 0),
     "ann_recall_curve" -> B(9, 4),
     "ann_recall_report" -> B(4, 4),

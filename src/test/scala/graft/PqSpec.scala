@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Ann, Pq}
+import graft.GraftConfig.withInt
+
+/** D73/D74 product quantization: the compressed ANN serving path. Pins the
+  * properties that make PQ trustworthy at scale: the code layout (every
+  * vector carries exactly M codes in [0, K)), quantization fidelity (exact
+  * duplicates get identical codes and surface in each other's ADC top-k;
+  * ADC recall vs exact L2 ground truth holds a floor), the distortion
+  * gauge's accounting, and the width-config plumbing (the oracle generator
+  * re-reads `graft.pq.*`, so the engines cannot desync on a width).
+  */
+class PqSpec extends SparkSpecBase {
+
+  private def vecsWithDups = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // copies of the 10 ANN query vectors under fresh ids: quantization maps
+    // identical subvectors to identical codes, so each copy's ADC distance
+    // to its original is the floor over the corpus
+    val dups = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    base.union(dups)
+  }
+
+  test("every vector carries exactly M codes, all in [0, K)") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cb = Pq.codebookOf(v)
+    val enc = Pq.encodeOf(v, cb).cache()
+    try {
+      val n = v.count()
+      val perVec = enc.groupBy("vec_id").count()
+        .filter(col("count") =!= Pq.NumSubspaces).count()
+      assert(perVec === 0, "some vector lacks one code per subspace")
+      assert(enc.count() === n * Pq.NumSubspaces)
+      val outOfRange = enc
+        .filter(col("code") < 0 || col("code") >= Pq.CodebookSize).count()
+      assert(outOfRange === 0, "code outside [0, K)")
+    } finally { enc.unpersist(); Checkpoints.releaseAll() }
+  }
+
+  test("exact duplicates encode to identical codes and rank first") {
+    val v = vecsWithDups
+    val cb = Pq.codebookOf(v)
+    val enc = Pq.encodeOf(v, cb).cache()
+    try {
+      // identical subvectors → identical argmin (deterministic tie-break)
+      val mismatch = enc.filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("vec_id"), col("m"),
+          col("code").as("dup_code"))
+        .join(enc, Seq("vec_id", "m"))
+        .filter(col("dup_code") =!= col("code")).count()
+      assert(mismatch === 0, "duplicate vector encoded differently")
+    } finally { enc.unpersist(); Checkpoints.releaseAll() }
+    val top = Pq.annPqOf(v).collect()
+    Checkpoints.releaseAll()
+    // the copy's codes are the per-subspace argmins of the query's own
+    // LUT, so its ADC is the global minimum → it cannot miss the
+    // shortlist; the exact re-rank then puts it at d2 = 0, rank 1
+    (0L until 10L).foreach { q =>
+      val first = top.filter(r => r.getLong(0) == q && r.getInt(2) == 1)
+      assert(first.length == 1 && first(0).getLong(1) == q + 1000000L,
+        s"planted duplicate of query $q is not its rank-1 neighbor")
+      assert(first(0).getDouble(3) == 0.0, "duplicate's exact distance nonzero")
+    }
+  }
+
+  test("ADC top-5 holds a recall floor against exact L2 ground truth") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val approx = Pq.annPqOf(v).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    Checkpoints.releaseAll()
+    // exact L2 top-5 (same query set, same tie-break): the ground truth an
+    // ADC serving tier is graded against
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val d2 = (0 until Ann.Dim).map { i =>
+      val d = element_at(col("qv"), i + 1).cast("double") -
+        element_at(col("embedding"), i + 1).cast("double")
+      d * d
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = broadcast(q).crossJoin(v).filter(col("q_id") =!= col("vec_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = (0L until 10L).map { qid =>
+      (approx.getOrElse(qid, Set.empty) & exact(qid)).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    // two-stage serving: the ADC scan only has to land the true top-5 in
+    // its R=50 shortlist; the exact re-rank does the rest. On the
+    // structureless synthetic corpus a pure-ADC top-5 sits near 0.22 (the
+    // ann_lsh-class honesty point); refined M=8/K=16 measures 0.88 here —
+    // the refine stage is what makes the operator servable, and this
+    // deterministic floor is the evidence
+    assert(mean >= 0.75, s"mean refined recall@5 vs exact L2 too low: $mean ($recalls)")
+  }
+
+  test("distortion gauge: M rows, exact doc accounting, positive error") {
+    val df = Pq.pqDistortion(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    assert(df.length === Pq.NumSubspaces)
+    val n = Tables.embeddings(spark, sfDir).count()
+    df.foreach { r =>
+      assert(r.getLong(1) === n, "distortion row lost vectors")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) >= r.getDouble(2),
+        s"mean/max error inconsistent: $r")
+    }
+  }
+
+  test("wider codebook does not increase total distortion") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    def total(): Double = {
+      val t = Pq.encodeOf(v, Pq.codebookOf(v))
+        .agg(sum(col("d2"))).collect()(0).getDouble(0)
+      Checkpoints.releaseAll(); t
+    }
+    val atK16 = total()
+    val atK64 = withInt("graft.pq.codebook", 64)(total())
+    // not a theorem under one Lloyd step (refinement can move mass), so a
+    // 5% tolerance; in practice K=64 lands far below K=16
+    assert(atK64 <= atK16 * 1.05,
+      s"K=64 distortion did not improve on K=16: $atK16 -> $atK64")
+  }
+
+  test("oracle SQL generators re-read the width config") {
+    val defaultSql = Pq.annPqSql
+    assert(defaultSql.contains("range(0, 8)") && defaultSql.contains("vec_id < 16"))
+    withInt("graft.pq.subspaces", 4) {
+      assert(Pq.annPqSql.contains("range(0, 4)"),
+        "annPqSql did not re-read graft.pq.subspaces")
+    }
+    withInt("graft.pq.codebook", 64) {
+      assert(Pq.pqDistortionSql.contains("vec_id < 64"),
+        "pqDistortionSql did not re-read graft.pq.codebook")
+    }
+  }
+
+  test("persisted-index probe returns exactly the recompute's rows") {
+    val recompute = Pq.annPq(spark, sfDir).collect().map(_.toString).sorted
+    Checkpoints.releaseAll()
+    val probed = Pq.pqIndexProbe(spark, sfDir).collect().map(_.toString).sorted
+    Checkpoints.releaseAll()
+    assert(probed.toSeq === recompute.toSeq,
+      "pq_index_probe diverged from the ann_pq recompute")
+  }
+
+  test("a partial index pair (one half missing) rebuilds the pair") {
+    val table = Pq.ensurePqIndex(spark, sfDir)
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_cb`") // simulate a crashed build
+    val again = Pq.ensurePqIndex(spark, sfDir)
+    assert(again === table)
+    assert(spark.catalog.tableExists(table) && spark.catalog.tableExists(table + "_cb"),
+      "partial pair not rebuilt")
+    // and the rebuilt pair still serves identically
+    val probed = Pq.pqIndexProbe(spark, sfDir).count()
+    Checkpoints.releaseAll()
+    assert(probed > 0)
+  }
+
+  test("width validation rejects a subspace count that does not divide Dim") {
+    withInt("graft.pq.subspaces", 5) {
+      intercept[IllegalArgumentException](Pq.NumSubspaces)
+    }
+    withInt("graft.pq.codebook", 1) {
+      intercept[IllegalArgumentException](Pq.CodebookSize)
+    }
+  }
+}
