@@ -283,6 +283,131 @@ object Pq {
         round(col("mx"), 6).as("max_err2"))
   }
 
+  /** Exact L2 top-k over the full corpus — the ground truth D78's recall
+    * QC grades the PQ tier against (brute-force shape: broadcast query
+    * set over one corpus scan; same tie-breaks as the serving ranks).
+    */
+  private def exactL2TopK(v: DataFrame): DataFrame = {
+    val q = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("nb_id").asc)
+    broadcast(q)
+      .crossJoin(v.select(col("vec_id").as("nb_id"), col("embedding").as("nvec")))
+      .filter(col("q_id") =!= col("nb_id"))
+      .withColumn("d2", l2(col("qvec"), col("nvec"), Dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nb_id"))
+  }
+
+  /** D78: PQ recall QC — per query: exact-L2 top-k size, how many of those
+    * the two-stage PQ serving returned, recall in exact basis points. The
+    * D51 pattern applied to the compressed tier: the number a deployment
+    * watches when it tunes M/K/R (raise any of them until this row says
+    * the shortlist stopped losing true neighbors). All-integer output.
+    */
+  def pqRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val exact = exactL2TopK(v)
+    val hits = annPqOf(v).select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
+    exact.join(hits, Seq("q_id", "nb_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp", expr("n_hit * 10000 div n_exact"))
+  }
+
+  private def exactL2Sql: String =
+    s"""SELECT q_id, nb_id FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${l2Sql("q.embedding", "c.embedding", Dim)} ASC,
+                 c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < $NQueries) WHERE rank <= $TopK"""
+
+  def pqRecallReportSql: String =
+    s"""WITH exact AS ($exactL2Sql),
+    approx AS ($annPqSql)
+    SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+      CAST(count(a.nb_id) AS BIGINT) AS n_hit,
+      CAST(count(a.nb_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+    FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.nb_id = a.nb_id
+    GROUP BY e.q_id"""
+
+  /** D77: exact embedding covariance — the upper triangle of the d×d
+    * covariance matrix in one corpus pass. This is the training input for
+    * the rotations PQ deployments actually run (OPQ learns R from the
+    * covariance structure; whitening divides it out) and D74's "one hot
+    * subspace" diagnosis quantified: off-block covariance mass is exactly
+    * the energy a contiguous split loses.
+    *
+    * Scale shape: each row map-side generates its d(d+1)/2 products
+    * (one Generate, no self-join — the corpus is never joined to itself),
+    * partial-aggregated into d(d+1)/2 decimal sums; the only exchange
+    * carries the 2 080 groups' partials. Dim means ride a second 64-group
+    * pass. cov = Σxy/n − x̄·ȳ assembled in doubles FROM the exact decimal
+    * sums (identical operand order in both engines). The oracle computes
+    * the identical sums via a vec_id-equality self-join — fine at oracle
+    * scale, deliberately NOT the engine plan.
+    */
+  def embedCovar(spark: SparkSession, dir: String): DataFrame =
+    embedCovarOf(vecs(spark, dir))
+
+  private[graft] def embedCovarOf(v: DataFrame): DataFrame = {
+    val x = v.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "xe")))
+      .select(col("vec_id"), col("i"), col("xe").cast("double").as("x"))
+    val dims = x.groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(28,10)")).as("sx"))
+    // per-row generation of the upper-triangle products: explode the row
+    // into (i, xi, tail = embedding[i..]) first, then one flat transform
+    // over the tail — each product lands as an e10-quantized LONG
+    // (round-half-away-from-zero, identical in both engines), so the hot
+    // aggregate sums primitive longs instead of allocating 2 080 Decimals
+    // per row. Exactness bound: |x| ≤ ~1 ⇒ |p·e10| ≤ 1e10 per term, so the
+    // per-group long sum holds to ~9e8 corpus rows; past that, widen the
+    // sum to decimal at the agg (the quantization itself stays exact).
+    val pairs = v
+      .select(posexplode(col("embedding")).as(Seq("i", "xe")), col("embedding"))
+      .select(col("i"),
+        posexplode(transform(slice(col("embedding"), col("i") + 1, lit(Dim) - col("i")),
+          xj => round(col("xe").cast("double") * xj.cast("double") * 1e10, 0)
+            .cast("long"))).as(Seq("dj", "p")))
+    val cross = pairs.select(col("i"), (col("i") + col("dj")).as("j"), col("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sxy_e10"), count(lit(1)).as("n"))
+    cross
+      .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        round((col("sxy_e10").cast("double") / 1e10) / col("n") -
+          (col("sxi").cast("double") / col("n")) *
+            (col("sxj").cast("double") / col("n")), 8).as("cov"))
+  }
+
+  def embedCovarSql: String =
+    s"""WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(p.i AS INT) AS i,
+             CAST(embedding[p.i + 1] AS DOUBLE) AS x
+      FROM embeddings, range(0, $Dim) p(i)),
+    dims AS (
+      SELECT i, sum(CAST(x AS DECIMAL(28,10))) AS sx FROM e GROUP BY 1),
+    crs AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(CAST(round(a.x * b.x * 1e10, 0) AS BIGINT)) AS sxy_e10,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2)
+    SELECT c.i, c.j, c.n,
+           round((CAST(c.sxy_e10 AS DOUBLE) / 1e10) / c.n
+             - (CAST(di.sx AS DOUBLE) / c.n) * (CAST(dj.sx AS DOUBLE) / c.n),
+             8) AS cov
+    FROM crs c
+      JOIN dims di ON di.i = c.i
+      JOIN dims dj ON dj.i = c.j"""
+
   /** Shared oracle CTE prefix: subvector explode → seed assignment → one
     * decimal-exact Lloyd step → codebook → encode (code + error). The
     * argmins use window-rn form — same (d2 asc, code asc) order as the

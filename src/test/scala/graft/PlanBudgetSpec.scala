@@ -40,6 +40,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     "ann_ivf" -> B(9, 0),
     "ann_lsh" -> B(3, 0),
     "ann_pq" -> B(9, 0),
+    "embed_covar" -> B(4, 0),
+    // the 4 BNLJs are the exact-L2 side's contract-bounded query-set
+    // broadcast (the ann_bruteforce class)
+    "pq_recall_report" -> B(10, 4),
     // probe ceiling covers the ensure-build path (codebook + encode jobs
     // run inside the first call in a fresh JVM); a warm-index probe
     // executes ~3

@@ -163,6 +163,42 @@ class PqSpec extends SparkSpecBase {
     assert(probed > 0)
   }
 
+  test("covariance: triangle shape, exact structure on a constructed corpus") {
+    import spark.implicits._
+    // dim0 == dim1 per vector (perfect correlation), dim2 constant: the
+    // covariance structure is known exactly
+    val v = (0 until 50).map { k =>
+      val x0 = (k % 7 - 3) / 10.0f
+      val emb = Array.tabulate(llm.Ann.Dim)(d =>
+        if (d == 0 || d == 1) x0 else if (d == 2) 0.25f
+        else (((k * 13 + d * 7) % 11) - 5) / 100.0f)
+      (k.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val rows = Pq.embedCovarOf(v).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    Checkpoints.releaseAll()
+    val d = llm.Ann.Dim
+    assert(rows.size === d * (d + 1) / 2, "not the full upper triangle")
+    assert(rows.forall(_._2._1 == 50L), "count drift")
+    val v00 = rows((0, 0))._2; val v01 = rows((0, 1))._2; val v11 = rows((1, 1))._2
+    assert(v00 > 0 && v00 === v01 && v00 === v11,
+      s"duplicated dims must have identical var/cov: $v00 $v01 $v11")
+    assert(rows((2, 2))._2 === 0.0, "constant dim must have zero variance")
+    assert(rows((0, 2))._2 === 0.0, "constant dim must have zero covariance")
+  }
+
+  test("recall report: one row per query, bp consistent, floor holds") {
+    val rows = Pq.pqRecallReport(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 5L)
+      assert(r.getLong(3) === r.getLong(2) * 10000L / r.getLong(1), s"bp drift: $r")
+    }
+    val mean = rows.map(_.getLong(3)).sum / 10.0
+    assert(mean >= 7500.0, s"report disagrees with the spec'd recall floor: $mean")
+  }
+
   test("width validation rejects a subspace count that does not divide Dim") {
     withInt("graft.pq.subspaces", 5) {
       intercept[IllegalArgumentException](Pq.NumSubspaces)
