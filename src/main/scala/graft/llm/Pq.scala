@@ -355,7 +355,16 @@ object Pq {
   def embedCovar(spark: SparkSession, dir: String): DataFrame =
     embedCovarOf(vecs(spark, dir))
 
-  private[graft] def embedCovarOf(v: DataFrame): DataFrame = {
+  private[graft] def embedCovarOf(v: DataFrame): DataFrame =
+    covTriangleOf(v).select(col("i"), col("j"), col("n"),
+      round(col("cov"), 8).as("cov"))
+
+  /** Upper-triangle covariance with the UNROUNDED double value — the
+    * shared core of D77's report (rounded for the gate) and D79's power
+    * iteration (which must consume the exact doubles both engines agree
+    * on, not re-derive them).
+    */
+  private def covTriangleOf(v: DataFrame): DataFrame = {
     val x = v.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "xe")))
       .select(col("vec_id"), col("i"), col("xe").cast("double").as("x"))
@@ -382,13 +391,16 @@ object Pq {
       .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
       .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
-        round((col("sxy_e10").cast("double") / 1e10) / col("n") -
+        ((col("sxy_e10").cast("double") / 1e10) / col("n") -
           (col("sxi").cast("double") / col("n")) *
-            (col("sxj").cast("double") / col("n")), 8).as("cov"))
+            (col("sxj").cast("double") / col("n"))).as("cov"))
   }
 
-  def embedCovarSql: String =
-    s"""WITH e AS MATERIALIZED (
+  /** Shared oracle CTEs ending in `cvt(i, j, n, cov)` — the unrounded
+    * triangle (mirrors covTriangleOf; D77 rounds it, D79 iterates on it).
+    */
+  private def covTriangleCtes: String =
+    s"""e AS MATERIALIZED (
       SELECT vec_id, CAST(p.i AS INT) AS i,
              CAST(embedding[p.i + 1] AS DOUBLE) AS x
       FROM embeddings, range(0, $Dim) p(i)),
@@ -399,14 +411,133 @@ object Pq {
              sum(CAST(round(a.x * b.x * 1e10, 0) AS BIGINT)) AS sxy_e10,
              CAST(count(*) AS BIGINT) AS n
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-      GROUP BY 1, 2)
-    SELECT c.i, c.j, c.n,
-           round((CAST(c.sxy_e10 AS DOUBLE) / 1e10) / c.n
-             - (CAST(di.sx AS DOUBLE) / c.n) * (CAST(dj.sx AS DOUBLE) / c.n),
-             8) AS cov
-    FROM crs c
-      JOIN dims di ON di.i = c.i
-      JOIN dims dj ON dj.i = c.j"""
+      GROUP BY 1, 2),
+    cvt AS (
+      SELECT c.i, c.j, c.n,
+             (CAST(c.sxy_e10 AS DOUBLE) / 1e10) / c.n
+               - (CAST(di.sx AS DOUBLE) / c.n) * (CAST(dj.sx AS DOUBLE) / c.n)
+               AS cov
+      FROM crs c
+        JOIN dims di ON di.i = c.i
+        JOIN dims dj ON dj.i = c.j)"""
+
+  def embedCovarSql: String =
+    s"""WITH $covTriangleCtes
+    SELECT i, j, n, round(cov, 8) AS cov FROM cvt"""
+
+  /** Power-iteration steps for D79 (`graft.pca.iters`, default 8). Fixed
+    * count, no convergence test — determinism over adaptivity (the oracle
+    * unrolls the identical count; convergence quality is spec-asserted on
+    * a corpus with a known dominant direction).
+    */
+  def PcaIters: Int = {
+    val t = graft.GraftConfig.int("graft.pca.iters", 8)
+    require(t >= 1 && t <= 16, s"graft.pca.iters must be in [1,16], got $t")
+    t
+  }
+
+  /** D79: top principal component by distributed power iteration — the
+    * direction OPQ/whitening (D77's consumers) rotate against, computed
+    * end-to-end IN the engine with cross-engine bit-exactness. One
+    * covariance pass (the D77 core, unrounded), then T fixed iterations of
+    * v ← C·v / ‖C·v‖ over the broadcast 64-row matrix: every op is
+    * add/mul/div/sqrt on identical operands in identical (left-to-right)
+    * fold order — all IEEE correctly-rounded, so Spark and DuckDB walk the
+    * exact same float path and T iterations of linear algebra hash-check
+    * like a table scan. v₀ = uniform 1/8 (exactly representable).
+    *
+    * Scale shape: the corpus is touched ONCE (the covariance pass); the
+    * iteration runs on the d×d matrix — 64 rows — as eager 1-row barriers,
+    * cluster-trivial by construction. Output: the unit PC (64 rows),
+    * its Rayleigh eigenvalue, and explained variance in basis points
+    * (floor'd — Spark CAST truncates where DuckDB CAST rounds, so the
+    * integerization is an explicit floor in both).
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame =
+    embedPcaOf(vecs(spark, dir))
+
+  private[graft] def embedPcaOf(v: DataFrame): DataFrame = {
+    // one barrier: the triangle feeds the mirror-union (both branches) and
+    // the diag — without it the covariance pass would run three times
+    val tri = graft.Checkpoints.cp(covTriangleOf(v))
+    val full = tri.select(col("i"), col("j"), col("cov"))
+      .union(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    val crows = graft.Checkpoints.cp(
+      full.groupBy(col("i"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cov")))),
+          p => p.getField("cov")).as("carr")))
+    def fold(a: Column, b: Column): Column =
+      (0 until Dim).map(j => element_at(a, j + 1) * element_at(b, j + 1)).reduce(_ + _)
+    // C·v as an ordered 1-row array (collect_list sorted by row index)
+    def matvec(vf: DataFrame): DataFrame =
+      crows.crossJoin(broadcast(vf))
+        .select(col("i"), fold(col("carr"), col("varr")).as("z"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("z")))),
+          p => p.getField("z")).as("za"))
+    val v0 = v.sparkSession.range(1)
+      .select(typedLit(Seq.fill(Dim)(0.125)).as("varr"))
+    // per-step eager barrier: measured better than lazily chaining the T
+    // steps into one plan (Catalyst analysis of the T-deep nest costs more
+    // than T tiny scheduled jobs: 5.3 s vs 6.5 s at sf0.1, and an
+    // unbarriered chain re-executes per downstream reference)
+    val vT = (1 to PcaIters).foldLeft(v0) { (vf, _) =>
+      graft.Checkpoints.cp(matvec(vf)
+        .select(transform(col("za"),
+          x => x / sqrt(fold(col("za"), col("za")))).as("varr")))
+    }
+    val diag = tri.filter(col("i") === col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cov")))),
+        p => p.getField("cov")).as("darr"))
+    val stats = matvec(vT).crossJoin(broadcast(vT)).crossJoin(broadcast(diag))
+      .select(fold(col("varr"), col("za")).as("lambda"),
+        (0 until Dim).map(j => element_at(col("darr"), j + 1)).reduce(_ + _).as("trace"))
+    vT.crossJoin(broadcast(stats))
+      .select(posexplode(col("varr")).as(Seq("pos", "w")),
+        col("lambda"), col("trace"))
+      .select(col("pos"), round(col("w"), 6).as("w_pc1"),
+        round(col("lambda"), 8).as("eigenvalue"),
+        when(col("trace") > 0,
+          floor(col("lambda") / col("trace") * 10000).cast("bigint"))
+          .as("explained_bp"))
+  }
+
+  def embedPcaSql: String = {
+    val mv = s"list_sum(list_transform(range(1, ${Dim + 1}), j -> carr[j] * varr[j]))"
+    val steps = (1 to PcaIters).map { k =>
+      s"""z$k AS (
+      SELECT list(z ORDER BY i) AS za FROM (
+        SELECT i, $mv AS z FROM crows, v${k - 1})),
+    v$k AS (
+      SELECT list_transform(za,
+        x -> x / sqrt(list_sum(list_transform(za, y -> y * y)))) AS varr
+      FROM z$k)"""
+    }.mkString(",\n    ")
+    val t = PcaIters
+    s"""WITH $covTriangleCtes,
+    fullm AS (
+      SELECT i, j, cov FROM cvt
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cvt WHERE i != j),
+    crows AS MATERIALIZED (
+      SELECT i, list(cov ORDER BY j) AS carr FROM fullm GROUP BY i),
+    diag AS (SELECT list(cov ORDER BY i) AS darr FROM cvt WHERE i = j),
+    v0 AS (SELECT list_transform(range(0, $Dim), x -> CAST(0.125 AS DOUBLE)) AS varr),
+    $steps,
+    zf AS (
+      SELECT list(z ORDER BY i) AS za FROM (
+        SELECT i, $mv AS z FROM crows, v$t)),
+    stats AS (
+      SELECT list_sum(list_transform(range(1, ${Dim + 1}), j -> varr[j] * za[j])) AS lambda,
+             list_sum(darr) AS trace
+      FROM zf, v$t, diag)
+    SELECT CAST(p.pos AS INT) AS pos,
+           round(varr[p.pos + 1], 6) AS w_pc1,
+           round(lambda, 8) AS eigenvalue,
+           CASE WHEN trace > 0
+             THEN CAST(floor(lambda / trace * 10000) AS BIGINT) END AS explained_bp
+    FROM v$t, stats, range(0, $Dim) p(pos)"""
+  }
 
   /** Shared oracle CTE prefix: subvector explode → seed assignment → one
     * decimal-exact Lloyd step → codebook → encode (code + error). The

@@ -41,6 +41,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     "ann_lsh" -> B(3, 0),
     "ann_pq" -> B(9, 0),
     "embed_covar" -> B(4, 0),
+    // T=8 power-iteration barrier jobs over the 64-row matrix + the
+    // covariance pass; the 16 BNLJs are the 1-row vector broadcasts
+    // (contract-bounded, the embed_logreg class)
+    "embed_pca" -> B(15, 16),
     // the 4 BNLJs are the exact-L2 side's contract-bounded query-set
     // broadcast (the ann_bruteforce class)
     "pq_recall_report" -> B(10, 4),

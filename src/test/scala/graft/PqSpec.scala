@@ -199,6 +199,37 @@ class PqSpec extends SparkSpecBase {
     assert(mean >= 7500.0, s"report disagrees with the spec'd recall floor: $mean")
   }
 
+  test("PCA power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // dim 0 carries variance ~1, everything else ~1e-4-scale wobble: the
+    // top PC must align with e0 and own nearly all the variance
+    val v = (0 until 200).map { k =>
+      val emb = Array.tabulate(llm.Ann.Dim)(d =>
+        if (d == 0) (if (k % 2 == 0) 1.0f else -1.0f)
+        else (((k * 13 + d * 7) % 11) - 5) / 100.0f)
+      (k.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val rows = Pq.embedPcaOf(v).collect().sortBy(_.getInt(0))
+    Checkpoints.releaseAll()
+    assert(rows.length === llm.Ann.Dim)
+    val w = rows.map(_.getDouble(1))
+    assert(math.abs(w(0)) >= 0.99, s"PC1 not aligned with the planted axis: ${w(0)}")
+    assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-6, "PC1 not unit-norm")
+    val lambda = rows(0).getDouble(2)
+    assert(math.abs(lambda - 1.0) < 0.01, s"eigenvalue far from planted variance: $lambda")
+    assert(rows(0).getLong(3) >= 9000L, s"explained_bp not dominant: ${rows(0).getLong(3)}")
+  }
+
+  test("PCA on testdata: full PC, unit norm, consistent share") {
+    val rows = Pq.embedPca(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    assert(rows.length === llm.Ann.Dim)
+    val w = rows.map(_.getDouble(1))
+    assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-4, "PC1 not unit-norm")
+    val bps = rows.map(_.getLong(3)).distinct
+    assert(bps.length === 1 && bps(0) >= 0 && bps(0) <= 10000)
+  }
+
   test("width validation rejects a subspace count that does not divide Dim") {
     withInt("graft.pq.subspaces", 5) {
       intercept[IllegalArgumentException](Pq.NumSubspaces)
