@@ -19,6 +19,9 @@ package graft
   *  - graft.ann.numCells        (llm.Ann.NumCells,           default 16)
   *  - graft.pq.subspaces        (llm.Pq.NumSubspaces,        default 8)
   *  - graft.pq.codebook         (llm.Pq.CodebookSize,        default 16)
+  *  - graft.pq.shortlist        (llm.Pq.ShortlistR,          default 50)
+  *  - graft.logreg.iters        (llm.Classify.Iters,         default 3)
+  *  - graft.pca.iters           (llm.Pq.PcaIters,            default 8)
   */
 object GraftConfig {
   def int(key: String, default: Int): Int =

@@ -63,7 +63,7 @@ object Classify {
     * deployment feeds its own label column). Features = [1.0, embedding]
     * as doubles.
     */
-  private def featurized(v: DataFrame): DataFrame =
+  private[graft] def featurized(v: DataFrame): DataFrame =
     v.select(col("vec_id"),
       when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
       array(lit(1.0).cast("double") +:
@@ -116,10 +116,13 @@ object Classify {
       .select(array((0 until NFeat).map(_ => lit(0.0).cast("double")): _*).as("w"))
     val wT = (1 to Iters).foldLeft(w0)((wf, _) => step(train, wf))
     val holdout = f.filter(col("vec_id") % 5 === 0)
-    val confusion = holdout.crossJoin(broadcast(wT))
-      .withColumn("pred", when(zOf(col("w"), col("x")) >= 0, 1).otherwise(0))
-      .groupBy(col("y").cast("int").as("y_true"), col("pred"))
-      .agg(count(lit(1)).as("n"))
+    // barrier: consumed by both the total aggregate and the output join —
+    // without it the holdout scoring pass executes twice
+    val confusion = graft.Checkpoints.cp(
+      holdout.crossJoin(broadcast(wT))
+        .withColumn("pred", when(zOf(col("w"), col("x")) >= 0, 1).otherwise(0))
+        .groupBy(col("y").cast("int").as("y_true"), col("pred"))
+        .agg(count(lit(1)).as("n")))
     val total = confusion.agg(sum(col("n")).as("n_holdout"))
     confusion.crossJoin(broadcast(total))
       .select(col("y_true"), col("pred"), col("n"),

@@ -88,9 +88,16 @@ object Pq {
       d * d
     }.reduce(_ + _)
 
+  /** The square is written as an explicit self-product, NOT `** 2`:
+    * `**` is libm pow, which is not guaranteed correctly rounded on every
+    * platform, while mul/sub are — the module's exactness discipline
+    * (identical floats in both engines) only holds on correctly-rounded
+    * ops, so the oracle must stay on them too.
+    */
   private def l2Sql(a: String, b: String, len: Int): String =
     s"list_sum(list_transform(range(1, $len + 1), " +
-      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) ** 2))"
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))" +
+      s" * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
   /** (vec_id, m, sv): each vector exploded into its M contiguous
     * subvectors. Map-side only — no shuffle.
@@ -154,7 +161,14 @@ object Pq {
     * store per query instead of a full float scan — the quantized codes do
     * the heavy scan, the floats pay only R rows.
     */
-  val ShortlistR = 50
+  def ShortlistR: Int = {
+    val r = graft.GraftConfig.int("graft.pq.shortlist", 50)
+    require(r >= TopK, s"graft.pq.shortlist must be >= $TopK, got $r")
+    // NOT part of tableFor's layout key: R is a query-time breadth over
+    // the stored codes, so changing it must not force an index rebuild
+    // (unlike M/K, which define what the stored pair contains)
+    r
+  }
 
   /** D73: PQ-served top-k — the brute-force contract (same query set, k=5)
     * served in the published two-stage shape: (1) ADC scan over the M-code
@@ -287,7 +301,7 @@ object Pq {
     * QC grades the PQ tier against (brute-force shape: broadcast query
     * set over one corpus scan; same tie-breaks as the serving ranks).
     */
-  private def exactL2TopK(v: DataFrame): DataFrame = {
+  private[graft] def exactL2TopK(v: DataFrame): DataFrame = {
     val q = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
     val w = org.apache.spark.sql.expressions.Window

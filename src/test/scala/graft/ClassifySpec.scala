@@ -29,12 +29,9 @@ class ClassifySpec extends SparkSpecBase {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  // the production featurization, not a spec-local copy (drift-proof)
   private def featurizedOf(df: org.apache.spark.sql.DataFrame) =
-    df.select(col("vec_id"),
-      when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
-      array(lit(1.0).cast("double") +:
-        (0 until llm.Ann.Dim).map(i => element_at(col("embedding"), i + 1).cast("double")): _*)
-        .as("x"))
+    Classify.featurized(df)
 
   test("trainer separates a linearly separable corpus") {
     val out = Classify.embedLogregOf(featurizedOf(separable(400))).collect()

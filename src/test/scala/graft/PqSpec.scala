@@ -72,21 +72,10 @@ class PqSpec extends SparkSpecBase {
     val approx = Pq.annPqOf(v).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     Checkpoints.releaseAll()
-    // exact L2 top-5 (same query set, same tie-break): the ground truth an
-    // ADC serving tier is graded against
-    val q = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val d2 = (0 until Ann.Dim).map { i =>
-      val d = element_at(col("qv"), i + 1).cast("double") -
-        element_at(col("embedding"), i + 1).cast("double")
-      d * d
-    }.reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
-    val exact = broadcast(q).crossJoin(v).filter(col("q_id") =!= col("vec_id"))
-      .withColumn("d2", d2)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id")).collect()
+    // exact L2 top-5 ground truth — the PRODUCTION helper (Pq.exactL2TopK),
+    // not a spec-local re-derivation, so tie-break/query-set changes can't
+    // silently diverge between what's graded and what's served
+    val exact = Pq.exactL2TopK(v).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = (0L until 10L).map { qid =>
       (approx.getOrElse(qid, Set.empty) & exact(qid)).size / 5.0
@@ -138,6 +127,10 @@ class PqSpec extends SparkSpecBase {
     withInt("graft.pq.codebook", 64) {
       assert(Pq.pqDistortionSql.contains("vec_id < 64"),
         "pqDistortionSql did not re-read graft.pq.codebook")
+    }
+    withInt("graft.pq.shortlist", 75) {
+      assert(Pq.annPqSql.contains("srank <= 75"),
+        "annPqSql did not re-read graft.pq.shortlist")
     }
   }
 

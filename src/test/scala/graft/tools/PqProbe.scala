@@ -13,18 +13,8 @@ object PqProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val v = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
 
-    val d2e = (0 until graft.llm.Ann.Dim).map { i =>
-      val d = element_at(col("qv"), i + 1).cast("double") -
-        element_at(col("embedding"), i + 1).cast("double")
-      d * d
-    }.reduce(_ + _)
-    val q = v.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
-    val exact = broadcast(q).crossJoin(v).filter(col("q_id") =!= col("vec_id"))
-      .withColumn("d2", d2e)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id")).collect()
+    // production ground truth (Pq.exactL2TopK) — not a probe-local copy
+    val exact = graft.llm.Pq.exactL2TopK(v).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
     for (m <- Seq(4, 8, 16); k <- Seq(16, 32, 64)) {
