@@ -96,15 +96,23 @@ object Bench {
     // the warmup created and rebuild it JIT-warm, so BENCH carries BOTH
     // sides of the trade (the 0.4 s tail is real, but only after this
     // one-time CTAS — reported as its own row, excluded from `total` so
-    // round-over-round totals stay comparable).
+    // round-over-round totals stay comparable). Best-of-3 like every other
+    // row (r9 — the r8 verdict's unreadable 26.8 s single-shot outlier):
+    // drop + rebuild three times, report the min, so one neighbor-noise
+    // spike can no longer masquerade as a plan regression.
     val ctasSec = {
       val tbl = graft.capex.CapexDerive.ensureBucketedEnriched(spark, sfDir)
-      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      graft.capex.CapexDerive.clearCache()
-      val t0 = System.nanoTime()
-      try graft.capex.CapexDerive.ensureBucketedEnriched(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] ctas failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val ts = (1 to 3).map { _ =>
+        spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        graft.capex.CapexDerive.clearCache()
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.capex.CapexDerive.ensureBucketedEnriched(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ctas failed: $e"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+      }
+      if (ts.min == Double.MaxValue) -1.0 else ts.min
     }
     graft.capex.CapexDerive.clearCache()
     // quiesce: let the async ContextCleaner drain and collect warmup garbage
@@ -154,6 +162,18 @@ object Bench {
     val passResults = scala.collection.mutable.ArrayBuffer[Seq[(String, Double)]]()
     val calibs = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to 3) { calibs += calibProbe(); passResults += pass() }
+    // Automatic noisy-window re-run (r9 — the r8 verdict's bench item): if
+    // the calibration probe's own spread marks the window as contended
+    // (calib_worst/calib > 1.3), the measured rows are suspect in the same
+    // proportion — run ONE extra calibrated pass so each query's min gets a
+    // shot at a quieter slice of the window. Bounded at one retry: a host
+    // that stays noisy should REPORT noisy (the calib ratio survives in the
+    // json precisely so the reader can discount the rows), not loop forever.
+    if (calibs.max / calibs.min > 1.3) {
+      System.err.println(f"[bench] calib ratio ${calibs.max / calibs.min}%.2f" +
+        " > 1.3 — noisy window, running one extra measured pass")
+      calibs += calibProbe(); passResults += pass()
+    }
     val passes = passResults.toSeq
     // The two historical wobblers (q1_agg false-alarmed in r3/r5/r6,
     // part_triangles in r6 — both plan-unchanged): two extra best-of-5

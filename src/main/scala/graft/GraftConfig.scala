@@ -20,6 +20,7 @@ package graft
   *  - graft.pq.subspaces        (llm.Pq.NumSubspaces,        default 8)
   *  - graft.pq.codebook         (llm.Pq.CodebookSize,        default 16)
   *  - graft.pq.shortlist        (llm.Pq.ShortlistR,          default 50)
+  *  - graft.pq.salts            (llm.Pq.ShortlistSalts,      default 8)
   *  - graft.logreg.iters        (llm.Classify.Iters,         default 3)
   *  - graft.pca.iters           (llm.Pq.PcaIters,            default 8)
   */

@@ -170,6 +170,20 @@ object Pq {
     r
   }
 
+  /** Salt fan-out for the two-phase shortlist rank (sample_cap_domain's
+    * skew-safe top-K shape, Sampling.scala): phase 1 ranks within
+    * (q_id, salt) so no reducer frame exceeds candidates/salts; phase 2
+    * ranks the ≤ R·salts survivors. Query-time breadth like ShortlistR —
+    * never part of the stored layout, and provably output-invariant
+    * (per-salt top-R is a superset of the global top-R), so the oracle
+    * states the single-rank semantics unchanged.
+    */
+  def ShortlistSalts: Int = {
+    val s = graft.GraftConfig.int("graft.pq.salts", 8)
+    require(s >= 1, s"graft.pq.salts must be >= 1, got $s")
+    s
+  }
+
   /** D73: PQ-served top-k — the brute-force contract (same query set, k=5)
     * served in the published two-stage shape: (1) ADC scan over the M-code
     * quantized corpus — LUT = queries' exact subvector-to-centroid
@@ -189,7 +203,19 @@ object Pq {
   }
 
   /** The serving core over an arbitrary (codebook, codes) pair — shared by
-    * the recompute query (D73) and the persisted-index probe (D76).
+    * the recompute query (D73), the persisted-index probe (D76), and the
+    * IVFADC cell-pruned variant (D80, which passes a pre-pruned `codes`).
+    *
+    * Shortlist rank is the TWO-PHASE SALTED top-R (r9 — the r8 verdict's
+    * scale finding): a single `Window.partitionBy(q_id)` would land every
+    * query's FULL candidate set on one reducer for an O(n log n) sort — a
+    * billion-row single-task sort per query at 10⁹ codes. Phase 1 ranks
+    * within (q_id, salt = nb_id % ShortlistSalts), bounding every reducer
+    * frame by candidates/salts (raise the salt config with corpus size —
+    * it is a pure query-time lever); phase 2 ranks only the ≤ R·salts
+    * survivors. Per-salt top-R is a superset of the global top-R, so the
+    * output is provably identical to the single-rank semantics the oracle
+    * states (PqSpec pins both the equivalence and the plan shape).
     */
   private def servePq(v: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame = {
     val lut = subvecs(v.filter(col("vec_id") < NQueries))
@@ -197,13 +223,19 @@ object Pq {
       .join(cb, Seq("m"))
       .select(col("q_id"), col("m"), col("code"),
         l2(col("sv"), col("cv"), subDim).cast("decimal(28,10)").as("d2q"))
-    val wAdc = org.apache.spark.sql.expressions.Window
+    val wAdc1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("salt"))
+      .orderBy(col("adc").asc, col("nb_id").asc)
+    val wAdc2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc").asc, col("nb_id").asc)
     val shortlist = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("nb_id"))
       .agg(sum(col("d2q")).as("adc"))
-      .withColumn("srank", row_number().over(wAdc))
+      .withColumn("salt", col("nb_id") % ShortlistSalts)
+      .withColumn("srank1", row_number().over(wAdc1))
+      .filter(col("srank1") <= ShortlistR)
+      .withColumn("srank", row_number().over(wAdc2))
       .filter(col("srank") <= ShortlistR)
       .select(col("q_id"), col("nb_id"))
     // refine: only the R shortlisted float vectors are read back — the
@@ -382,8 +414,11 @@ object Pq {
     val x = v.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "xe")))
       .select(col("vec_id"), col("i"), col("xe").cast("double").as("x"))
+    // mx/cnt ride the dims pass for free: they feed the exactness-bound
+    // guard below (no extra corpus scan)
     val dims = x.groupBy(col("i"))
-      .agg(sum(col("x").cast("decimal(28,10)")).as("sx"))
+      .agg(sum(col("x").cast("decimal(28,10)")).as("sx"),
+        max(abs(col("x"))).as("mx"), count(lit(1)).as("cnt"))
     // per-row generation of the upper-triangle products: explode the row
     // into (i, xi, tail = embedding[i..]) first, then one flat transform
     // over the tail — each product lands as an e10-quantized LONG
@@ -401,7 +436,25 @@ object Pq {
     val cross = pairs.select(col("i"), (col("i") + col("dj")).as("j"), col("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p")).as("sxy_e10"), count(lit(1)).as("n"))
+    // Runtime guard on the long-sum exactness bound (r9, ADVICE): past
+    // |Σ p| ≈ 9.2e18 Spark's sum(long) wraps SILENTLY while DuckDB's
+    // BIGINT sum widens to HUGEINT — the engines would diverge on
+    // corrupted covariance instead of failing. Per-group |Σ p| ≤
+    // n_rows · (mx²·1e10 + 0.5), checked against half of Long.MaxValue;
+    // the inputs (global max |x|, per-dim row count) ride the broadcast
+    // dims frame, so the guard costs one 1-row aggregate. assert_true
+    // returns NULL on pass, so the filter keeps every row and the check
+    // cannot be pruned. Exceeding it is a deployment-config error (quantize
+    // coarser or widen the agg to decimal) — fail loud, never wrap.
+    val bound = dims.agg(max(col("mx")).as("mxx"), max(col("cnt")).as("nmax"))
     cross
+      .crossJoin(broadcast(bound))
+      .filter(assert_true(
+        col("nmax").cast("double") *
+          (col("mxx") * col("mxx") * lit(1e10) + lit(0.5)) < lit(4.6e18),
+        lit("embed_covar: e10-quantized long sum would exceed the exact " +
+          "range (max|x|^2 * 1e10 * rows > 4.6e18); widen the aggregate " +
+          "to decimal or rescale the embeddings")).isNull)
       .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
       .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
@@ -573,7 +626,7 @@ object Pq {
     a1 AS (
       SELECT m, code, sv FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
-          ORDER BY d2 ASC, code ASC) AS rn FROM a0) WHERE rn = 1),
+          ORDER BY d2 ASC NULLS FIRST, code ASC) AS rn FROM a0) WHERE rn = 1),
     sums AS (
       SELECT m, code, CAST(p.pos AS INT) AS pos,
              sum(CAST(CAST(sv[p.pos + 1] AS DOUBLE) AS DECIMAL(28,10))) AS sm,
@@ -588,7 +641,7 @@ object Pq {
     enc AS MATERIALIZED (
       SELECT vec_id, m, code, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
-          ORDER BY d2 ASC, code ASC) AS rn FROM e0) WHERE rn = 1)"""
+          ORDER BY d2 ASC NULLS FIRST, code ASC) AS rn FROM e0) WHERE rn = 1)"""
   }
 
   def annPqSql: String =

@@ -134,6 +134,44 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("salted two-phase shortlist is output-identical across salt widths") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val at8 = Pq.annPqOf(v).collect().map(_.toString).sorted
+    Checkpoints.releaseAll()
+    // salts=1 degenerates phase 1 to the global single-rank semantics the
+    // oracle states; equal output at salts=8 is the superset-equivalence
+    // proof (per-salt top-R ⊇ global top-R) holding on real data
+    val at1 = withInt("graft.pq.salts", 1) {
+      val r = Pq.annPqOf(v).collect().map(_.toString).sorted
+      Checkpoints.releaseAll(); r
+    }
+    assert(at8.toSeq === at1.toSeq,
+      "salted shortlist diverged from the single-rank semantics")
+  }
+
+  test("no ADC window consumes an unbounded per-query partition") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val plan = Pq.annPqOf(v).queryExecution.optimizedPlan
+    Checkpoints.releaseAll()
+    val adcWins = plan.collect {
+      case w: Window
+        if w.orderSpec.exists(_.child.references.exists(_.name == "adc")) => w
+    }
+    assert(adcWins.size === 2, s"expected the two-phase ADC ranks, got $adcWins")
+    val (phase1, phase2) = adcWins.partition(
+      _.partitionSpec.exists(_.references.exists(_.name == "salt")))
+    assert(phase1.size === 1,
+      "phase-1 ADC rank must partition by (q_id, salt) — a q_id-only window " +
+        "over raw candidates sorts the full corpus on one reducer")
+    // the q_id-only phase must rank only phase-1 survivors (≤ R·salts rows)
+    val bounded = phase2.head.child.collectFirst {
+      case f: Filter if f.condition.references.exists(_.name == "srank1") => f
+    }
+    assert(bounded.nonEmpty,
+      "phase-2 ADC rank does not consume the phase-1 srank1 cut")
+  }
+
   test("persisted-index probe returns exactly the recompute's rows") {
     val recompute = Pq.annPq(spark, sfDir).collect().map(_.toString).sorted
     Checkpoints.releaseAll()
