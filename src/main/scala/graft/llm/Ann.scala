@@ -522,6 +522,12 @@ object Ann {
     */
   private def ivfRankedCtes: String = ivfRankedCtesAt(NProbe)
 
+  /** The ranking CTE block exposed for cross-module oracle composition:
+    * Pq.annIvfadcSql (D80) runs this and the PQ pipeline in one statement
+    * (CTE namespaces are disjoint — the PQ block is pq_-prefixed).
+    */
+  private[graft] def ivfRankedCtesComposable: String = ivfRankedCtes
+
   /** Depth-parametric variant (rn ≤ `depth`): NProbe for the serving
     * queries, NumCells for D65's full recall sweep. */
   private def ivfRankedCtesAt(depth: Int): String = {

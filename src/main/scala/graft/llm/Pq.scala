@@ -217,30 +217,46 @@ object Pq {
     * output is provably identical to the single-rank semantics the oracle
     * states (PqSpec pins both the equivalence and the plan shape).
     */
-  private def servePq(v: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame = {
-    val lut = subvecs(v.filter(col("vec_id") < NQueries))
+  private def servePq(v: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame =
+    refineExact(v, saltedTopR(
+      codes.join(broadcast(adcLut(v, cb)), Seq("m", "code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+        .agg(sum(col("d2q")).as("adc"))))
+
+  /** The per-query ADC lookup table: exact query-subvector-to-centroid
+    * distances over the tiny codebook (queries × M × K rows — broadcast).
+    */
+  private def adcLut(v: DataFrame, cb: DataFrame): DataFrame =
+    subvecs(v.filter(col("vec_id") < NQueries))
       .withColumnRenamed("vec_id", "q_id")
       .join(cb, Seq("m"))
       .select(col("q_id"), col("m"), col("code"),
         l2(col("sv"), col("cv"), subDim).cast("decimal(28,10)").as("d2q"))
+
+  /** Two-phase salted top-R over (q_id, nb_id, adc) rows — see servePq
+    * scaladoc. Returns (q_id, nb_id), the shortlist the refine consumes.
+    */
+  private def saltedTopR(adc: DataFrame): DataFrame = {
     val wAdc1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"), col("salt"))
       .orderBy(col("adc").asc, col("nb_id").asc)
     val wAdc2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc").asc, col("nb_id").asc)
-    val shortlist = codes.join(broadcast(lut), Seq("m", "code"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .groupBy(col("q_id"), col("vec_id").as("nb_id"))
-      .agg(sum(col("d2q")).as("adc"))
+    adc
       .withColumn("salt", col("nb_id") % ShortlistSalts)
       .withColumn("srank1", row_number().over(wAdc1))
       .filter(col("srank1") <= ShortlistR)
       .withColumn("srank", row_number().over(wAdc2))
       .filter(col("srank") <= ShortlistR)
       .select(col("q_id"), col("nb_id"))
-    // refine: only the R shortlisted float vectors are read back — the
-    // shortlist (queries × R rows) broadcasts into the corpus join, so
-    // the re-rank costs one hash-probe pass, no corpus shuffle
+  }
+
+  /** Exact-L2 re-rank of the shortlisted vectors only — the "+ R" stage:
+    * the shortlist (queries × R rows) broadcasts into the corpus join, so
+    * the re-rank costs one hash-probe pass, no corpus shuffle.
+    */
+  private def refineExact(v: DataFrame, shortlist: DataFrame): DataFrame = {
     val qv = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
     val wExact = org.apache.spark.sql.expressions.Window
@@ -253,6 +269,45 @@ object Pq {
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("nb_id"), col("rank"),
         round(col("d2"), 6).as("l2_dist"))
+  }
+
+  /** D80: IVFADC — the published 10⁹-vector serving composition (Jégou et
+    * al. §VI: coarse quantizer prunes, product quantizer ranks). D73's ADC
+    * scan still touches every corpus vector's codes; here the scan is
+    * gated behind D7b's IVF cell pruning — only vectors whose home cell is
+    * one of the query's NProbe nearest cells enter the LUT join at all, so
+    * the probe-side exchange is bounded by Q × corpus·(nprobe/cells)
+    * candidates instead of Q × corpus. The candidate set (home cells from
+    * rn=1, probe lists from rn ≤ NProbe of the same ranking pass) starts
+    * from the corpus-side members and joins the BROADCAST probe list, so
+    * pruning happens map-side before anything shuffles; the ADC sum,
+    * salted two-phase top-R, and exact refine are D73's stages verbatim.
+    * Pruning changes WHICH candidates exist (recall drops where the true
+    * neighbor lives outside the probed cells — measured honestly by the
+    * spec), never the reported distances: output distances are exact L2,
+    * like every serving query in the family.
+    */
+  def annIvfadc(spark: SparkSession, dir: String): DataFrame =
+    annIvfadcOf(vecs(spark, dir))
+
+  private[graft] def annIvfadcOf(v: DataFrame): DataFrame = {
+    // one barrier: members and probes are two filters over the same
+    // corpus×centroid ranking (the ivfTopk convention)
+    val ranked = graft.Checkpoints.cp(Ann.ivfRankedOf(v, refined = true))
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cands = members.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val cb = graft.Checkpoints.cp(codebookOf(v))
+    val codes = encodeOf(v, cb).select(col("vec_id"), col("m"), col("code"))
+    refineExact(v, saltedTopR(
+      cands.join(codes, Seq("vec_id"))
+        .join(broadcast(adcLut(v, cb)), Seq("q_id", "m", "code"))
+        .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+        .agg(sum(col("d2q")).as("adc"))))
   }
 
   /** Per-dataset, content-fingerprinted PQ index table name (the
@@ -305,6 +360,115 @@ object Pq {
     val table = ensurePqIndex(spark, dir)
     servePq(vecs(spark, dir), spark.table(table + "_cb"), spark.table(table))
   }
+
+  /** D81: OPQ-lite coordinate permutation — the D74 gauge's "one hot
+    * subspace" diagnosis ACTED ON. PQ's contiguous split quantizes each
+    * block of adjacent dims together; when the variance is concentrated
+    * (exactly what D77/D79 measure), one subspace carries most of the
+    * energy and its K centroids are spread too thin while the cold
+    * subspaces waste theirs — the published remedy is a rotation learned
+    * from the covariance (OPQ, Ge et al., CVPR 2013). The permutation is
+    * OPQ's zeroth-order form (a permutation IS an orthogonal matrix): rank
+    * dims by variance (the covariance diagonal D77 computes — exact
+    * doubles, identical in both engines; ties → lowest dim), then deal
+    * them to subspaces in SNAKE order (block b of M ranks assigns one dim
+    * per subspace, direction alternating), the classic balanced-allocation
+    * heuristic — every subspace gets Dim/M dims whose variance sums are
+    * near-level. Output: one row per dim — its subspace, its slot, its
+    * variance. The broadcast-ready rotation table a PQ deployment stores
+    * next to the codebook.
+    *
+    * Scale shape: the corpus is touched once (the D77 covariance pass —
+    * only the diagonal is consumed); the rank/deal runs on the d-row
+    * frame (a contract-bounded single-partition window, the embed_pca
+    * 64-row class).
+    */
+  def pqPermute(spark: SparkSession, dir: String): DataFrame =
+    pqPermuteOf(vecs(spark, dir))
+
+  private[graft] def pqPermuteOf(v: DataFrame): DataFrame =
+    permAsgOf(v).select(col("pos"), col("sub_m"), col("slot"),
+      round(col("variance"), 8).as("variance"))
+
+  /** (pos, sub_m, slot, variance) with the UNROUNDED variance — shared by
+    * the D81 report and the permuted-encode path (which must consume the
+    * same assignment both engines agree on).
+    */
+  private def permAsgOf(v: DataFrame): DataFrame = {
+    val m = NumSubspaces
+    val vars = covTriangleOf(v).filter(col("i") === col("j"))
+      .select(col("i"), col("cov").as("variance"))
+    // global 64-row window: contract-bounded by Dim, the embed_pca class
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("variance").desc, col("i").asc)
+    vars.withColumn("r0", row_number().over(w) - 1)
+      .select(col("i").as("pos"), col("variance"),
+        when((col("r0") / m).cast("int") % 2 === 0, col("r0") % m)
+          .otherwise(lit(m - 1) - col("r0") % m).as("sub_m"),
+        (col("r0") / m).cast("int").as("slot"))
+  }
+
+  /** The corpus re-laid-out under the D81 permutation: position
+    * sub_m·subDim + slot of the new vector holds original dim `pos`, so
+    * the plain contiguous split now slices the BALANCED subspaces. One
+    * broadcast 1-row permutation array over one corpus map — no shuffle.
+    */
+  private def permutedVecs(v: DataFrame): DataFrame = {
+    val permArr = permAsgOf(v)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_m"), col("slot"), col("pos")))),
+        x => x.getField("pos")).as("perm"))
+    v.crossJoin(broadcast(permArr))
+      .select(col("vec_id"),
+        transform(col("perm"), p => element_at(col("embedding"), p + 1))
+          .as("embedding"))
+  }
+
+  /** D81b: the D74 distortion gauge under the permuted split — the row
+    * pair a deployment reads to decide whether the rotation earned its
+    * keep (total distortion must not rise; the per-subspace spread must
+    * flatten — PqOpqSpec pins both on the testdata).
+    */
+  def pqOpqDistortion(spark: SparkSession, dir: String): DataFrame =
+    pqOpqDistortionOf(vecs(spark, dir))
+
+  private[graft] def pqOpqDistortionOf(v: DataFrame): DataFrame =
+    pqDistortionOf(graft.Checkpoints.cp(permutedVecs(v)))
+
+  private def permCtes: String = {
+    val m = NumSubspaces
+    s"""vars AS (SELECT i, cov AS variance FROM cvt WHERE i = j),
+    rk AS (
+      SELECT i, variance,
+             row_number() OVER (ORDER BY variance DESC, i ASC) - 1 AS r0
+      FROM vars),
+    asg AS (
+      SELECT i AS pos, variance,
+             CASE WHEN (r0 // $m) % 2 = 0 THEN r0 % $m
+                  ELSE $m - 1 - (r0 % $m) END AS sub_m,
+             r0 // $m AS slot
+      FROM rk)"""
+  }
+
+  def pqPermuteSql: String =
+    s"""WITH $covTriangleCtes,
+    $permCtes
+    SELECT CAST(pos AS INT) AS pos, CAST(sub_m AS INT) AS sub_m,
+           CAST(slot AS INT) AS slot, round(variance, 8) AS variance
+    FROM asg"""
+
+  def pqOpqDistortionSql: String =
+    s"""WITH $covTriangleCtes,
+    $permCtes,
+    permf AS (SELECT list(pos ORDER BY sub_m, slot) AS perm FROM asg),
+    pvecs AS MATERIALIZED (
+      SELECT vec_id, list_transform(perm, p -> embedding[p + 1]) AS embedding
+      FROM embeddings, permf),
+    ${pqCtes("pvecs")}
+    SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_err2,
+           round(max(d2), 6) AS max_err2
+    FROM enc GROUP BY m"""
 
   /** D74: PQ distortion gauge — per subspace: vectors encoded, mean and max
     * squared quantization error. The QC row a serving deployment reads
@@ -609,32 +773,35 @@ object Pq {
   /** Shared oracle CTE prefix: subvector explode → seed assignment → one
     * decimal-exact Lloyd step → codebook → encode (code + error). The
     * argmins use window-rn form — same (d2 asc, code asc) order as the
-    * engine's min(struct), so identical selections.
+    * engine's min(struct), so identical selections. The internal CTEs are
+    * pq_-prefixed so the block composes with ivfRankedCtes (D80's oracle
+    * runs both pipelines in one statement); `src` lets the OPQ variant
+    * train/encode over the permuted projection instead of `embeddings`.
     */
-  private def pqCtes: String = {
+  private def pqCtes(src: String = "embeddings"): String = {
     val s = subDim
     s"""sub AS MATERIALIZED (
       SELECT vec_id, CAST(t.m AS INT) AS m,
              embedding[t.m * $s + 1 : t.m * $s + $s] AS sv
-      FROM embeddings, range(0, $NumSubspaces) t(m)),
-    seeds AS (
+      FROM $src, range(0, $NumSubspaces) t(m)),
+    pq_seeds AS (
       SELECT m, CAST(vec_id AS INT) AS code, sv AS cv
       FROM sub WHERE vec_id < $CodebookSize),
-    a0 AS (
+    pq_a0 AS (
       SELECT s.vec_id, s.m, s.sv, d.code, ${l2Sql("s.sv", "d.cv", s)} AS d2
-      FROM sub s JOIN seeds d USING (m)),
-    a1 AS (
+      FROM sub s JOIN pq_seeds d USING (m)),
+    pq_a1 AS (
       SELECT m, code, sv FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
-          ORDER BY d2 ASC NULLS FIRST, code ASC) AS rn FROM a0) WHERE rn = 1),
-    sums AS (
+          ORDER BY d2 ASC NULLS FIRST, code ASC) AS rn FROM pq_a0) WHERE rn = 1),
+    pq_sums AS (
       SELECT m, code, CAST(p.pos AS INT) AS pos,
              sum(CAST(CAST(sv[p.pos + 1] AS DOUBLE) AS DECIMAL(28,10))) AS sm,
              count(*) AS n
-      FROM a1, range(0, $s) p(pos) GROUP BY 1, 2, 3),
+      FROM pq_a1, range(0, $s) p(pos) GROUP BY 1, 2, 3),
     cb AS MATERIALIZED (
       SELECT m, code, list(CAST(CAST(sm AS DOUBLE) / n AS FLOAT) ORDER BY pos) AS cv
-      FROM sums GROUP BY m, code),
+      FROM pq_sums GROUP BY m, code),
     e0 AS (
       SELECT s.vec_id, s.m, c.code, ${l2Sql("s.sv", "c.cv", s)} AS d2
       FROM sub s JOIN cb c USING (m)),
@@ -644,16 +811,19 @@ object Pq {
           ORDER BY d2 ASC NULLS FIRST, code ASC) AS rn FROM e0) WHERE rn = 1)"""
   }
 
-  def annPqSql: String =
-    s"""WITH $pqCtes,
-    lut AS (
+  /** The serve tail (LUT → ADC sum over `adcFrom` → top-R shortlist →
+    * exact refine) shared by annPqSql and annIvfadcSql; `adcFrom` is the
+    * FROM/WHERE clause naming which (enc × lut) rows enter the ADC sum —
+    * the full corpus for D73, the cell-pruned candidates for D80.
+    */
+  private def serveTailSql(adcFrom: String): String =
+    s"""lut AS (
       SELECT s.vec_id AS q_id, s.m, c.code,
              CAST(${l2Sql("s.sv", "c.cv", subDim)} AS DECIMAL(28,10)) AS d2q
       FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $NQueries),
     adc AS (
       SELECT l.q_id, e.vec_id AS nb_id, sum(l.d2q) AS adc
-      FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
-      WHERE l.q_id != e.vec_id GROUP BY 1, 2),
+      $adcFrom GROUP BY 1, 2),
     shortlist AS (
       SELECT q_id, nb_id FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
@@ -670,8 +840,32 @@ object Pq {
         JOIN embeddings n ON n.vec_id = s.nb_id)
     WHERE rank <= $TopK"""
 
+  def annPqSql: String =
+    s"""WITH ${pqCtes()},
+    ${serveTailSql(
+      s"""FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      WHERE l.q_id != e.vec_id""")}"""
+
+  /** D80 oracle: the IVF ranking pipeline (ivfRankedCtesAt — seeds, one
+    * Lloyd step, per-vector cell ranks) and the PQ pipeline (pqCtes) run
+    * in ONE statement; the ADC sum is restricted to candidates whose home
+    * cell (rn=1) is in the query's probe list (rn ≤ NProbe).
+    */
+  def annIvfadcSql: String =
+    s"""WITH ${Ann.ivfRankedCtesComposable},
+    ${pqCtes()},
+    members AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE vec_id < $NQueries),
+    cands AS (
+      SELECT p.q_id, mb.vec_id FROM members mb
+      JOIN probes p ON mb.cell = p.cell AND p.q_id != mb.vec_id),
+    ${serveTailSql(
+      s"""FROM cands cd
+      JOIN enc e ON e.vec_id = cd.vec_id
+      JOIN lut l ON l.q_id = cd.q_id AND l.m = e.m AND l.code = e.code""")}"""
+
   def pqDistortionSql: String =
-    s"""WITH $pqCtes
+    s"""WITH ${pqCtes()}
     SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
            round(CAST(sum(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_err2,
            round(max(d2), 6) AS max_err2

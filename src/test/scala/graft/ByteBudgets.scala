@@ -19,9 +19,10 @@ object ByteBudgets {
     "ann_index_probe" -> 67438L, // observed 951
     "ann_int8" -> 348148L, // observed 141306
     "ann_ivf" -> 717922L, // observed 326193
+    "ann_ivfadc" -> 1480078L, // observed 707271
     "ann_lsh" -> 67038L, // observed 751
     "ann_lsh_multiprobe" -> 75676L, // observed 5070
-    "ann_pq" -> 945576L, // observed 440020
+    "ann_pq" -> 1084476L, // observed 509470 (r9 salted two-phase)
     "ann_recall_curve" -> 95070L, // observed 14767
     "ann_recall_report" -> 69090L, // observed 1777
     "append_region_comment" -> 899060L, // observed 416762
@@ -65,8 +66,8 @@ object ByteBudgets {
     "distinct_users_approx" -> 125460L, // observed 29962
     "distinct_users_skewsafe" -> 115604L, // observed 25034
     "embed_centroids" -> 88462L, // observed 11463
-    "embed_covar" -> 130068L, // observed 32266
-    "embed_pca" -> 293424L, // observed 113944
+    "embed_covar" -> 133036L, // observed 33750 (r9 bound guard)
+    "embed_pca" -> 296392L, // observed 115428 (r9 bound guard)
     "embed_dim_stats" -> 70324L, // observed 2394
     "embed_kmeans" -> 434094L, // observed 184279
     "embed_knn_classify" -> 76042L, // observed 5253
@@ -120,8 +121,10 @@ object ByteBudgets {
     "pit_join" -> 81676L, // observed 8070
     "pivot_amounts" -> 972042L, // observed 453253
     "pq_distortion" -> 733468L, // observed 333966
-    "pq_index_probe" -> 945456L, // observed 439960
-    "pq_recall_report" -> 947612L, // observed 441038
+    "pq_index_probe" -> 1084356L, // observed 509410 (r9 salted two-phase)
+    "pq_opq_distortion" -> 744898L, // observed 339681
+    "pq_permute" -> 76860L, // observed 5662
+    "pq_recall_report" -> 1086512L, // observed 510488 (r9 salted two-phase)
     "price_quantiles" -> 142606L, // observed 38535
     "price_quantiles_approx" -> 227780L, // observed 81122
     "q1_agg" -> 327748L, // observed 131106

@@ -39,19 +39,29 @@ class PlanBudgetSpec extends SparkSpecBase {
     "ann_int8" -> B(4, 4),
     "ann_ivf" -> B(9, 0),
     "ann_lsh" -> B(3, 0),
-    "ann_pq" -> B(9, 0),
-    "embed_covar" -> B(4, 0),
+    // r9 observed 8 (salted two-phase shortlist adds one bounded exchange)
+    "ann_pq" -> B(10, 0),
+    // r9: IVF ranking pass + PQ train/encode + pruned ADC serve (observed 14)
+    "ann_ivfadc" -> B(16, 0),
+    // the 4 BNLJs are the r9 exactness-bound guard's 1-row broadcast
+    // (contract-bounded, the embed_logreg class)
+    "embed_covar" -> B(6, 4),
     // T=8 power-iteration barrier jobs over the 64-row matrix + the
     // covariance pass; the 16 BNLJs are the 1-row vector broadcasts
     // (contract-bounded, the embed_logreg class)
-    "embed_pca" -> B(15, 16),
+    "embed_pca" -> B(17, 16),
+    // r9 OPQ-lite: covariance diag + 64-row rank/deal (the 4 BNLJs are the
+    // bound guard's, as in embed_covar)
+    "pq_permute" -> B(7, 4),
+    // permuted-projection barrier + the D74 gauge (observed 10)
+    "pq_opq_distortion" -> B(12, 0),
     // the 4 BNLJs are the exact-L2 side's contract-bounded query-set
     // broadcast (the ann_bruteforce class)
-    "pq_recall_report" -> B(10, 4),
+    "pq_recall_report" -> B(11, 4),
     // probe ceiling covers the ensure-build path (codebook + encode jobs
     // run inside the first call in a fresh JVM); a warm-index probe
     // executes ~3
-    "pq_index_probe" -> B(9, 0),
+    "pq_index_probe" -> B(10, 0),
     "pq_distortion" -> B(7, 0),
     // 3 GD iterations x (gradient + weight-rebuild) + the holdout
     // confusion tail; the final-plan BNLJs are the 1-row confusion/total
