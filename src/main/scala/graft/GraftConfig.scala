@@ -23,6 +23,7 @@ package graft
   *  - graft.pq.salts            (llm.Pq.ShortlistSalts,      default 8)
   *  - graft.logreg.iters        (llm.Classify.Iters,         default 3)
   *  - graft.pca.iters           (llm.Pq.PcaIters,            default 8)
+  *  - graft.pca.components      (llm.Pq.PcaComponents,       default 4)
   */
 object GraftConfig {
   def int(key: String, default: Int): Int =

@@ -667,22 +667,40 @@ object Pq {
     t
   }
 
-  /** D79: top principal component by distributed power iteration — the
-    * direction OPQ/whitening (D77's consumers) rotate against, computed
-    * end-to-end IN the engine with cross-engine bit-exactness. One
-    * covariance pass (the D77 core, unrounded), then T fixed iterations of
-    * v ← C·v / ‖C·v‖ over the broadcast 64-row matrix: every op is
-    * add/mul/div/sqrt on identical operands in identical (left-to-right)
-    * fold order — all IEEE correctly-rounded, so Spark and DuckDB walk the
-    * exact same float path and T iterations of linear algebra hash-check
-    * like a table scan. v₀ = uniform 1/8 (exactly representable).
+  /** Components emitted by D79 (`graft.pca.components`, default 4, r9):
+    * OPQ/whitening need a BASIS, not one axis — components 2..m come from
+    * Hotelling deflation (C ← C − λ·v·vᵀ, power-iterate again), every op
+    * correctly-rounded on identical operands so the whole basis
+    * hash-checks. Capped at Dim/4: deflation error compounds past the
+    * leading subspace, and the rotation consumers only want the top few.
+    */
+  def PcaComponents: Int = {
+    val m = graft.GraftConfig.int("graft.pca.components", 4)
+    require(m >= 1 && m <= Dim / 4,
+      s"graft.pca.components must be in [1, ${Dim / 4}], got $m")
+    m
+  }
+
+  /** D79: top-m principal components by distributed power iteration with
+    * Hotelling deflation — the basis OPQ/whitening (D77's consumers)
+    * rotate against, computed end-to-end IN the engine with cross-engine
+    * bit-exactness. One covariance pass (the D77 core, unrounded), then
+    * per component: T fixed iterations of v ← C·v / ‖C·v‖ over the
+    * broadcast 64-row matrix, Rayleigh eigenvalue, and the deflation
+    * C ← C − λ·v·vᵀ before the next component. Every op is
+    * add/sub/mul/div/sqrt on identical operands in identical
+    * (left-to-right) fold order — all IEEE correctly-rounded, so Spark and
+    * DuckDB walk the exact same float path and the whole m-component basis
+    * hash-checks like a table scan. v₀ = uniform 1/8 (exactly
+    * representable) for every component.
     *
     * Scale shape: the corpus is touched ONCE (the covariance pass); the
-    * iteration runs on the d×d matrix — 64 rows — as eager 1-row barriers,
-    * cluster-trivial by construction. Output: the unit PC (64 rows),
-    * its Rayleigh eigenvalue, and explained variance in basis points
-    * (floor'd — Spark CAST truncates where DuckDB CAST rounds, so the
-    * integerization is an explicit floor in both).
+    * m·T iteration runs on the d×d matrix — 64 rows — as eager 1-row
+    * barriers, cluster-trivial by construction. Output: m×Dim rows
+    * (comp, pos, w, eigenvalue, explained_bp) — explained share against
+    * the ORIGINAL trace, floor'd to basis points (Spark CAST truncates
+    * where DuckDB CAST rounds, so the integerization is an explicit floor
+    * in both).
     */
   def embedPca(spark: SparkSession, dir: String): DataFrame =
     embedPcaOf(vecs(spark, dir))
@@ -694,80 +712,111 @@ object Pq {
     val full = tri.select(col("i"), col("j"), col("cov"))
       .union(tri.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
-    val crows = graft.Checkpoints.cp(
+    val crows0 = graft.Checkpoints.cp(
       full.groupBy(col("i"))
         .agg(transform(array_sort(collect_list(struct(col("j"), col("cov")))),
           p => p.getField("cov")).as("carr")))
     def fold(a: Column, b: Column): Column =
       (0 until Dim).map(j => element_at(a, j + 1) * element_at(b, j + 1)).reduce(_ + _)
     // C·v as an ordered 1-row array (collect_list sorted by row index)
-    def matvec(vf: DataFrame): DataFrame =
+    def matvec(crows: DataFrame, vf: DataFrame): DataFrame =
       crows.crossJoin(broadcast(vf))
         .select(col("i"), fold(col("carr"), col("varr")).as("z"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("z")))),
           p => p.getField("z")).as("za"))
     val v0 = v.sparkSession.range(1)
       .select(typedLit(Seq.fill(Dim)(0.125)).as("varr"))
-    // per-step eager barrier: measured better than lazily chaining the T
-    // steps into one plan (Catalyst analysis of the T-deep nest costs more
-    // than T tiny scheduled jobs: 5.3 s vs 6.5 s at sf0.1, and an
-    // unbarriered chain re-executes per downstream reference)
-    val vT = (1 to PcaIters).foldLeft(v0) { (vf, _) =>
-      graft.Checkpoints.cp(matvec(vf)
-        .select(transform(col("za"),
-          x => x / sqrt(fold(col("za"), col("za")))).as("varr")))
-    }
     val diag = tri.filter(col("i") === col("j"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cov")))),
         p => p.getField("cov")).as("darr"))
-    val stats = matvec(vT).crossJoin(broadcast(vT)).crossJoin(broadcast(diag))
-      .select(fold(col("varr"), col("za")).as("lambda"),
-        (0 until Dim).map(j => element_at(col("darr"), j + 1)).reduce(_ + _).as("trace"))
-    vT.crossJoin(broadcast(stats))
-      .select(posexplode(col("varr")).as(Seq("pos", "w")),
-        col("lambda"), col("trace"))
-      .select(col("pos"), round(col("w"), 6).as("w_pc1"),
-        round(col("lambda"), 8).as("eigenvalue"),
-        when(col("trace") > 0,
-          floor(col("lambda") / col("trace") * 10000).cast("bigint"))
-          .as("explained_bp"))
+    val traceF = graft.Checkpoints.cp(diag.select(
+      (0 until Dim).map(j => element_at(col("darr"), j + 1)).reduce(_ + _).as("trace")))
+    var crows = crows0
+    val comps = (1 to PcaComponents).map { c =>
+      // per-step eager barrier: measured better than lazily chaining the T
+      // steps into one plan (Catalyst analysis of the T-deep nest costs
+      // more than T tiny scheduled jobs: 5.3 s vs 6.5 s at sf0.1, and an
+      // unbarriered chain re-executes per downstream reference)
+      val vT = (1 to PcaIters).foldLeft(v0) { (vf, _) =>
+        graft.Checkpoints.cp(matvec(crows, vf)
+          .select(transform(col("za"),
+            x => x / sqrt(fold(col("za"), col("za")))).as("varr")))
+      }
+      val lamF = graft.Checkpoints.cp(
+        matvec(crows, vT).crossJoin(broadcast(vT))
+          .select(fold(col("varr"), col("za")).as("lambda")))
+      if (c < PcaComponents)
+        // Hotelling deflation on the 64-row matrix: carr[j] − λ·v[i]·v[j]
+        // (left-to-right mul order — the oracle writes the same)
+        crows = graft.Checkpoints.cp(
+          crows.crossJoin(broadcast(vT)).crossJoin(broadcast(lamF))
+            .select(col("i"), transform(col("carr"), (x, j) =>
+              x - col("lambda") * element_at(col("varr"), col("i") + 1) *
+                element_at(col("varr"), j + 1)).as("carr")))
+      vT.crossJoin(broadcast(lamF)).crossJoin(broadcast(traceF))
+        .select(lit(c).as("comp"), posexplode(col("varr")).as(Seq("pos", "w")),
+          col("lambda"), col("trace"))
+        .select(col("comp"), col("pos"), round(col("w"), 6).as("w"),
+          round(col("lambda"), 8).as("eigenvalue"),
+          when(col("trace") > 0,
+            floor(col("lambda") / col("trace") * 10000).cast("bigint"))
+            .as("explained_bp"))
+    }
+    comps.reduce(_ union _)
   }
 
   def embedPcaSql: String = {
-    val mv = s"list_sum(list_transform(range(1, ${Dim + 1}), j -> carr[j] * varr[j]))"
-    val steps = (1 to PcaIters).map { k =>
-      s"""z$k AS (
+    val t = PcaIters
+    val nc = PcaComponents
+    def mv(crows: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), j -> $crows.carr[j] * varr[j]))"
+    val compCtes = (1 to nc).map { c =>
+      val steps = (1 to t).map { k =>
+        s"""z${c}_$k AS (
       SELECT list(z ORDER BY i) AS za FROM (
-        SELECT i, $mv AS z FROM crows, v${k - 1})),
-    v$k AS (
+        SELECT cr.i, ${mv("cr")} AS z FROM crows$c cr, v${c}_${k - 1})),
+    v${c}_$k AS (
       SELECT list_transform(za,
         x -> x / sqrt(list_sum(list_transform(za, y -> y * y)))) AS varr
-      FROM z$k)"""
+      FROM z${c}_$k)"""
+      }.mkString(",\n    ")
+      val deflate = if (c < nc)
+        s""",
+    crows${c + 1} AS MATERIALIZED (
+      SELECT cr.i,
+             list(cr.carr[p.j + 1] - lambda * varr[cr.i + 1] * varr[p.j + 1]
+                  ORDER BY p.j) AS carr
+      FROM crows$c cr, range(0, $Dim) p(j), lam$c, v${c}_$t
+      GROUP BY cr.i)"""
+      else ""
+      s"""v${c}_0 AS (SELECT list_transform(range(0, $Dim), x -> CAST(0.125 AS DOUBLE)) AS varr),
+    $steps,
+    zf$c AS (
+      SELECT list(z ORDER BY i) AS za FROM (
+        SELECT cr.i, ${mv("cr")} AS z FROM crows$c cr, v${c}_$t)),
+    lam$c AS (
+      SELECT list_sum(list_transform(range(1, ${Dim + 1}), j -> varr[j] * za[j])) AS lambda
+      FROM zf$c, v${c}_$t)$deflate"""
     }.mkString(",\n    ")
-    val t = PcaIters
+    val unions = (1 to nc).map { c =>
+      s"""SELECT CAST($c AS INT) AS comp, CAST(p.pos AS INT) AS pos,
+           round(varr[p.pos + 1], 6) AS w,
+           round(lambda, 8) AS eigenvalue,
+           CASE WHEN trace > 0
+             THEN CAST(floor(lambda / trace * 10000) AS BIGINT) END AS explained_bp
+    FROM v${c}_$t, lam$c, tr, range(0, $Dim) p(pos)"""
+    }.mkString("\n    UNION ALL\n    ")
     s"""WITH $covTriangleCtes,
     fullm AS (
       SELECT i, j, cov FROM cvt
       UNION ALL
       SELECT j AS i, i AS j, cov FROM cvt WHERE i != j),
-    crows AS MATERIALIZED (
+    crows1 AS MATERIALIZED (
       SELECT i, list(cov ORDER BY j) AS carr FROM fullm GROUP BY i),
     diag AS (SELECT list(cov ORDER BY i) AS darr FROM cvt WHERE i = j),
-    v0 AS (SELECT list_transform(range(0, $Dim), x -> CAST(0.125 AS DOUBLE)) AS varr),
-    $steps,
-    zf AS (
-      SELECT list(z ORDER BY i) AS za FROM (
-        SELECT i, $mv AS z FROM crows, v$t)),
-    stats AS (
-      SELECT list_sum(list_transform(range(1, ${Dim + 1}), j -> varr[j] * za[j])) AS lambda,
-             list_sum(darr) AS trace
-      FROM zf, v$t, diag)
-    SELECT CAST(p.pos AS INT) AS pos,
-           round(varr[p.pos + 1], 6) AS w_pc1,
-           round(lambda, 8) AS eigenvalue,
-           CASE WHEN trace > 0
-             THEN CAST(floor(lambda / trace * 10000) AS BIGINT) END AS explained_bp
-    FROM v$t, stats, range(0, $Dim) p(pos)"""
+    tr AS (SELECT list_sum(darr) AS trace FROM diag),
+    $compCtes
+    $unions"""
   }
 
   /** Shared oracle CTE prefix: subvector explode → seed assignment → one

@@ -67,7 +67,7 @@ object ByteBudgets {
     "distinct_users_skewsafe" -> 115604L, // observed 25034
     "embed_centroids" -> 88462L, // observed 11463
     "embed_covar" -> 133036L, // observed 33750 (r9 bound guard)
-    "embed_pca" -> 296392L, // observed 115428 (r9 bound guard)
+    "embed_pca" -> 362472L, // observed 148468 (r9 top-m deflation basis)
     "embed_dim_stats" -> 70324L, // observed 2394
     "embed_kmeans" -> 434094L, // observed 184279
     "embed_knn_classify" -> 76042L, // observed 5253

@@ -49,7 +49,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // T=8 power-iteration barrier jobs over the 64-row matrix + the
     // covariance pass; the 16 BNLJs are the 1-row vector broadcasts
     // (contract-bounded, the embed_logreg class)
-    "embed_pca" -> B(17, 16),
+    // r9 top-m basis: m=4 components x T=8 power-iteration barriers + 3
+    // deflations over the 64-row matrix (observed 42); the 32 BNLJs are
+    // the per-component 1-row vector broadcasts (contract-bounded)
+    "embed_pca" -> B(44, 32),
     // r9 OPQ-lite: covariance diag + 64-row rank/deal (the 4 BNLJs are the
     // bound guard's, as in embed_covar)
     "pq_permute" -> B(7, 4),
