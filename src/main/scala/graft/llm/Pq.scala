@@ -318,8 +318,33 @@ object Pq {
   private def tableFor(dir: String): String = {
     val fp = graft.sources.BucketedSink.contentFingerprint(
       Seq(s"$dir/embeddings.parquet"))
+    // layout tag (r9): the codes table became vec_id-bucketed for the
+    // append/tombstone lifecycle — a stale plain-parquet pair from an
+    // earlier layout must rebuild, not get appended into
     "pq_codes_" + graft.sources.BucketedSink.nameHash(
-      s"$dir\n$fp\nm=$NumSubspaces\nk=$CodebookSize")
+      s"$dir\n$fp\nm=$NumSubspaces\nk=$CodebookSize\nlayout=bucketed-v2")
+  }
+
+  /** Bucket count for the codes table (the BucketedSink 2-3×-cores rule). */
+  private val CodesBuckets = 32
+
+  /** Build a PQ pair from a FRAME (ingest pipelines index frames, not
+    * dirs): train + store the codebook, then encode against the STORED
+    * codebook (the pair-cannot-drift invariant) into a vec_id-bucketed
+    * codes table — the layout the append/tombstone lifecycle maintains.
+    */
+  def writePqIndexOf(v: DataFrame, table: String): Unit = {
+    val spark = v.sparkSession
+    val cbTable = table + "_cb"
+    graft.sources.BucketedSink.ensureTable(spark, cbTable) {
+      codebookOf(v).write.format("parquet").saveAsTable(cbTable)
+    }
+    val stored = spark.table(cbTable)
+    graft.sources.BucketedSink.ensureTable(spark, table) {
+      graft.sources.BucketedSink.writeBucketed(
+        encodeOf(v, stored).select(col("vec_id"), col("m"), col("code")),
+        table, "vec_id", CodesBuckets, sortCols = Seq("vec_id", "m"))
+    }
   }
 
   /** Build (once) the persisted PQ pair for `dir`'s corpus: `<t>_cb` = the
@@ -335,18 +360,63 @@ object Pq {
     if (!spark.catalog.tableExists(table) || !spark.catalog.tableExists(cbTable)) {
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       spark.sql(s"DROP TABLE IF EXISTS `$cbTable`")
-      val v = vecs(spark, dir)
-      graft.sources.BucketedSink.ensureTable(spark, cbTable) {
-        codebookOf(v).write.format("parquet").saveAsTable(cbTable)
-      }
-      val stored = spark.table(cbTable)
-      graft.sources.BucketedSink.ensureTable(spark, table) {
-        encodeOf(v, stored).select(col("vec_id"), col("m"), col("code"))
-          .write.format("parquet").saveAsTable(table)
-      }
+      writePqIndexOf(vecs(spark, dir), table)
     }
     table
   }
+
+  /** Incremental ingest (r9 — the AnnIndexSink.appendEmbeddings lifecycle
+    * applied to the compressed pair): encode a new batch against the
+    * STORED codebook — never retrain; retraining would orphan every stored
+    * code, which is why real PQ deployments pin the codebook at
+    * ingest-time and version it with the index — and insert into the
+    * bucketed codes table. Same three protections as the float index:
+    * intra-batch vec_id dedup, idempotence under redelivery (stored ids
+    * SEMI-joined against the broadcast batch-id set, then the batch
+    * anti-joins that bounded set — the index itself never shuffles), and
+    * tombstone reinstatement (a batch carrying a tombstoned id compacts
+    * first so the re-ingested vector serves instead of staying hidden).
+    * The batch repartitions by the table's own bucket hash so each append
+    * lands exactly `buckets` files.
+    */
+  def appendPqCodes(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val b = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+    val batchIds = b.select(col("vec_id"))
+    val tt = graft.sources.BucketedSink.tombTableOf(table)
+    if (spark.catalog.tableExists(tt) &&
+        !spark.table(tt).join(broadcast(batchIds), Seq("vec_id"), "left_semi").isEmpty)
+      compactPq(spark, table)
+    val present = spark.table(table).select(col("vec_id"))
+      .join(broadcast(batchIds), Seq("vec_id"), "left_semi").distinct()
+    val fresh = b.join(broadcast(present), Seq("vec_id"), "left_anti")
+    encodeOf(fresh, spark.table(table + "_cb"))
+      .select(col("vec_id"), col("m"), col("code"))
+      .repartition(nBuckets, col("vec_id"))
+      .write.insertInto(table)
+  }
+
+  /** Retract vectors from the compressed serving pair: tombstones on
+    * vec_id, excluded by every probe via the bounded broadcast anti-join
+    * in `BucketedSink.readServing` — codes-side layout and exchange count
+    * unchanged (the AnnIndexSink delete contract; PqSpec pins
+    * delete ≡ serve-without).
+    */
+  def deletePqCodes(spark: SparkSession, table: String, vecIds: DataFrame): Unit =
+    graft.sources.BucketedSink.appendTombstones(spark, table,
+      vecIds.select(col(vecIds.columns.head).as("vec_id")))
+
+  /** Fold tombstones into the bucketed files and clear the tombstone
+    * table; probes identical before/after. The codebook never changes —
+    * compaction touches only the codes half of the pair.
+    */
+  def compactPq(spark: SparkSession, table: String): Unit =
+    graft.sources.BucketedSink.compactTombstones(spark, table, "vec_id")
 
   /** D76: PQ serving from the PERSISTED pair — identical contract and
     * output to D73 (the oracle reuses annPqSql, the
@@ -354,11 +424,32 @@ object Pq {
     * since the stored codes are the encode expressions verbatim), but the
     * per-query cost drops to LUT build + ADC scan of the codes table +
     * R-row refine: no codebook training, no encode pass. The
-    * pay-at-ingest path a daily ANN deployment actually runs.
+    * pay-at-ingest path a daily ANN deployment actually runs. Reads the
+    * codes through the tombstone-aware serving view (r9): deleted vectors
+    * stop being nominated at the shortlist, so they can never re-surface
+    * as neighbors, and the broadcast anti-join adds no exchange.
     */
-  def pqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
-    val table = ensurePqIndex(spark, dir)
-    servePq(vecs(spark, dir), spark.table(table + "_cb"), spark.table(table))
+  def pqIndexProbe(spark: SparkSession, dir: String): DataFrame =
+    servePqFrom(vecs(spark, dir), ensurePqIndex(spark, dir))
+
+  /** Serve from an arbitrary persisted pair (shared by the catalog probe
+    * and the lifecycle specs): queries from `v`, codebook + tombstone-aware
+    * codes from `table`.
+    */
+  private[graft] def servePqFrom(v: DataFrame, table: String): DataFrame = {
+    val spark = v.sparkSession
+    servePq(v, spark.table(table + "_cb"),
+      graft.sources.BucketedSink.readServing(spark, table, "vec_id"))
+  }
+
+  /** Recompute twin for the lifecycle specs: serve `v`'s queries against
+    * codes freshly encoded from `corpus` under the STORED codebook — what
+    * a from-scratch encode of the current survivor set would return.
+    */
+  private[graft] def servePqRecomputed(v: DataFrame, corpus: DataFrame,
+                                       table: String): DataFrame = {
+    val cb = v.sparkSession.table(table + "_cb")
+    servePq(v, cb, encodeOf(corpus, cb).select(col("vec_id"), col("m"), col("code")))
   }
 
   /** D81: OPQ-lite coordinate permutation — the D74 gauge's "one hot
