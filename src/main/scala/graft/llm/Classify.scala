@@ -109,12 +109,20 @@ object Classify {
   def embedLogreg(spark: SparkSession, dir: String): DataFrame =
     embedLogregOf(featurized(vecs(spark, dir)))
 
-  private[graft] def embedLogregOf(feats: DataFrame): DataFrame = {
-    val f = graft.Checkpoints.cp(feats)
+  /** The trained 1-row weight frame: T GD iterations on the 80% train
+    * slice (vec_id % 5 != 0) — shared by the D75 confusion report and the
+    * D82 corpus-scoring pass. `f` must already be barriered.
+    */
+  private[graft] def trainedWeights(f: DataFrame): DataFrame = {
     val train = f.filter(col("vec_id") % 5 =!= 0)
     val w0 = f.sparkSession.range(1)
       .select(array((0 until NFeat).map(_ => lit(0.0).cast("double")): _*).as("w"))
-    val wT = (1 to Iters).foldLeft(w0)((wf, _) => step(train, wf))
+    (1 to Iters).foldLeft(w0)((wf, _) => step(train, wf))
+  }
+
+  private[graft] def embedLogregOf(feats: DataFrame): DataFrame = {
+    val f = graft.Checkpoints.cp(feats)
+    val wT = trainedWeights(f)
     val holdout = f.filter(col("vec_id") % 5 === 0)
     // barrier: consumed by both the total aggregate and the output join —
     // without it the holdout scoring pass executes twice
@@ -129,12 +137,57 @@ object Classify {
         expr("n * 10000 div n_holdout").as("share_bp"))
   }
 
-  /** Oracle: the identical T-iteration training unrolled as CTEs — w0 is
-    * the zero vector, each wk is one gradient step over the same decimal
-    * terms, confusion over the same holdout.
+  /** D82: classifier-as-filter — the trained scorer baked over the WHOLE
+    * corpus (train + holdout alike: a deployment scores everything), the
+    * CCNet/WebText loop closed: D75 trains the model, this pass emits the
+    * per-document score the pipeline gates on. Map-only: the 1-row weight
+    * frame broadcasts into one corpus scan (the D32 bake pattern) — z is
+    * the left-to-right double dot product, identical in both engines, so
+    * the scores hash-check; pred is the sigmoid threshold without the
+    * sigmoid (z ≥ 0). doc_id = vec_id: the embeddings table is the
+    * corpus's embedding column (the dedup_semantic convention).
     */
-  def embedLogregSql: String = {
-    val zSql = s"list_sum(list_transform(range(1, ${NFeat + 1}), i -> w[i] * x[i]))"
+  def qualityLogreg(spark: SparkSession, dir: String): DataFrame =
+    qualityLogregOf(featurized(vecs(spark, dir)))
+
+  private[graft] def qualityLogregOf(feats: DataFrame): DataFrame = {
+    val f = graft.Checkpoints.cp(feats)
+    f.crossJoin(broadcast(trainedWeights(f)))
+      .withColumn("z", zOf(col("w"), col("x")))
+      .select(col("vec_id").as("doc_id"), round(col("z"), 6).as("z_score"),
+        when(col("z") >= 0, 1).otherwise(0).as("pred"))
+  }
+
+  /** D82b: trained-vs-heuristic agreement — the D58 calibration gate with
+    * the TRAINED filter in the LM slot: per (D28 quality tier × D82
+    * prediction): doc count and exact basis points of the tier. A diagonal
+    * (high tiers mostly pred=1) means the cheap heuristic and the trained
+    * model gate alike; a flat or inverted sheet says one of them is
+    * filtering noise — caught before a bad gate drops petabytes. One
+    * doc_id join of two per-doc passes; the output aggregate is bounded by
+    * tiers × 2.
+    */
+  def qualityLogregAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val preds = qualityLogreg(spark, dir).select(col("doc_id"), col("pred"))
+    val tiers = Corpus.qualityTiers(spark, dir).select(col("doc_id"), col("tier"))
+    // barrier: cells feeds both the per-tier totals and the output join
+    val cells = graft.Checkpoints.cp(
+      preds.join(tiers, Seq("doc_id"))
+        .groupBy(col("tier"), col("pred"))
+        .agg(count(lit(1)).as("n")))
+    val totals = cells.groupBy(col("tier")).agg(sum(col("n")).as("tn"))
+    cells.join(broadcast(totals), Seq("tier"))
+      .select(col("tier"), col("pred"), col("n"),
+        expr("n * 10000 div tn").as("share_bp"))
+  }
+
+  private def zSql = s"list_sum(list_transform(range(1, ${NFeat + 1}), i -> w[i] * x[i]))"
+
+  /** Shared oracle CTE prefix (x features → train slice → w0 → T unrolled
+    * gradient steps ending in w$Iters) — D75's trainer verbatim, consumed
+    * by the confusion report, the corpus scorer, and the agreement sheet.
+    */
+  private def trainCtes: String = {
     val steps = (1 to Iters).map { k =>
       s"""g$k AS (
       SELECT p.pos AS pos,
@@ -149,7 +202,7 @@ object Classify {
                   ORDER BY pos) AS w
       FROM g$k, w${k - 1})"""
     }.mkString(",\n    ")
-    s"""WITH x AS MATERIALIZED (
+    s"""x AS MATERIALIZED (
       SELECT vec_id,
              CASE WHEN label < 5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
              list_prepend(CAST(1.0 AS DOUBLE),
@@ -157,7 +210,15 @@ object Classify {
       FROM embeddings),
     tr AS (SELECT y, x FROM x WHERE vec_id % 5 != 0),
     w0 AS (SELECT list_transform(range(0, $NFeat), i -> CAST(0.0 AS DOUBLE)) AS w),
-    $steps,
+    $steps"""
+  }
+
+  /** Oracle: the identical T-iteration training unrolled as CTEs — w0 is
+    * the zero vector, each wk is one gradient step over the same decimal
+    * terms, confusion over the same holdout.
+    */
+  def embedLogregSql: String =
+    s"""WITH $trainCtes,
     conf AS (
       SELECT CAST(y AS INT) AS y_true,
              CASE WHEN $zSql >= 0 THEN 1 ELSE 0 END AS pred,
@@ -166,5 +227,25 @@ object Classify {
     SELECT y_true, pred, n,
            n * 10000 // CAST((SELECT sum(n) FROM conf) AS BIGINT) AS share_bp
     FROM conf"""
-  }
+
+  def qualityLogregSql: String =
+    s"""WITH $trainCtes
+    SELECT vec_id AS doc_id, round(z, 6) AS z_score,
+           CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred
+    FROM (SELECT vec_id, $zSql AS z FROM x, w$Iters)"""
+
+  def qualityLogregAgreementSql: String =
+    s"""WITH $trainCtes,
+    preds AS (
+      SELECT vec_id AS doc_id,
+             CASE WHEN $zSql >= 0 THEN 1 ELSE 0 END AS pred
+      FROM x, w$Iters),
+    tq AS (${Corpus.qualityTiersSql}),
+    cells AS (
+      SELECT t.tier, p.pred, CAST(count(*) AS BIGINT) AS n
+      FROM preds p JOIN tq t USING (doc_id) GROUP BY 1, 2),
+    tot AS (SELECT tier, sum(n) AS tn FROM cells GROUP BY 1)
+    SELECT c.tier, c.pred, c.n,
+           CAST(c.n * 10000 // t.tn AS BIGINT) AS share_bp
+    FROM cells c JOIN tot t USING (tier)"""
 }

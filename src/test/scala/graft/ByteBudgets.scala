@@ -134,6 +134,8 @@ object ByteBudgets {
     "q6_filter" -> 65708L, // observed 86
     "quality_floor_lang" -> 272910L, // observed 103687
     "quality_lm_agreement" -> 653644L, // observed 294054
+    "quality_logreg" -> 84646L, // observed 9555
+    "quality_logreg_agreement" -> 459334L, // observed 196899
     "quality_tiers" -> 438040L, // observed 186252
     "range_join_bands" -> 66504L, // observed 484
     "recode_office_furniture" -> 899060L, // observed 416762

@@ -68,6 +68,39 @@ class ClassifySpec extends SparkSpecBase {
     assert(out.forall(r => Set(0, 1)(r.getInt(0)) && Set(0, 1)(r.getInt(1))))
   }
 
+  test("corpus scorer: every doc scored once, pred consistent with z, learnable") {
+    // on the separable corpus the baked scorer must label ~everything right
+    // (train AND holdout get scored — a deployment gates the whole corpus)
+    val out = Classify.qualityLogregOf(featurizedOf(separable(400))).collect()
+    Checkpoints.releaseAll()
+    assert(out.length === 400, "scorer must emit one row per doc")
+    assert(out.map(_.getLong(0)).distinct.length === 400, "duplicate doc scores")
+    out.foreach { r =>
+      assert((r.getDouble(1) >= 0) === (r.getInt(2) == 1),
+        s"pred inconsistent with z_score sign: $r")
+    }
+    val correct = out.count(r => (r.getLong(0) % 2 == 0) == (r.getInt(2) == 1))
+    assert(correct >= 380, s"baked scorer mislabels the separable corpus: $correct/400")
+  }
+
+  test("agreement sheet: tier totals reconcile, every doc accounted") {
+    val rows = Classify.qualityLogregAgreement(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(0, 1)(r.getInt(1))))
+    // per tier: basis points of the tier's cells sum to ~10000 (floor'd)
+    rows.groupBy(_.getLong(0)).foreach { case (tier, cells) =>
+      val bp = cells.map(_.getLong(3)).sum
+      assert(bp >= 9998 && bp <= 10000, s"tier $tier share_bp sum off: $bp")
+      val tn = cells.map(_.getLong(2)).sum
+      cells.foreach(c => assert(c.getLong(3) === c.getLong(2) * 10000L / tn))
+    }
+    // nothing dropped: cell counts sum to the corpus size
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Tables.embeddings(spark, sfDir).count(),
+      "agreement sheet lost documents")
+  }
+
   test("oracle SQL re-reads the iteration config") {
     assert(Classify.embedLogregSql.contains("w3 AS"))
     withInt("graft.logreg.iters", 5) {

@@ -198,6 +198,11 @@ class PlanBudgetSpec extends SparkSpecBase {
     "q6_filter" -> B(3, 0),
     "quality_floor_lang" -> B(5, 0),
     "quality_lm_agreement" -> B(11, 0),
+    // r9 classifier-as-filter: 3 GD iterations + the baked scoring scan
+    // (observed 6); the 4 BNLJs are the 1-row weight broadcast
+    "quality_logreg" -> B(8, 4),
+    // trainer + tier machinery + the bounded cells/totals tail (observed 12)
+    "quality_logreg_agreement" -> B(14, 0),
     "quality_tiers" -> B(6, 0),
     "range_join_bands" -> B(3, 4),
     "recode_office_furniture" -> B(6, 0),
