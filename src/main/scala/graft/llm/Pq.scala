@@ -807,8 +807,13 @@ object Pq {
       full.groupBy(col("i"))
         .agg(transform(array_sort(collect_list(struct(col("j"), col("cov")))),
           p => p.getField("cov")).as("carr")))
+    // try_element_at: identical to element_at on the dense Dim-length
+    // contract, NULL instead of ANSI error on the 1-row-empty-array frames
+    // an EMPTY corpus produces (the r9 eager barriers evaluate these folds
+    // where the r8 lazy plan never did) — empty in, zero rows out
     def fold(a: Column, b: Column): Column =
-      (0 until Dim).map(j => element_at(a, j + 1) * element_at(b, j + 1)).reduce(_ + _)
+      (0 until Dim).map(j =>
+        try_element_at(a, lit(j + 1)) * try_element_at(b, lit(j + 1))).reduce(_ + _)
     // C·v as an ordered 1-row array (collect_list sorted by row index)
     def matvec(crows: DataFrame, vf: DataFrame): DataFrame =
       crows.crossJoin(broadcast(vf))
@@ -821,7 +826,8 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cov")))),
         p => p.getField("cov")).as("darr"))
     val traceF = graft.Checkpoints.cp(diag.select(
-      (0 until Dim).map(j => element_at(col("darr"), j + 1)).reduce(_ + _).as("trace")))
+      (0 until Dim).map(j => try_element_at(col("darr"), lit(j + 1)))
+        .reduce(_ + _).as("trace")))
     var crows = crows0
     val comps = (1 to PcaComponents).map { c =>
       // per-step eager barrier: measured better than lazily chaining the T
