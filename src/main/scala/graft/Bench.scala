@@ -62,7 +62,12 @@ object Bench {
     // persisted-pair probe (codebook + codes stored at ingest, so the
     // tracked number is LUT + ADC scan + R-row refine — the recurring
     // cost of a deployed PQ tier; pair built in the untimed warmup)
-    "ann_pq", "pq_index_probe")
+    "ann_pq", "pq_index_probe",
+    // r9: the cell-pruned IVFADC composition (the published 10^9-scale
+    // serving shape — the tracked number shows what pruning buys over the
+    // full ADC scan of ann_pq) and the stateless radius form the streaming
+    // probe is built on (persisted pair via the untimed-warmup convention)
+    "ann_ivfadc", "pq_radius")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -286,6 +291,40 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] index probe stream row failed: $e"); (-1.0, -1.0)
     }
+    // r9 streaming e2e row: the compressed-tier serving probe — query
+    // vectors stream against the PERSISTED PQ pair (pair built in the
+    // untimed warmup, the pay-at-ingest convention), scored through the
+    // baked ADC expression in a stream-static join, radius cut, watermarked
+    // pair dedup. Wall time is the recurring cost of a deployed PQ stream;
+    // state rows = emitted pairs inside the watermark horizon.
+    val (pqProbeSec, pqProbeStateRows) = try {
+      val tbl = graft.llm.Pq.ensurePqIndex(spark, sfDir)
+      graft.Checkpoints.releaseAll()
+      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-pq-probe")
+      import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+      Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+        .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+      val schema = spark.read.parquet(sdir.toString).schema
+      var stateRows = 0.0
+      def run(): Unit = {
+        val cp = java.nio.file.Files.createTempDirectory("graft-bench-pq-probe-cp")
+        val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+        val q = graft.streaming.StreamOps.pqProbeStream(spark, tbl, stream, "arrived")
+          .writeStream.format("noop").option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        stateRows = lastStateRows(q)
+      }
+      run()
+      val t0 = System.nanoTime(); run()
+      ((System.nanoTime() - t0) / 1e9, stateRows)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pq probe stream row failed: $e"); (-1.0, -1.0)
+    }
     val (clickSec, clickStateRows) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-bench-click")
       java.nio.file.Files.copy(
@@ -312,6 +351,8 @@ object Bench {
       ("stream_sessionize_e2e" -> streamSec) :+
       ("stream_index_probe_e2e" -> probeSec) :+
       ("stream_index_probe_state_rows" -> probeStateRows) :+
+      ("stream_pq_probe_e2e" -> pqProbeSec) :+
+      ("stream_pq_probe_state_rows" -> pqProbeStateRows) :+
       ("stream_click_attr_e2e" -> clickSec) :+
       ("stream_click_attr_state_rows" -> clickStateRows) :+
       ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)

@@ -21,6 +21,7 @@ package graft
   *  - graft.pq.codebook         (llm.Pq.CodebookSize,        default 16)
   *  - graft.pq.shortlist        (llm.Pq.ShortlistR,          default 50)
   *  - graft.pq.salts            (llm.Pq.ShortlistSalts,      default 8)
+  *  - graft.pq.radiusE6         (llm.Pq.RadiusE6,            default 1200000)
   *  - graft.logreg.iters        (llm.Classify.Iters,         default 3)
   *  - graft.pca.iters           (llm.Pq.PcaIters,            default 8)
   *  - graft.pca.components      (llm.Pq.PcaComponents,       default 4)

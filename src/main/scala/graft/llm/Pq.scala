@@ -234,6 +234,10 @@ object Pq {
       .select(col("q_id"), col("m"), col("code"),
         l2(col("sv"), col("cv"), subDim).cast("decimal(28,10)").as("d2q"))
 
+  /** The ADC LUT against a stored pair's codebook (lifecycle specs). */
+  private[graft] def servePqLutFor(v: DataFrame, table: String): DataFrame =
+    adcLut(v, v.sparkSession.table(table + "_cb"))
+
   /** Two-phase salted top-R over (q_id, nb_id, adc) rows — see servePq
     * scaladoc. Returns (q_id, nb_id), the shortlist the refine consumes.
     */
@@ -561,6 +565,91 @@ object Pq {
            round(max(d2), 6) AS max_err2
     FROM enc GROUP BY m"""
 
+  /** ADC radius for the range-probe serving form (e6-quantized so the
+    * config carrier stays an int; 1.2 ≈ the exact top-5 band on the
+    * testdata corpus). A query-time breadth like ShortlistR — never part
+    * of the stored layout.
+    */
+  def RadiusE6: Long = {
+    val r = graft.GraftConfig.int("graft.pq.radiusE6", 1200000).toLong
+    require(r > 0, s"graft.pq.radiusE6 must be > 0, got $r")
+    r
+  }
+
+  /** D83: PQ radius probe — the RANGE form of compressed serving ("all
+    * stored vectors within ADC distance r of the query"), the contract the
+    * streaming twin needs: top-k is a rank (stateful, needs the whole
+    * candidate set), a radius is a pure per-row predicate (stateless),
+    * which is exactly how the minhash stream probes its index with
+    * `est ≥ 0.5`. Same LUT join + exact-decimal ADC sum as D73's scan;
+    * output is every (query, neighbor) pair inside the radius with its
+    * ADC distance. Reads the persisted pair (tombstone-aware).
+    */
+  def pqRadius(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensurePqIndex(spark, dir)
+    val v = vecs(spark, dir)
+    graft.sources.BucketedSink.readServing(spark, table, "vec_id")
+      .join(broadcast(adcLut(v, spark.table(table + "_cb"))), Seq("m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+      .agg(sum(col("d2q")).as("adc"))
+      .filter(col("adc").cast("double") <= lit(RadiusE6 / 1e6))
+      .select(col("q_id"), col("nb_id"),
+        round(col("adc").cast("double"), 6).as("adc"))
+  }
+
+  def pqRadiusSql: String =
+    s"""WITH ${pqCtes()},
+    lut AS (
+      SELECT s.vec_id AS q_id, s.m, c.code,
+             CAST(${l2Sql("s.sv", "c.cv", subDim)} AS DECIMAL(28,10)) AS d2q
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $NQueries),
+    adc AS (
+      SELECT l.q_id, e.vec_id AS nb_id, sum(l.d2q) AS adc
+      FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      WHERE l.q_id != e.vec_id GROUP BY 1, 2)
+    SELECT q_id, nb_id, round(CAST(adc AS DOUBLE), 6) AS adc
+    FROM adc WHERE CAST(adc AS DOUBLE) <= ${RadiusE6 / 1e6}"""
+
+  /** The ADC distance as ONE stateless expression over (query embedding,
+    * stored code array) — the stored codebook (≤ M×K rows, contract-
+    * bounded like the ≤26 BPE merges) collected once at plan build and
+    * baked in as map literals, so a STREAMING probe can score candidates
+    * with no aggregation state at all (the D32/BPE bake pattern applied to
+    * serving). Arithmetic is byte-identical to the batch scan: per
+    * subspace the same left-to-right double L2 fold cast to
+    * DECIMAL(28,10), the M terms summed exactly.
+    */
+  private[graft] def adcBaked(spark: SparkSession, pairTable: String,
+                              emb: Column, codes: Column): Column = {
+    val s = subDim
+    val byM = spark.table(pairTable + "_cb").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .groupBy(_._1)
+    (0 until NumSubspaces).map { m =>
+      val entries = byM.getOrElse(m, Array.empty).sortBy(_._2)
+      val cvMap = map(entries.flatMap { case (_, c, cv) =>
+        Seq(lit(c), typedLit(cv)) }.toIndexedSeq: _*)
+      val chosen = element_at(cvMap, element_at(codes, m + 1))
+      (0 until s).map { i =>
+        val d = element_at(emb, m * s + i + 1).cast("double") -
+          element_at(chosen, i + 1).cast("double")
+        d * d
+      }.reduce(_ + _).cast("decimal(28,10)")
+    }.reduce(_ + _)
+  }
+
+  /** The stored codes pivoted to one row per vector (nb_id, codes[M]) —
+    * the static side of the streaming probe's stream-static join.
+    * Tombstone-aware; the pivot is a static-side agg bounded by the codes
+    * table.
+    */
+  private[graft] def codesWide(spark: SparkSession, pairTable: String): DataFrame =
+    graft.sources.BucketedSink.readServing(spark, pairTable, "vec_id")
+      .groupBy(col("vec_id").as("nb_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
   /** D74: PQ distortion gauge — per subspace: vectors encoded, mean and max
     * squared quantization error. The QC row a serving deployment reads
     * before trusting ADC ranks: distortion that is flat across subspaces
@@ -705,8 +794,12 @@ object Pq {
     cross
       .crossJoin(broadcast(bound))
       .filter(assert_true(
-        col("nmax").cast("double") *
+        // coalesce(…, true): an EMPTY corpus aggregates NULL bounds —
+        // nothing can overflow, so the guard must pass, not raise
+        // (assert_true treats a NULL condition as failure)
+        coalesce(col("nmax").cast("double") *
           (col("mxx") * col("mxx") * lit(1e10) + lit(0.5)) < lit(4.6e18),
+          lit(true)),
         lit("embed_covar: e10-quantized long sum would exceed the exact " +
           "range (max|x|^2 * 1e10 * rows > 4.6e18); widen the aggregate " +
           "to decimal or rescale the embeddings")).isNull)

@@ -362,6 +362,40 @@ object StreamOps {
       .select(col("index_id"), col("batch_id"))
   }
 
+  /** Streaming probe of the PERSISTED PQ pair (r9 — the indexProbeStream
+    * lineage applied to the compressed tier, D76/D83): each arriving query
+    * vector is scored against every stored code row through the BAKED ADC
+    * expression (Pq.adcBaked — the contract-bounded codebook collected
+    * once at stream build and folded into map literals, so scoring is a
+    * pure per-row predicate with NO aggregation state), a stream-static
+    * join against the codes table pivoted to one row per stored vector,
+    * then the radius cut (`graft.pq.radiusE6` — the est ≥ 0.5 of the
+    * minhash probe) and a within-watermark pair dedup for redelivery.
+    * Output rows are byte-identical to the batch radius probe over the
+    * same pair (PqLifecycleSpec pins row parity): the radius form is what
+    * makes compressed serving STREAMABLE — top-k is a rank over the whole
+    * candidate set, a radius is stateless.
+    *
+    * Scale shape: the static side never moves; each micro-batch shuffles
+    * only itself; state is bounded by emitted pairs inside the watermark
+    * horizon, not by the corpus.
+    */
+  def pqProbeStream(spark: SparkSession, pairTable: String,
+                    queries: DataFrame, tsCol: String): DataFrame = {
+    val P = graft.llm.Pq
+    val codes = P.codesWide(spark, pairTable)
+    queries
+      .select(col("vec_id").as("q_id"), col("embedding"), col(tsCol))
+      .crossJoin(codes)
+      .filter(col("q_id") =!= col("nb_id"))
+      .withColumn("adc", P.adcBaked(spark, pairTable, col("embedding"), col("codes")))
+      .filter(col("adc").cast("double") <= lit(P.RadiusE6 / 1e6))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("q_id", "nb_id")
+      .select(col("q_id"), col("nb_id"),
+        round(col("adc").cast("double"), 6).as("adc"))
+  }
+
   /** E7 stream-stream interval join (click attribution): each purchase
     * pairs with every same-user click in the preceding hour. BOTH sides
     * carry event-time watermarks and the join predicate carries the time

@@ -124,6 +124,7 @@ object ByteBudgets {
     "pq_index_probe" -> 1084356L, // observed 509410 (r9 salted two-phase)
     "pq_opq_distortion" -> 744898L, // observed 339681
     "pq_permute" -> 76860L, // observed 5662
+    "pq_radius" -> 732340L, // observed 333402
     "pq_recall_report" -> 1086512L, // observed 510488 (r9 salted two-phase)
     "price_quantiles" -> 142606L, // observed 38535
     "price_quantiles_approx" -> 227780L, // observed 81122

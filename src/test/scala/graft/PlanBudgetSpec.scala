@@ -65,6 +65,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     // run inside the first call in a fresh JVM); a warm-index probe
     // executes ~3
     "pq_index_probe" -> B(10, 0),
+    // r9 radius form: warm-pair LUT + ADC scan + the radius filter
+    // (observed 4 — no rank phases at all, the streamable shape)
+    "pq_radius" -> B(10, 0),
     "pq_distortion" -> B(7, 0),
     // 3 GD iterations x (gradient + weight-rebuild) + the holdout
     // confusion tail; the final-plan BNLJs are the 1-row confusion/total

@@ -109,6 +109,38 @@ class PqLifecycleSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("streaming radius probe of the persisted pair matches the batch probe row-for-row") {
+    val tbl = "pq_pair_lc_stream"
+    drop(tbl, tbl + "_cb", BucketedSink.tombTableOf(tbl))
+    val v = vecs
+    Pq.writePqIndexOf(v, tbl)
+    // stage the ANN query set as the arriving stream (one parquet file)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-pq-stream")
+    v.filter(col("vec_id") < 10)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+    val schema = spark.read.parquet(sdir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+    val streamed = graft.streaming.StreamOps.pqProbeStream(spark, tbl, stream, "arrived")
+    val got = rows(graft.streaming.StreamOps.runToMemory(spark, streamed, "pq_probe_mem"))
+    // the batch twin over the SAME pair: identical LUT arithmetic through
+    // the aggregate path instead of the baked expression — byte equality
+    // is the proof the bake didn't change a single double
+    val want = rows(
+      BucketedSink.readServing(spark, tbl, "vec_id")
+        .join(broadcast(graft.llm.Pq.servePqLutFor(v, tbl)), Seq("m", "code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+        .agg(sum(col("d2q")).as("adc"))
+        .filter(col("adc").cast("double") <= lit(Pq.RadiusE6 / 1e6))
+        .select(col("q_id"), col("nb_id"),
+          round(col("adc").cast("double"), 6).as("adc")))
+    assert(got === want && got.nonEmpty,
+      s"streaming radius probe diverged from the batch twin (${got.size} vs ${want.size})")
+    drop(tbl, tbl + "_cb")
+    Checkpoints.releaseAll()
+  }
+
   test("re-appending a TOMBSTONED id triggers compaction and serves the new row") {
     val tbl = "pq_pair_lc_reinstate"
     drop(tbl, tbl + "_cb", BucketedSink.tombTableOf(tbl))
