@@ -1319,6 +1319,17 @@ object Dedup {
     * position, length) triple — rare in natural corpora ONCE EXACT DUPS
     * ARE REMOVED (D1 first is the documented contract; a corpus of byte-
     * identical docs would put every copy in one bucket).
+    *
+    * Asymptote (r9, measured on the amplified sf1 decade — SCALING.md):
+    * candidate volume is proportional to same-length mass, which is
+    * LINEAR in a corpus whose length distribution is scale-free — the
+    * ladder reads ≈ +1.0 per decade, the correct slope for the operator.
+    * If a future decade pushes the confirm cost past linear (a corpus
+    * with a spiking length mode), the next lever is salting the
+    * (segment, i, tl) key with a hash-of-remainder suffix — the
+    * events_salted_join pattern — trading bounded recompute of the probe
+    * fan-out for reducer-frame bounds; the exact confirm keeps the output
+    * blocking-independent either way.
     */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
     dedupEditDistanceOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
