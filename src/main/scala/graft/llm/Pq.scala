@@ -234,10 +234,6 @@ object Pq {
       .select(col("q_id"), col("m"), col("code"),
         l2(col("sv"), col("cv"), subDim).cast("decimal(28,10)").as("d2q"))
 
-  /** The ADC LUT against a stored pair's codebook (lifecycle specs). */
-  private[graft] def servePqLutFor(v: DataFrame, table: String): DataFrame =
-    adcLut(v, v.sparkSession.table(table + "_cb"))
-
   /** Two-phase salted top-R over (q_id, nb_id, adc) rows — see servePq
     * scaladoc. Returns (q_id, nb_id), the shortlist the refine consumes.
     */
@@ -336,10 +332,25 @@ object Pq {
     * dirs): train + store the codebook, then encode against the STORED
     * codebook (the pair-cannot-drift invariant) into a vec_id-bucketed
     * codes table — the layout the append/tombstone lifecycle maintains.
+    *
+    * OVERWRITE semantics (the AnnIndexSink.writeEmbeddingIndexOf
+    * contract, r9 review fix): a pre-existing half, a pre-existing PAIR,
+    * or stale tombstones must never survive a (re)build. A gated write
+    * would silently no-op on an existing name (probes keep serving the
+    * old corpus with no error), or — worse, with only the codebook half
+    * present — encode the NEW corpus under the OLD codebook, the exact
+    * mixed-provenance mis-ranking the tableFor scaladoc warns about; and
+    * a rebuilt full pair must not inherit the previous pair's deletions.
     */
   def writePqIndexOf(v: DataFrame, table: String): Unit = {
     val spark = v.sparkSession
     val cbTable = table + "_cb"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$cbTable`")
+    spark.sql(
+      s"DROP TABLE IF EXISTS `${graft.sources.BucketedSink.tombTableOf(table)}`")
+    // ensureTable after the explicit DROP always rebuilds — it exists here
+    // to clear an orphaned warehouse directory left by a crashed write
     graft.sources.BucketedSink.ensureTable(spark, cbTable) {
       codebookOf(v).write.format("parquet").saveAsTable(cbTable)
     }
@@ -360,12 +371,13 @@ object Pq {
     */
   def ensurePqIndex(spark: SparkSession, dir: String): String = {
     val table = tableFor(dir)
-    val cbTable = table + "_cb"
-    if (!spark.catalog.tableExists(table) || !spark.catalog.tableExists(cbTable)) {
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      spark.sql(s"DROP TABLE IF EXISTS `$cbTable`")
+    // a PARTIAL pair (one half present) rebuilds EVERYTHING including the
+    // tombstone table (writePqIndexOf drops all three, r9 review fix): a
+    // fresh full-corpus pair inheriting the previous pair's deletions
+    // would permanently hide vectors the rebuild contract says serve
+    if (!spark.catalog.tableExists(table) ||
+        !spark.catalog.tableExists(table + "_cb"))
       writePqIndexOf(vecs(spark, dir), table)
-    }
     table
   }
 
@@ -585,9 +597,16 @@ object Pq {
     * output is every (query, neighbor) pair inside the radius with its
     * ADC distance. Reads the persisted pair (tombstone-aware).
     */
-  def pqRadius(spark: SparkSession, dir: String): DataFrame = {
-    val table = ensurePqIndex(spark, dir)
-    val v = vecs(spark, dir)
+  def pqRadius(spark: SparkSession, dir: String): DataFrame =
+    servePqRadiusFrom(vecs(spark, dir), ensurePqIndex(spark, dir))
+
+  /** The radius serve over an arbitrary persisted pair — shared by the
+    * catalog query and the streaming-parity spec (which compares THIS
+    * aggregate path against the baked-expression stream, so the spec
+    * always attests the production baseline, never a drifted copy).
+    */
+  private[graft] def servePqRadiusFrom(v: DataFrame, table: String): DataFrame = {
+    val spark = v.sparkSession
     graft.sources.BucketedSink.readServing(spark, table, "vec_id")
       .join(broadcast(adcLut(v, spark.table(table + "_cb"))), Seq("m", "code"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -623,8 +642,12 @@ object Pq {
   private[graft] def adcBaked(spark: SparkSession, pairTable: String,
                               emb: Column, codes: Column): Column = {
     val s = subDim
+    // by-name access: the bake must not couple to the codebook table's
+    // physical column order (a reordered/repaired _cb would silently
+    // select wrong centroids while the name-joining batch path stays right)
     val byM = spark.table(pairTable + "_cb").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"),
+        r.getSeq[Float](r.fieldIndex("cv")).toIndexedSeq))
       .groupBy(_._1)
     (0 until NumSubspaces).map { m =>
       val entries = byM.getOrElse(m, Array.empty).sortBy(_._2)

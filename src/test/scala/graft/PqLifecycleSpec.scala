@@ -109,6 +109,28 @@ class PqLifecycleSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("rebuild over an existing pair replaces it and clears stale tombstones") {
+    val tbl = "pq_pair_lc_rebuild"
+    drop(tbl, tbl + "_cb", BucketedSink.tombTableOf(tbl))
+    val v = vecs
+    Pq.writePqIndexOf(v.filter(col("vec_id") < 100), tbl)
+    val before = spark.table(tbl).count()
+    import spark.implicits._
+    Pq.deletePqCodes(spark, tbl, Seq(1L).toDF("vec_id"))
+    // overwrite with the full corpus: a gated write would silently keep
+    // serving the old pair; a half-gated one would encode the new corpus
+    // under the old codebook (mixed provenance); and a rebuilt pair must
+    // not inherit the previous pair's deletions
+    Pq.writePqIndexOf(v, tbl)
+    assert(spark.table(tbl).count() > before, "rebuild did not replace the old pair")
+    assert(!spark.catalog.tableExists(BucketedSink.tombTableOf(tbl)),
+      "rebuild kept stale tombstones — the fresh pair would hide vectors")
+    assert(rows(Pq.servePqFrom(v, tbl)) === rows(Pq.servePqRecomputed(v, v, tbl)),
+      "rebuilt pair does not serve like a fresh full build")
+    drop(tbl, tbl + "_cb")
+    Checkpoints.releaseAll()
+  }
+
   test("streaming radius probe of the persisted pair matches the batch probe row-for-row") {
     val tbl = "pq_pair_lc_stream"
     drop(tbl, tbl + "_cb", BucketedSink.tombTableOf(tbl))
@@ -123,18 +145,11 @@ class PqLifecycleSpec extends SparkSpecBase {
     val stream = spark.readStream.schema(schema).parquet(sdir.toString)
     val streamed = graft.streaming.StreamOps.pqProbeStream(spark, tbl, stream, "arrived")
     val got = rows(graft.streaming.StreamOps.runToMemory(spark, streamed, "pq_probe_mem"))
-    // the batch twin over the SAME pair: identical LUT arithmetic through
-    // the aggregate path instead of the baked expression — byte equality
-    // is the proof the bake didn't change a single double
-    val want = rows(
-      BucketedSink.readServing(spark, tbl, "vec_id")
-        .join(broadcast(graft.llm.Pq.servePqLutFor(v, tbl)), Seq("m", "code"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .groupBy(col("q_id"), col("vec_id").as("nb_id"))
-        .agg(sum(col("d2q")).as("adc"))
-        .filter(col("adc").cast("double") <= lit(Pq.RadiusE6 / 1e6))
-        .select(col("q_id"), col("nb_id"),
-          round(col("adc").cast("double"), 6).as("adc")))
+    // the batch twin over the SAME pair: the PRODUCTION aggregate path
+    // (pqRadius's own core), not a spec-local copy — byte equality is the
+    // proof the bake didn't change a single double, attested against the
+    // baseline the catalog actually serves
+    val want = rows(Pq.servePqRadiusFrom(v, tbl))
     assert(got === want && got.nonEmpty,
       s"streaming radius probe diverged from the batch twin (${got.size} vs ${want.size})")
     drop(tbl, tbl + "_cb")

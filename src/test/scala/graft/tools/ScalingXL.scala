@@ -35,6 +35,13 @@ object ScalingXL {
 
   def main(args: Array[String]): Unit = {
     val amp = args.headOption.map(_.toInt).getOrElse(10)
+    // the rotation alphabet has 26 states: rot(·, 26) == rot(·, 0), so an
+    // amp past 26 would plant byte-identical replicas — exactly the
+    // quadratic duplicate structure this tool exists to avoid. Extending
+    // past 26 needs a second rotation axis (digits, or a word-prefix
+    // scheme), not a silent wraparound.
+    require(amp >= 1 && amp <= 26,
+      s"amplification must be in [1, 26] (26-letter rotation alphabet), got $amp")
     val only: Seq[String] =
       if (args.length > 1) args.drop(1).toSeq else DefaultQueries
     val sfDir = "/root/testdata/sf0.1"
