@@ -588,6 +588,34 @@ object Pq {
     r
   }
 
+  /** D81c: PQ serving UNDER the D81 permutation — the rotation composed
+    * into the full two-stage query path, not just gauged. Queries and
+    * corpus are both re-laid-out (a permutation is orthogonal, so L2
+    * distances and therefore the exact re-rank semantics are preserved —
+    * the fold ORDER over coordinates changes, so reported doubles differ
+    * in ulps from ann_pq's and the oracle mirrors the permuted order);
+    * the ADC stage runs over the BALANCED subspaces, which is where the
+    * permutation earns recall at a given M×K budget on anisotropic
+    * corpora. Same salted shortlist + refine machinery as D73.
+    */
+  def annPqOpq(spark: SparkSession, dir: String): DataFrame =
+    annPqOpqOf(vecs(spark, dir))
+
+  private[graft] def annPqOpqOf(v: DataFrame): DataFrame =
+    annPqOf(graft.Checkpoints.cp(permutedVecs(v)))
+
+  def annPqOpqSql: String =
+    s"""WITH $covTriangleCtes,
+    $permCtes,
+    permf AS (SELECT list(pos ORDER BY sub_m, slot) AS perm FROM asg),
+    pvecs AS MATERIALIZED (
+      SELECT vec_id, list_transform(perm, p -> embedding[p + 1]) AS embedding
+      FROM embeddings, permf),
+    ${pqCtes("pvecs")},
+    ${serveTailSql(
+      s"""FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      WHERE l.q_id != e.vec_id""", refSrc = "pvecs")}"""
+
   /** D83: PQ radius probe — the RANGE form of compressed serving ("all
     * stored vectors within ADC distance r of the query"), the contract the
     * streaming twin needs: top-k is a rank (stateful, needs the whole
@@ -1074,11 +1102,13 @@ object Pq {
   }
 
   /** The serve tail (LUT → ADC sum over `adcFrom` → top-R shortlist →
-    * exact refine) shared by annPqSql and annIvfadcSql; `adcFrom` is the
-    * FROM/WHERE clause naming which (enc × lut) rows enter the ADC sum —
-    * the full corpus for D73, the cell-pruned candidates for D80.
+    * exact refine) shared by annPqSql, annIvfadcSql, and annPqOpqSql;
+    * `adcFrom` is the FROM/WHERE clause naming which (enc × lut) rows
+    * enter the ADC sum — the full corpus for D73, the cell-pruned
+    * candidates for D80; `refSrc` is the float table the exact re-rank
+    * reads (the permuted projection for D81c).
     */
-  private def serveTailSql(adcFrom: String): String =
+  private def serveTailSql(adcFrom: String, refSrc: String = "embeddings"): String =
     s"""lut AS (
       SELECT s.vec_id AS q_id, s.m, c.code,
              CAST(${l2Sql("s.sv", "c.cv", subDim)} AS DECIMAL(28,10)) AS d2q
@@ -1098,8 +1128,8 @@ object Pq {
                ORDER BY ${l2Sql("q.embedding", "n.embedding", Dim)} ASC,
                  s.nb_id ASC) AS rank
       FROM shortlist s
-        JOIN embeddings q ON q.vec_id = s.q_id
-        JOIN embeddings n ON n.vec_id = s.nb_id)
+        JOIN $refSrc q ON q.vec_id = s.q_id
+        JOIN $refSrc n ON n.vec_id = s.nb_id)
     WHERE rank <= $TopK"""
 
   def annPqSql: String =

@@ -43,6 +43,8 @@ class PlanBudgetSpec extends SparkSpecBase {
     "ann_pq" -> B(10, 0),
     // r9: IVF ranking pass + PQ train/encode + pruned ADC serve (observed 14)
     "ann_ivfadc" -> B(16, 0),
+    // r9: covariance-diag permutation barrier + the full D73 serve (observed 14)
+    "ann_pq_opq" -> B(16, 0),
     // the 4 BNLJs are the r9 exactness-bound guard's 1-row broadcast
     // (contract-bounded, the embed_logreg class)
     "embed_covar" -> B(6, 4),

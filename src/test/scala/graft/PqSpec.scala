@@ -251,6 +251,21 @@ class PqSpec extends SparkSpecBase {
     assert(sOpq <= sBase * 1.01, s"permutation did not flatten the spread: $sBase -> $sOpq")
   }
 
+  test("serving under the permutation keeps the top-k contract and recall") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val out = Pq.annPqOpqOf(v).collect()
+    Checkpoints.releaseAll()
+    assert(out.length === 50, "permuted serve must fill k=5 for all 10 queries")
+    // a permutation is orthogonal: the exact re-rank space is the same, so
+    // recall vs UNPERMUTED ground truth is the right grade
+    val exact = Pq.exactL2TopK(v).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    Checkpoints.releaseAll()
+    val approx = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val mean = (0L until 10L).map(q => (approx(q) & exact(q)).size / 5.0).sum / 10.0
+    assert(mean >= 0.6, s"permuted-serve mean recall@5 too low: $mean")
+  }
+
   test("OPQ permutation spreads a planted hot block across all subspaces") {
     import spark.implicits._
     // variance concentrated in the first 8 ADJACENT dims — the exact shape
