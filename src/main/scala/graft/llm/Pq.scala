@@ -759,6 +759,55 @@ object Pq {
       .withColumn("recall_bp", expr("n_hit * 10000 div n_exact"))
   }
 
+  /** D84: serving-tier recall scoreboard — the three compressed serving
+    * paths (full ADC+R, IVFADC cell-pruned, permutation-composed) graded
+    * against the SAME exact-L2 ground truth in one query: per (method,
+    * query): exact top-k size, hits, recall in exact basis points. The
+    * one sheet a deployment reads when choosing its serving shape: what
+    * cell pruning costs in recall at its scan savings, and what the
+    * rotation buys back at a fixed M×K budget. Exact-integer output;
+    * the ground truth is computed once and reused across methods.
+    */
+  def annRecallMatrix(spark: SparkSession, dir: String): DataFrame =
+    annRecallMatrixOf(vecs(spark, dir))
+
+  private[graft] def annRecallMatrixOf(v: DataFrame): DataFrame = {
+    val exact = graft.Checkpoints.cp(exactL2TopK(v))
+    def grade(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+        approx.select(col("q_id"), col("nb_id"), lit(1L).as("hit")),
+        Seq("q_id", "nb_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(lit(method).as("method"), col("q_id"),
+          col("n_exact"), col("n_hit"),
+          expr("n_hit * 10000 div n_exact").as("recall_bp"))
+    grade("pq", annPqOf(v))
+      .union(grade("ivfadc", annIvfadcOf(v)))
+      .union(grade("pq_opq", annPqOpqOf(v)))
+  }
+
+  def annRecallMatrixSql: String = {
+    // each serving pipeline nests as its own (WITH ... SELECT) derived
+    // table — their CTE namespaces intentionally repeat across methods,
+    // so they cannot share one WITH block
+    def gradeSql(method: String, servingSql: String) =
+      s"""SELECT '$method' AS method, e.q_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a.nb_id) AS BIGINT) AS n_hit,
+             CAST(count(a.nb_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+      FROM exact e LEFT JOIN ($servingSql) a
+        ON e.q_id = a.q_id AND e.nb_id = a.nb_id
+      GROUP BY e.q_id"""
+    s"""WITH exact AS ($exactL2Sql)
+    ${gradeSql("pq", annPqSql)}
+    UNION ALL
+    ${gradeSql("ivfadc", annIvfadcSql)}
+    UNION ALL
+    ${gradeSql("pq_opq", annPqOpqSql)}"""
+  }
+
   private def exactL2Sql: String =
     s"""SELECT q_id, nb_id FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS nb_id,

@@ -24,6 +24,7 @@ object ByteBudgets {
     "ann_lsh_multiprobe" -> 75676L, // observed 5070
     "ann_pq" -> 1084476L, // observed 509470 (r9 salted two-phase)
     "ann_pq_opq" -> 1107754L, // observed 521109
+    "ann_recall_matrix" -> 3544692L, // observed 1739578
     "ann_recall_curve" -> 95070L, // observed 14767
     "ann_recall_report" -> 69090L, // observed 1777
     "append_region_comment" -> 899060L, // observed 416762

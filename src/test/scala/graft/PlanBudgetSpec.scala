@@ -63,6 +63,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // the 4 BNLJs are the exact-L2 side's contract-bounded query-set
     // broadcast (the ann_bruteforce class)
     "pq_recall_report" -> B(11, 4),
+    // r9 scoreboard: three serving pipelines + the shared ground truth in
+    // one query (observed 38; the exact side's BNLJ sits behind the
+    // checkpoint barrier, so the final plan pins 0)
+    "ann_recall_matrix" -> B(42, 0),
     // probe ceiling covers the ensure-build path (codebook + encode jobs
     // run inside the first call in a fresh JVM); a warm-index probe
     // executes ~3

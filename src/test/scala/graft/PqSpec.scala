@@ -317,6 +317,26 @@ class PqSpec extends SparkSpecBase {
     assert(rows((0, 2))._2 === 0.0, "constant dim must have zero covariance")
   }
 
+  test("recall matrix: 3 methods x 10 queries, bp consistent, pq row matches D78") {
+    val rows = Pq.annRecallMatrix(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    assert(rows.length === 30)
+    val byMethod = rows.groupBy(_.getString(0))
+    assert(byMethod.keySet === Set("pq", "ivfadc", "pq_opq"))
+    rows.foreach { r =>
+      assert(r.getLong(2) === 5L)
+      assert(r.getLong(4) === r.getLong(3) * 10000L / r.getLong(2), s"bp drift: $r")
+    }
+    // the pq method is D78's measurement re-derived — same numbers
+    val d78 = Pq.pqRecallReport(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Checkpoints.releaseAll()
+    byMethod("pq").foreach { r =>
+      assert(r.getLong(4) === d78(r.getLong(1)),
+        s"matrix pq row diverged from pq_recall_report: $r")
+    }
+  }
+
   test("recall report: one row per query, bp consistent, floor holds") {
     val rows = Pq.pqRecallReport(spark, sfDir).collect()
     Checkpoints.releaseAll()
