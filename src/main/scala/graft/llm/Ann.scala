@@ -472,6 +472,18 @@ object Ann {
       if (refined) ivfCentroidsOf(v).select(col("cell").as("cent_id"), col("cv"))
       else v.filter(col("vec_id") < NumCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    rankedAgainstCents(v, cents, maxRn)
+  }
+
+  /** The ranking core against an ARBITRARY (cent_id, cv) centroid frame —
+    * shared by ivfRankedOf (which derives the centroids from the corpus)
+    * and the persisted-PQ-pair serving paths (r10), which rank against the
+    * STORED `_cents` table so home cells and probe lists are pinned at
+    * index build exactly like the codebook. Centroids broadcast; ties →
+    * lowest cell id (the family convention).
+    */
+  private[graft] def rankedAgainstCents(v: DataFrame, cents: DataFrame,
+                                        maxRn: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
     v.crossJoin(broadcast(cents))
@@ -481,6 +493,17 @@ object Ann {
       .filter(col("rn") <= maxRn)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
         col("ccos"), col("rn"))
+  }
+
+  /** The same cosine-to-centroid fold with literal centroid vectors (the
+    * adcBaked convention): fdot over a typedLit float array IS the batch
+    * kernel, so the resulting doubles are bit-identical to rankedAgainstCents
+    * over the stored `_cents` rows. Used by the streaming PQ probe to pick
+    * each query's NProbe cells statelessly (no window, no state).
+    */
+  private[graft] def cosToCentLit(emb: Column, cv: IndexedSeq[Float]): Column = {
+    val c = typedLit(cv)
+    dot(emb, c) / (norm(emb) * norm(c))
   }
 
   /** D7b: IVF ANN — same top-k contract as brute force, but candidates come

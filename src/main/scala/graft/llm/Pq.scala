@@ -315,23 +315,53 @@ object Pq {
     * build a FRESH pair — serving from codes quantized under another
     * codebook would silently mis-rank, not fail.
     */
-  private def tableFor(dir: String): String = {
-    val fp = graft.sources.BucketedSink.contentFingerprint(
-      Seq(s"$dir/embeddings.parquet"))
-    // layout tag (r9): the codes table became vec_id-bucketed for the
-    // append/tombstone lifecycle — a stale plain-parquet pair from an
-    // earlier layout must rebuild, not get appended into
+  private def tableFor(dir: String, opq: Boolean = false): String = {
+    // layout tag (r9: vec_id-bucketed codes for the append/tombstone
+    // lifecycle; r10: + home-cell column and the pinned `_cents` centroid
+    // table for cell-pruned radius serving) — a stale pair from an earlier
+    // layout must rebuild, not get appended into. The OPQ pair folds its
+    // rotation into the seed: permuted codes under one name would silently
+    // mis-serve un-permuted probes.
     "pq_codes_" + graft.sources.BucketedSink.nameHash(
-      s"$dir\n$fp\nm=$NumSubspaces\nk=$CodebookSize\nlayout=bucketed-v2")
+      s"$dir\n${fpOf(dir)}\nm=$NumSubspaces\nk=$CodebookSize" +
+        (if (opq) "\nopq=1" else "") + "\nlayout=bucketed-v3")
   }
+
+  private def fpOf(dir: String): String =
+    graft.sources.BucketedSink.contentFingerprint(Seq(s"$dir/embeddings.parquet"))
+
+  /** Names an earlier layout generation would have used for this
+    * dir/fingerprint/width — dropped on (re)build so superseded pairs
+    * don't orphan in the warehouse forever (each layout bump changes the
+    * table name, and nothing else ever references the old one).
+    */
+  private def legacyTablesFor(dir: String): Seq[String] = {
+    val fp = fpOf(dir)
+    Seq(
+      // pre-r9: plain-parquet codes, no layout tag
+      s"$dir\n$fp\nm=$NumSubspaces\nk=$CodebookSize",
+      // r9: bucketed codes, no home-cell column / _cents table
+      s"$dir\n$fp\nm=$NumSubspaces\nk=$CodebookSize\nlayout=bucketed-v2"
+    ).map("pq_codes_" + graft.sources.BucketedSink.nameHash(_))
+  }
+
+  private def dropLegacy(spark: SparkSession, dir: String): Unit =
+    legacyTablesFor(dir).foreach { t =>
+      Seq(t, t + "_cb", graft.sources.BucketedSink.tombTableOf(t))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
 
   /** Bucket count for the codes table (the BucketedSink 2-3×-cores rule). */
   private val CodesBuckets = 32
 
   /** Build a PQ pair from a FRAME (ingest pipelines index frames, not
-    * dirs): train + store the codebook, then encode against the STORED
-    * codebook (the pair-cannot-drift invariant) into a vec_id-bucketed
-    * codes table — the layout the append/tombstone lifecycle maintains.
+    * dirs): train + store the codebook AND the coarse IVF centroids
+    * (`_cents`, r10 — pinned at build like the codebook, so home cells and
+    * probe lists can never drift from the stored codes), then encode
+    * against the STORED artifacts (the pair-cannot-drift invariant) into a
+    * vec_id-bucketed codes table carrying each vector's home cell — the
+    * layout the append/tombstone lifecycle maintains and the cell-pruned
+    * radius/streaming probes serve from.
     *
     * OVERWRITE semantics (the AnnIndexSink.writeEmbeddingIndexOf
     * contract, r9 review fix): a pre-existing half, a pre-existing PAIR,
@@ -343,24 +373,56 @@ object Pq {
     * a rebuilt full pair must not inherit the previous pair's deletions.
     */
   def writePqIndexOf(v: DataFrame, table: String): Unit = {
+    dropPair(v.sparkSession, table)
+    writePairCore(v, table)
+  }
+
+  /** Every table a pair may own, dropped before any (re)build — including
+    * the `_perm` rotation half so a plain rebuild over an OPQ name can
+    * never leave a stale rotation beside un-permuted codes.
+    */
+  private def dropPair(spark: SparkSession, table: String): Unit =
+    Seq(table, table + "_cb", table + "_cents", table + "_perm",
+      graft.sources.BucketedSink.tombTableOf(table))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  /** The shared build tail over an already-laid-out corpus frame (`v` is
+    * the raw corpus for the plain pair, the permuted projection for the
+    * OPQ pair — stored artifacts always live in the SERVING coordinate
+    * system). Assumes the pair's names were dropped by the caller.
+    */
+  private def writePairCore(v: DataFrame, table: String): Unit = {
     val spark = v.sparkSession
     val cbTable = table + "_cb"
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    spark.sql(s"DROP TABLE IF EXISTS `$cbTable`")
-    spark.sql(
-      s"DROP TABLE IF EXISTS `${graft.sources.BucketedSink.tombTableOf(table)}`")
+    val centTable = table + "_cents"
     // ensureTable after the explicit DROP always rebuilds — it exists here
     // to clear an orphaned warehouse directory left by a crashed write
     graft.sources.BucketedSink.ensureTable(spark, cbTable) {
       codebookOf(v).write.format("parquet").saveAsTable(cbTable)
     }
-    val stored = spark.table(cbTable)
+    graft.sources.BucketedSink.ensureTable(spark, centTable) {
+      Ann.ivfCentroidsOf(v).select(col("cell").as("cent_id"), col("cv"))
+        .write.format("parquet").saveAsTable(centTable)
+    }
     graft.sources.BucketedSink.ensureTable(spark, table) {
       graft.sources.BucketedSink.writeBucketed(
-        encodeOf(v, stored).select(col("vec_id"), col("m"), col("code")),
+        encodeWithCells(v, spark.table(cbTable), spark.table(centTable)),
         table, "vec_id", CodesBuckets, sortCols = Seq("vec_id", "m"))
     }
   }
+
+  /** (vec_id, m, code, cell): the stored-codes layout — PQ codes from the
+    * given codebook plus the vector's home cell under the given centroids
+    * (rn=1 of the IVF ranking — one broadcast join, no extra corpus pass
+    * shuffles wide; the cell repeats per code row so the lifecycle stays
+    * ONE bucketed table).
+    */
+  private def encodeWithCells(v: DataFrame, cb: DataFrame,
+                              cents: DataFrame): DataFrame =
+    encodeOf(v, cb).select(col("vec_id"), col("m"), col("code"))
+      .join(Ann.rankedAgainstCents(v, cents, 1)
+        .select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
 
   /** Build (once) the persisted PQ pair for `dir`'s corpus: `<t>_cb` = the
     * trained codebook (M×K rows), `<t>` = the encoded corpus (vec_id, m,
@@ -371,14 +433,83 @@ object Pq {
     */
   def ensurePqIndex(spark: SparkSession, dir: String): String = {
     val table = tableFor(dir)
-    // a PARTIAL pair (one half present) rebuilds EVERYTHING including the
-    // tombstone table (writePqIndexOf drops all three, r9 review fix): a
-    // fresh full-corpus pair inheriting the previous pair's deletions
-    // would permanently hide vectors the rebuild contract says serve
-    if (!spark.catalog.tableExists(table) ||
-        !spark.catalog.tableExists(table + "_cb"))
+    // a PARTIAL pair (any stored piece missing) rebuilds EVERYTHING
+    // including the tombstone table (writePqIndexOf drops them all, r9
+    // review fix): a fresh full-corpus pair inheriting the previous pair's
+    // deletions would permanently hide vectors the rebuild contract says
+    // serve. Superseded-layout names for the same dir/width are dropped
+    // alongside (r10, the orphan-cleanup contract in tableFor's scaladoc).
+    if (!Seq(table, table + "_cb", table + "_cents")
+          .forall(spark.catalog.tableExists)) {
+      dropLegacy(spark, dir)
       writePqIndexOf(vecs(spark, dir), table)
+    }
     table
+  }
+
+  /** Build (once) the persisted OPQ pair for `dir`'s corpus (r10 — the r9
+    * verdict's "rotation table a deployment STORES next to the codebook"
+    * made literal): `<t>_perm` = the D81 variance-balancing permutation
+    * (pos → sub_m, slot), and the codebook/centroids/codes halves all in
+    * the PERMUTED coordinate system — so serving pays the rotation once at
+    * ingest and probes only re-lay-out the arriving queries. The rotation
+    * is pinned with the pair exactly like the codebook: re-deriving it on
+    * a drifted corpus would orphan every stored code.
+    */
+  def ensurePqOpqIndex(spark: SparkSession, dir: String): String = {
+    val table = tableFor(dir, opq = true)
+    if (!Seq(table, table + "_cb", table + "_cents", table + "_perm")
+          .forall(spark.catalog.tableExists))
+      writePqOpqIndexOf(vecs(spark, dir), table)
+    table
+  }
+
+  /** The OPQ build: store the permutation FIRST, then build the pair over
+    * the corpus as re-laid-out by the STORED rows (never the in-flight
+    * frame — the pair-cannot-drift discipline extended to the rotation).
+    */
+  def writePqOpqIndexOf(v: DataFrame, table: String): Unit = {
+    val spark = v.sparkSession
+    dropPair(spark, table)
+    val permTable = table + "_perm"
+    graft.sources.BucketedSink.ensureTable(spark, permTable) {
+      permAsgOf(v).select(col("pos"), col("sub_m"), col("slot"))
+        .write.format("parquet").saveAsTable(permTable)
+    }
+    writePairCore(applyStoredPerm(v, spark.table(permTable)), table)
+  }
+
+  /** Re-lay-out vectors under a STORED (pos, sub_m, slot) rotation table —
+    * the serving-side twin of permutedVecs (identical transform, the perm
+    * array just comes from the persisted rows instead of a fresh
+    * covariance pass). One broadcast 1-row array over one map.
+    */
+  private[graft] def applyStoredPerm(v: DataFrame, perm: DataFrame): DataFrame = {
+    val permArr = perm
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_m"), col("slot"), col("pos")))),
+        x => x.getField("pos")).as("perm"))
+    v.crossJoin(broadcast(permArr))
+      .select(col("vec_id"),
+        transform(col("perm"), p => element_at(col("embedding"), p + 1))
+          .as("embedding"))
+  }
+
+  /** D86: OPQ serving from the PERSISTED rotation+pair — identical contract
+    * and output to D81c (the oracle reuses annPqOpqSql: the stored perm,
+    * codebook and codes are the recompute's expressions verbatim, the
+    * pq_index_probe convention), but the per-query cost drops to
+    * query re-layout + LUT + ADC scan + R-row refine: no covariance pass,
+    * no permutation derivation, no encode. The exact re-rank reads the
+    * permuted floats (a permutation is orthogonal, so L2 semantics are
+    * preserved; the fold order is the permuted one the oracle mirrors).
+    */
+  def pqOpqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensurePqOpqIndex(spark, dir)
+    servePqFrom(
+      graft.Checkpoints.cp(
+        applyStoredPerm(vecs(spark, dir), spark.table(table + "_perm"))),
+      table)
   }
 
   /** Incremental ingest (r9 — the AnnIndexSink.appendEmbeddings lifecycle
@@ -411,8 +542,15 @@ object Pq {
     val present = spark.table(table).select(col("vec_id"))
       .join(broadcast(batchIds), Seq("vec_id"), "left_semi").distinct()
     val fresh = b.join(broadcast(present), Seq("vec_id"), "left_anti")
-    encodeOf(fresh, spark.table(table + "_cb"))
-      .select(col("vec_id"), col("m"), col("code"))
+    // an OPQ pair's batch is re-laid-out under the STORED rotation before
+    // encoding (r10) — codes, cells and codebook all live in the permuted
+    // coordinate system, and the append must land in the same one
+    val laid =
+      if (spark.catalog.tableExists(table + "_perm"))
+        applyStoredPerm(fresh, spark.table(table + "_perm"))
+      else fresh
+    encodeWithCells(laid, spark.table(table + "_cb"),
+        spark.table(table + "_cents"))
       .repartition(nBuckets, col("vec_id"))
       .write.insertInto(table)
   }
@@ -455,7 +593,8 @@ object Pq {
   private[graft] def servePqFrom(v: DataFrame, table: String): DataFrame = {
     val spark = v.sparkSession
     servePq(v, spark.table(table + "_cb"),
-      graft.sources.BucketedSink.readServing(spark, table, "vec_id"))
+      graft.sources.BucketedSink.readServing(spark, table, "vec_id")
+        .select(col("vec_id"), col("m"), col("code")))
   }
 
   /** Recompute twin for the lifecycle specs: serve `v`'s queries against
@@ -658,6 +797,69 @@ object Pq {
     SELECT q_id, nb_id, round(CAST(adc AS DOUBLE), 6) AS adc
     FROM adc WHERE CAST(adc AS DOUBLE) <= ${RadiusE6 / 1e6}"""
 
+  /** D85: cell-pruned radius probe (r10 — the r9 verdict's #1: compose
+    * D80's IVF gate into the radius form). D83's radius scan still reads
+    * every stored code per query batch — the documented full-ADC baseline;
+    * here candidates are gated by the STORED home cell (one column of the
+    * persisted pair) against the query's NProbe cell list ranked over the
+    * STORED `_cents` centroids, so the probe-side exchange is bounded by
+    * Q × corpus·(nprobe/cells) candidate rows instead of Q × corpus. The
+    * pruning happens map-side (codes ⋈ BROADCAST probe list before
+    * anything shuffles); the ADC sum and radius cut are D83's verbatim.
+    * Like IVFADC, pruning changes WHICH pairs can be emitted (a within-
+    * radius vector outside the probed cells is not nominated — the recall
+    * trade the D84 scoreboard prices), never a reported distance.
+    */
+  def pqRadiusIvf(spark: SparkSession, dir: String): DataFrame =
+    servePqRadiusIvfFrom(vecs(spark, dir), ensurePqIndex(spark, dir))
+
+  /** The cell-pruned radius serve over an arbitrary persisted pair —
+    * shared by the catalog query and the streaming-parity spec (the
+    * stream's baked twin must match THIS aggregate path row-for-row).
+    */
+  private[graft] def servePqRadiusIvfFrom(v: DataFrame, table: String): DataFrame = {
+    val spark = v.sparkSession
+    val probes = Ann.rankedAgainstCents(
+        v.filter(col("vec_id") < NQueries), spark.table(table + "_cents"),
+        Ann.NProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    graft.sources.BucketedSink.readServing(spark, table, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(adcLut(v, spark.table(table + "_cb"))),
+        Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+      .agg(sum(col("d2q")).as("adc"))
+      .filter(col("adc").cast("double") <= lit(RadiusE6 / 1e6))
+      .select(col("q_id"), col("nb_id"),
+        round(col("adc").cast("double"), 6).as("adc"))
+  }
+
+  /** D85 oracle: the IVF ranking pipeline and the PQ pipeline in one
+    * statement (the annIvfadcSql composition), radius cut on the
+    * cell-gated ADC sums.
+    */
+  def pqRadiusIvfSql: String =
+    s"""WITH ${Ann.ivfRankedCtesComposable},
+    ${pqCtes()},
+    members AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE vec_id < $NQueries),
+    cands AS (
+      SELECT p.q_id, mb.vec_id FROM members mb
+      JOIN probes p ON mb.cell = p.cell AND p.q_id != mb.vec_id),
+    lut AS (
+      SELECT s.vec_id AS q_id, s.m, c.code,
+             CAST(${l2Sql("s.sv", "c.cv", subDim)} AS DECIMAL(28,10)) AS d2q
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $NQueries),
+    adc AS (
+      SELECT cd.q_id, e.vec_id AS nb_id, sum(l.d2q) AS adc
+      FROM cands cd
+      JOIN enc e ON e.vec_id = cd.vec_id
+      JOIN lut l ON l.q_id = cd.q_id AND l.m = e.m AND l.code = e.code
+      GROUP BY 1, 2)
+    SELECT q_id, nb_id, round(CAST(adc AS DOUBLE), 6) AS adc
+    FROM adc WHERE CAST(adc AS DOUBLE) <= ${RadiusE6 / 1e6}"""
+
   /** The ADC distance as ONE stateless expression over (query embedding,
     * stored code array) — the stored codebook (≤ M×K rows, contract-
     * bounded like the ≤26 BPE merges) collected once at plan build and
@@ -690,16 +892,40 @@ object Pq {
     }.reduce(_ + _)
   }
 
-  /** The stored codes pivoted to one row per vector (nb_id, codes[M]) —
-    * the static side of the streaming probe's stream-static join.
-    * Tombstone-aware; the pivot is a static-side agg bounded by the codes
-    * table.
+  /** The stored codes pivoted to one row per vector (nb_id, cell,
+    * codes[M]) — the static side of the streaming probe's stream-static
+    * join, keyed by the home cell so the stream can equality-join its
+    * probe list instead of cross-joining the corpus (r10). Tombstone-aware;
+    * the pivot is a static-side agg bounded by the codes table.
     */
   private[graft] def codesWide(spark: SparkSession, pairTable: String): DataFrame =
     graft.sources.BucketedSink.readServing(spark, pairTable, "vec_id")
-      .groupBy(col("vec_id").as("nb_id"))
+      .groupBy(col("vec_id").as("nb_id"), col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))
+
+  /** Each query's NProbe-cell probe list as ONE stateless expression over
+    * the embedding column (the adcBaked bake applied to the coarse
+    * quantizer): the stored `_cents` rows (≤ NumCells — contract-bounded)
+    * collect once at plan build; per cell the cosine is the BATCH kernel
+    * over a literal centroid (Ann.cosToCentLit — bit-identical doubles to
+    * rankedAgainstCents over the same stored floats), and the rank is an
+    * array_sort over (−ccos, cell) structs — (ccos desc, cell asc), the
+    * family tie rule — sliced to NProbe. No window, no aggregation state:
+    * a streaming micro-batch computes its probe list map-side.
+    */
+  private[graft] def probeCellsBaked(spark: SparkSession, pairTable: String,
+                                     emb: Column): Column = {
+    val cents = spark.table(pairTable + "_cents").collect()
+      .map(r => (r.getAs[Long]("cent_id"),
+        r.getSeq[Float](r.fieldIndex("cv")).toIndexedSeq))
+      .sortBy(_._1)
+    val scored = array(cents.map { case (cellId, cv) =>
+      struct(Ann.cosToCentLit(emb, cv).unary_-.as("negccos"),
+        lit(cellId).as("cell"))
+    }.toIndexedSeq: _*)
+    transform(slice(array_sort(scored), 1, Ann.NProbe), x => x.getField("cell"))
+  }
 
   /** D74: PQ distortion gauge — per subspace: vectors encoded, mean and max
     * squared quantization error. The QC row a serving deployment reads

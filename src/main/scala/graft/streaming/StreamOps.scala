@@ -362,23 +362,35 @@ object StreamOps {
       .select(col("index_id"), col("batch_id"))
   }
 
-  /** Streaming probe of the PERSISTED PQ pair (r9 — the indexProbeStream
-    * lineage applied to the compressed tier, D76/D83): each arriving query
-    * vector is scored against every stored code row through the BAKED ADC
-    * expression (Pq.adcBaked — the contract-bounded codebook collected
-    * once at stream build and folded into map literals, so scoring is a
-    * pure per-row predicate with NO aggregation state), a stream-static
-    * join against the codes table pivoted to one row per stored vector,
-    * then the radius cut (`graft.pq.radiusE6` — the est ≥ 0.5 of the
-    * minhash probe) and a within-watermark pair dedup for redelivery.
-    * Output rows are byte-identical to the batch radius probe over the
-    * same pair (PqLifecycleSpec pins row parity): the radius form is what
-    * makes compressed serving STREAMABLE — top-k is a rank over the whole
-    * candidate set, a radius is stateless.
+  /** Streaming probe of the PERSISTED PQ pair (r9; cell-pruned r10 — the
+    * indexProbeStream lineage applied to the compressed tier, D76/D85):
+    * each arriving query vector computes its NProbe-cell probe list
+    * map-side through the BAKED coarse quantizer (Pq.probeCellsBaked — the
+    * ≤ NumCells stored centroids folded into literals), explodes it, and
+    * EQUALITY-joins the codes table pivoted to one row per stored vector
+    * and keyed by its stored home cell — so a micro-batch touches only the
+    * probed cells' share of the corpus (~nprobe/cells) instead of
+    * cross-joining all of it, the same gate the batch IVFADC/radius
+    * queries apply. Candidates are then scored through the BAKED ADC
+    * expression (Pq.adcBaked — contract-bounded codebook as map literals,
+    * a pure per-row predicate with NO aggregation state), cut at the
+    * radius (`graft.pq.radiusE6` — the est ≥ 0.5 of the minhash probe),
+    * and pair-deduped within the watermark for redelivery. Output rows are
+    * byte-identical to the batch cell-pruned radius probe over the same
+    * pair (`Pq.servePqRadiusIvfFrom`; PqLifecycleSpec pins row parity):
+    * the radius form is what makes compressed serving STREAMABLE — top-k
+    * is a rank over the whole candidate set, a radius is stateless — and
+    * the cell gate is what keeps a 10⁹-vector static side from being
+    * re-scanned per micro-batch. Like every IVF composition, pruning
+    * trades recall at the cell boundary (a within-radius vector outside
+    * the probed cells is not emitted), never a reported distance.
     *
-    * Scale shape: the static side never moves; each micro-batch shuffles
-    * only itself; state is bounded by emitted pairs inside the watermark
-    * horizon, not by the corpus.
+    * Scale shape: the static side never moves and is consumed through an
+    * equality join on cell (hash-partitionable at any corpus size — no
+    * broadcast of the corpus, no per-batch BNLJ); each micro-batch
+    * shuffles only itself plus the probed cells' candidates; state is
+    * bounded by emitted pairs inside the watermark horizon, not by the
+    * corpus.
     */
   def pqProbeStream(spark: SparkSession, pairTable: String,
                     queries: DataFrame, tsCol: String): DataFrame = {
@@ -386,7 +398,9 @@ object StreamOps {
     val codes = P.codesWide(spark, pairTable)
     queries
       .select(col("vec_id").as("q_id"), col("embedding"), col(tsCol))
-      .crossJoin(codes)
+      .withColumn("cell",
+        explode(P.probeCellsBaked(spark, pairTable, col("embedding"))))
+      .join(codes, Seq("cell"))
       .filter(col("q_id") =!= col("nb_id"))
       .withColumn("adc", P.adcBaked(spark, pairTable, col("embedding"), col("codes")))
       .filter(col("adc").cast("double") <= lit(P.RadiusE6 / 1e6))

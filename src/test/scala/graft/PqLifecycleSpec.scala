@@ -146,12 +146,18 @@ class PqLifecycleSpec extends SparkSpecBase {
     val streamed = graft.streaming.StreamOps.pqProbeStream(spark, tbl, stream, "arrived")
     val got = rows(graft.streaming.StreamOps.runToMemory(spark, streamed, "pq_probe_mem"))
     // the batch twin over the SAME pair: the PRODUCTION aggregate path
-    // (pqRadius's own core), not a spec-local copy — byte equality is the
-    // proof the bake didn't change a single double, attested against the
+    // (pqRadiusIvf's own core — the stream composes the cell gate since
+    // r10), not a spec-local copy — byte equality is the proof the baked
+    // quantizer + ADC didn't change a single double, attested against the
     // baseline the catalog actually serves
-    val want = rows(Pq.servePqRadiusFrom(v, tbl))
+    val want = rows(Pq.servePqRadiusIvfFrom(v, tbl))
     assert(got === want && got.nonEmpty,
       s"streaming radius probe diverged from the batch twin (${got.size} vs ${want.size})")
+    // pruning may only REMOVE pairs relative to the full-ADC radius scan,
+    // never invent or re-score one — every emitted row must exist verbatim
+    // in the unpruned baseline
+    val full = rows(Pq.servePqRadiusFrom(v, tbl))
+    assert(want.subsetOf(full), "cell-pruned radius emitted a pair the full scan lacks")
     drop(tbl, tbl + "_cb")
     Checkpoints.releaseAll()
   }
