@@ -162,6 +162,35 @@ class PqLifecycleSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("OPQ pair: stored rotation serves the recompute; appends land under it") {
+    val tbl = "pq_pair_lc_opq"
+    drop(tbl, tbl + "_cb", tbl + "_cents", tbl + "_perm",
+      BucketedSink.tombTableOf(tbl))
+    val v = vecs
+    // full build: the probe must return exactly the D81c recompute (the
+    // pq_opq_index_probe oracle contract — stored perm/codebook/codes are
+    // the recompute's expressions verbatim)
+    Pq.writePqOpqIndexOf(v, tbl)
+    val pv = Checkpoints.cp(Pq.applyStoredPerm(v, spark.table(tbl + "_perm")))
+    val probed = rows(Pq.servePqFrom(pv, tbl))
+    assert(probed === rows(Pq.annPqOpqOf(v)) && probed.nonEmpty,
+      "stored-rotation probe diverged from the per-query recompute (D81c)")
+    // append parity under the STORED rotation: rebuild from half the
+    // corpus (the rotation now derives from the half — that IS the pinned
+    // artifact), append the rest, and demand byte-identical serving vs a
+    // full encode of the permuted corpus under the stored codebook
+    drop(tbl, tbl + "_cb", tbl + "_cents", tbl + "_perm",
+      BucketedSink.tombTableOf(tbl))
+    Pq.writePqOpqIndexOf(v.filter(col("vec_id") % 2 === 0), tbl)
+    Pq.appendPqCodes(v.filter(col("vec_id") % 2 =!= 0), tbl)
+    val pvHalf = Checkpoints.cp(Pq.applyStoredPerm(v, spark.table(tbl + "_perm")))
+    assert(rows(Pq.servePqFrom(pvHalf, tbl)) ===
+        rows(Pq.servePqRecomputed(pvHalf, pvHalf, tbl)),
+      "appended codes diverged from a full encode under the stored rotation")
+    drop(tbl, tbl + "_cb", tbl + "_cents", tbl + "_perm")
+    Checkpoints.releaseAll()
+  }
+
   test("re-appending a TOMBSTONED id triggers compaction and serves the new row") {
     val tbl = "pq_pair_lc_reinstate"
     drop(tbl, tbl + "_cb", BucketedSink.tombTableOf(tbl))

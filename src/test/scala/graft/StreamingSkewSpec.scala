@@ -168,4 +168,44 @@ class StreamingSkewSpec extends SparkSpecBase {
       s"probe state ${maxStateRows(prog)} exceeds distinct pairs ${want.size}")
     Checkpoints.releaseAll()
   }
+
+  test("pq probe stream: mega-query redelivery burst stays pair-bounded and matches batch") {
+    val tbl = "pq_pair_skew"
+    Seq(tbl, tbl + "_cb", tbl + "_cents",
+      graft.sources.BucketedSink.tombTableOf(tbl))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    graft.llm.Pq.writePqIndexOf(v, tbl)
+    // the burst: ONE query vector redelivered 50x on top of the normal
+    // 10-query batch — the retried-producer shape. Every copy nominates
+    // the SAME candidate pairs through the same probe cells; the only
+    // state (the watermark pair-dedup) must collapse them, so state rows
+    // track distinct emitted pairs, never batch-size x candidates.
+    val q = v.filter(col("vec_id") < 10)
+    val burst = q.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(50).select(lit(1).as("d"))).drop("d")
+    val sdir = java.nio.file.Files.createTempDirectory("graft-skew-pq").toString
+    q.union(burst)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir)
+    val schema = spark.read.parquet(sdir).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir)
+    val (out, prog) = runWithProgress(
+      StreamOps.pqProbeStream(spark, tbl, stream, "arrived"), "skew_pq_probe")
+    val got = out.collect().map(_.toSeq.mkString("|")).toSet
+    // batch twin: the cell-pruned radius probe over the same pair — the
+    // redelivered burst must change NOTHING about the emitted set
+    val want = graft.llm.Pq.servePqRadiusIvfFrom(v, tbl)
+      .collect().map(_.toSeq.mkString("|")).toSet
+    assert(got === want && want.nonEmpty,
+      s"burst stream diverged from the batch twin (${got.size} vs ${want.size})")
+    // state ceiling: distinct emitted pairs within the watermark — the
+    // BENCH stream_pq_probe_state_rows contract, now gated
+    assert(maxStateRows(prog) <= want.size,
+      s"pq probe state ${maxStateRows(prog)} exceeds distinct pairs ${want.size}")
+    Seq(tbl, tbl + "_cb", tbl + "_cents")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Checkpoints.releaseAll()
+  }
 }
