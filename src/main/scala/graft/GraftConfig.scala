@@ -30,13 +30,28 @@ object GraftConfig {
   def int(key: String, default: Int): Int =
     sys.props.get(key).map(_.trim.toInt).getOrElse(default)
 
+  /** Boolean knob, same carrier discipline as `int`. Currently:
+    *  - graft.covar.wide (llm.Pq.CovarWide, default false) — route the
+    *    e10-quantized covariance sums through DECIMAL(38,0)/HUGEINT
+    *    instead of the primitive long (the documented remedy when the
+    *    runtime exactness guard trips past ~9e8 rows).
+    */
+  def bool(key: String, default: Boolean): Boolean =
+    sys.props.get(key).map(_.trim.toBoolean).getOrElse(default)
+
   /** Run `body` with `key` temporarily set — spec harness for the
     * two-width invariance tests; not a production path (widths are
     * process-lifetime constants there, see object scaladoc).
     */
-  def withInt[A](key: String, value: Int)(body: => A): A = {
+  def withInt[A](key: String, value: Int)(body: => A): A =
+    withProp(key, value.toString)(body)
+
+  def withBool[A](key: String, value: Boolean)(body: => A): A =
+    withProp(key, value.toString)(body)
+
+  private def withProp[A](key: String, value: String)(body: => A): A = {
     val old = sys.props.get(key)
-    sys.props(key) = value.toString
+    sys.props(key) = value
     try body
     finally old match {
       case Some(v) => sys.props(key) = v

@@ -362,9 +362,15 @@ object Corpus {
     * their value's first global rank (tier is a pure function of the
     * value — the documented policy that keeps assignment rank-free).
     */
-  def qualityTiers(spark: SparkSession, dir: String): DataFrame = {
+  def qualityTiers(spark: SparkSession, dir: String): DataFrame =
+    qualityTiersOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  /** Frame form — shared by the catalog query and the D87 text classifier's
+    * weak-labeling pass (which must tier an arbitrary docs frame in specs).
+    */
+  private[graft] def qualityTiersOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+    val perDoc = docs
       .select(col("doc_id"),
         round(TextOps.qualityExpr(col("text")) * 10000).cast("bigint").as("q4"))
     val freq = perDoc.groupBy(col("q4")).agg(count(lit(1)).as("cnt"))

@@ -727,6 +727,15 @@ object Pq {
     r
   }
 
+  /** Wide covariance aggregation (`graft.covar.wide`, default false, r10):
+    * TRUE sums the e10-quantized covariance terms in DECIMAL(38,0) /
+    * HUGEINT instead of the primitive long — the remedy the narrow path's
+    * runtime exactness guard names once a corpus passes ~9e8 rows. Both
+    * paths are bit-identical where both are exact (CovarWideSpec pins it);
+    * a query-time lever like ShortlistR, never part of a stored layout.
+    */
+  def CovarWide: Boolean = graft.GraftConfig.bool("graft.covar.wide", false)
+
   /** D81c: PQ serving UNDER the D81 permutation — the rotation composed
     * into the full two-stage query path, not just gauged. Queries and
     * corpus are both re-laid-out (a permutation is orthogonal, so L2
@@ -1103,32 +1112,47 @@ object Pq {
         posexplode(transform(slice(col("embedding"), col("i") + 1, lit(Dim) - col("i")),
           xj => round(col("xe").cast("double") * xj.cast("double") * 1e10, 0)
             .cast("long"))).as(Seq("dj", "p")))
+    // graft.covar.wide (r10, the r9 guard's documented remedy made a
+    // config): TRUE routes the same e10-quantized terms through
+    // DECIMAL(38,0) — exact to ~1e28 ROWS, so the long-sum guard below is
+    // unnecessary and skipped; the oracle mirrors in HUGEINT. The terms
+    // themselves are identical longs either way, so both paths produce the
+    // same integer sum and therefore the SAME doubles (spec-pinned) — the
+    // trade is purely hot-aggregate cost (primitive long adds vs Decimal),
+    // which is why narrow stays the default under the guard.
     val cross = pairs.select(col("i"), (col("i") + col("dj")).as("j"), col("p"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("sxy_e10"), count(lit(1)).as("n"))
-    // Runtime guard on the long-sum exactness bound (r9, ADVICE): past
-    // |Σ p| ≈ 9.2e18 Spark's sum(long) wraps SILENTLY while DuckDB's
-    // BIGINT sum widens to HUGEINT — the engines would diverge on
-    // corrupted covariance instead of failing. Per-group |Σ p| ≤
-    // n_rows · (mx²·1e10 + 0.5), checked against half of Long.MaxValue;
-    // the inputs (global max |x|, per-dim row count) ride the broadcast
-    // dims frame, so the guard costs one 1-row aggregate. assert_true
-    // returns NULL on pass, so the filter keeps every row and the check
-    // cannot be pruned. Exceeding it is a deployment-config error (quantize
-    // coarser or widen the agg to decimal) — fail loud, never wrap.
+      .agg((if (CovarWide) sum(col("p").cast("decimal(38,0)"))
+            else sum(col("p"))).as("sxy_e10"),
+        count(lit(1)).as("n"))
+    // Runtime guard on the long-sum exactness bound (r9, ADVICE; narrow
+    // path only): past |Σ p| ≈ 9.2e18 Spark's sum(long) wraps SILENTLY
+    // while DuckDB's BIGINT sum widens to HUGEINT — the engines would
+    // diverge on corrupted covariance instead of failing. Per-group
+    // |Σ p| ≤ n_rows · (mx²·1e10 + 0.5), checked against half of
+    // Long.MaxValue; the inputs (global max |x|, per-dim row count) ride
+    // the broadcast dims frame, so the guard costs one 1-row aggregate.
+    // assert_true returns NULL on pass, so the filter keeps every row and
+    // the check cannot be pruned. Exceeding it is a deployment-config
+    // error — fail loud, never wrap; the remedy is the config above.
     val bound = dims.agg(max(col("mx")).as("mxx"), max(col("cnt")).as("nmax"))
-    cross
-      .crossJoin(broadcast(bound))
-      .filter(assert_true(
-        // coalesce(…, true): an EMPTY corpus aggregates NULL bounds —
-        // nothing can overflow, so the guard must pass, not raise
-        // (assert_true treats a NULL condition as failure)
-        coalesce(col("nmax").cast("double") *
-          (col("mxx") * col("mxx") * lit(1e10) + lit(0.5)) < lit(4.6e18),
-          lit(true)),
-        lit("embed_covar: e10-quantized long sum would exceed the exact " +
-          "range (max|x|^2 * 1e10 * rows > 4.6e18); widen the aggregate " +
-          "to decimal or rescale the embeddings")).isNull)
+    val guarded =
+      if (CovarWide) cross
+      else cross
+        .crossJoin(broadcast(bound))
+        .filter(assert_true(
+          // coalesce(…, true): an EMPTY corpus aggregates NULL bounds —
+          // nothing can overflow, so the guard must pass, not raise
+          // (assert_true treats a NULL condition as failure)
+          coalesce(col("nmax").cast("double") *
+            (col("mxx") * col("mxx") * lit(1e10) + lit(0.5)) < lit(4.6e18),
+            lit(true)),
+          lit("embed_covar: e10-quantized long sum would exceed the exact " +
+            "range (max|x|^2 * 1e10 * rows > 4.6e18); set -Dgraft.covar" +
+            ".wide=true (decimal aggregate) or rescale the embeddings"))
+          .isNull)
+        .select(col("i"), col("j"), col("sxy_e10"), col("n"))
+    guarded
       .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
       .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
@@ -1149,7 +1173,8 @@ object Pq {
       SELECT i, sum(CAST(x AS DECIMAL(28,10))) AS sx FROM e GROUP BY 1),
     crs AS (
       SELECT a.i AS i, b.i AS j,
-             sum(CAST(round(a.x * b.x * 1e10, 0) AS BIGINT)) AS sxy_e10,
+             sum(CAST(round(a.x * b.x * 1e10, 0)
+                 AS ${if (CovarWide) "HUGEINT" else "BIGINT"})) AS sxy_e10,
              CAST(count(*) AS BIGINT) AS n
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2),

@@ -569,10 +569,18 @@ object Sampling {
     * staying bit-identical across engines where ln() ulp drift would flake
     * the hash gate.
     */
+  /** The DSIR feature hash: token → one of DsirBuckets buckets via the
+    * engine's md5-prefix integerization. Shared by D40's importance
+    * weighting and the D87 text-feature classifier (Classify
+    * .featurizedText) — one hash, one oracle mirror.
+    */
+  private[graft] def dsirBucket(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 6), 16, 10)
+      .cast("bigint") % DsirBuckets
+
   def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
     val b = DsirBuckets
-    def bucketOf(tok: Column): Column =
-      conv(substring(md5(tok.cast("binary")), 1, 6), 16, 10).cast("bigint") % b
+    def bucketOf(tok: Column): Column = dsirBucket(tok)
     val docs = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("lang"), TextOps.toks(col("text")).as("toks"))
       // same load-bearing barrier as Dedup.docsWithToks: the bucket lambda

@@ -108,4 +108,57 @@ class ClassifySpec extends SparkSpecBase {
         "embedLogregSql did not re-read graft.logreg.iters")
     }
   }
+
+  /** Quality-gradient text corpus for D87: every doc is 100 tokens, zero
+    * punctuation, with i%101 copies of a stopword and the rest junk words
+    * — so qualityExpr reduces to the stopword ratio (the other two terms
+    * are constant), the tier extremes are the stopword-heavy vs -light
+    * docs, and the DSIR bucket frequencies expose exactly that ratio to
+    * the linear model: separable by construction.
+    */
+  private def gradientDocs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val s = i % 101
+      val toks = Seq.fill(s)("the") ++
+        Seq.tabulate(100 - s)(j => Seq("zig", "zag", "zog")(j % 3))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("text classifier: learns the tier extremes from bucket features, scores all docs") {
+    val docs = gradientDocs(400)
+    val preds = Classify.qualityLogregTextOf(docs).collect()
+    assert(preds.length === 400, "text scorer must emit one row per doc")
+    preds.foreach { r =>
+      assert((r.getDouble(1) >= 0) === (r.getInt(2) == 1),
+        s"pred inconsistent with z_score sign: $r")
+    }
+    // the weak labels the trainer saw: tier extremes of the same corpus
+    val tiers = graft.llm.Corpus.qualityTiersOf(docs)
+      .select(col("doc_id"), col("tier")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Checkpoints.releaseAll()
+    val labeled = preds.filter(r => Set(1L, 10L)(tiers(r.getLong(0))))
+    assert(labeled.length >= 40, "gradient corpus must populate both tier extremes")
+    val correct = labeled.count(r =>
+      (tiers(r.getLong(0)) == 10L) == (r.getInt(2) == 1))
+    assert(correct.toDouble / labeled.length >= 0.9,
+      s"bucket features failed to separate the tier extremes: " +
+        s"$correct/${labeled.length}")
+  }
+
+  test("text agreement sheet: tier totals reconcile, every doc accounted") {
+    val rows = Classify.qualityLogregTextAgreement(spark, sfDir).collect()
+    Checkpoints.releaseAll()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(0, 1)(r.getInt(1))))
+    rows.groupBy(_.getLong(0)).foreach { case (tier, cells) =>
+      val bp = cells.map(_.getLong(3)).sum
+      assert(bp >= 9998 && bp <= 10000, s"tier $tier share_bp sum off: $bp")
+    }
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.documents(spark, sfDir).count(),
+      "text agreement sheet lost documents")
+  }
 }

@@ -293,6 +293,21 @@ class PqSpec extends SparkSpecBase {
       s"balanced split should win big on the anisotropic corpus: $base -> $opq")
   }
 
+  test("covariance: wide decimal aggregate is bit-identical to the narrow long path") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    def rows() = Pq.embedCovarOf(v).collect().map(_.toSeq.mkString("|")).toSet
+    val narrow = rows()
+    val wide = GraftConfig.withBool("graft.covar.wide", true) {
+      // sanity: the lever actually routes the aggregate (and the oracle)
+      assert(Pq.CovarWide && Pq.embedCovarSql.contains("HUGEINT"))
+      rows()
+    }
+    assert(!Pq.CovarWide && Pq.embedCovarSql.contains("BIGINT"))
+    assert(narrow === wide && narrow.nonEmpty,
+      "decimal-widened covariance diverged from the long path")
+    Checkpoints.releaseAll()
+  }
+
   test("covariance: triangle shape, exact structure on a constructed corpus") {
     import spark.implicits._
     // dim0 == dim1 per vector (perfect correlation), dim2 constant: the
