@@ -67,7 +67,15 @@ object Bench {
     // serving shape — the tracked number shows what pruning buys over the
     // full ADC scan of ann_pq) and the stateless radius form the streaming
     // probe is built on (persisted pair via the untimed-warmup convention)
-    "ann_ivfadc", "pq_radius")
+    "ann_ivfadc", "pq_radius",
+    // r10: the cell-pruned radius twin (what the home-cell gate buys over
+    // pq_radius's full codes scan — the probe shape the streaming tier
+    // serves), the stored-rotation probe (pay-at-ingest OPQ: the tracked
+    // number is query re-layout + LUT + ADC + refine, no covariance or
+    // encode pass), and the text-feature classifier (tier pass + bucket
+    // featurize + 3 distributed GD iterations + map-only scoring — the
+    // heaviest new text pass)
+    "pq_radius_ivf", "pq_opq_index_probe", "quality_logreg_text")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

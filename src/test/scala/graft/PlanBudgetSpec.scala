@@ -67,13 +67,31 @@ class PlanBudgetSpec extends SparkSpecBase {
     // one query (observed 38; the exact side's BNLJ sits behind the
     // checkpoint barrier, so the final plan pins 0)
     "ann_recall_matrix" -> B(42, 0),
-    // probe ceiling covers the ensure-build path (codebook + encode jobs
-    // run inside the first call in a fresh JVM); a warm-index probe
+    // probe ceiling covers the ensure-build path (codebook + centroids +
+    // cell-annotated encode jobs run inside the first call in a fresh JVM;
+    // r10 observed 11 with the home-cell build stages); a warm-index probe
     // executes ~3
-    "pq_index_probe" -> B(10, 0),
+    "pq_index_probe" -> B(13, 0),
     // r9 radius form: warm-pair LUT + ADC scan + the radius filter
-    // (observed 4 — no rank phases at all, the streamable shape)
+    // (r10 observed 0 — broadcast LUT over the bucketed codes scan, no
+    // exchange at all: the streamable shape)
     "pq_radius" -> B(10, 0),
+    // r10 cell-pruned radius: warm pair, broadcast probe list + LUT over
+    // the codes scan (observed 1); the 4 BNLJs are the query-set x
+    // stored-centroid ranking crossJoin — contract-bounded (10 queries x
+    // <= NumCells rows, the ann_bruteforce class)
+    "pq_radius_ivf" -> B(3, 4),
+    // r10 OPQ pair probe: ceiling covers the ensure-build path (perm +
+    // permuted codebook/centroids/codes writes; observed 20); warm probes
+    // execute the pq_index_probe tail + the query re-layout
+    "pq_opq_index_probe" -> B(22, 0),
+    // r10 text classifier: tier pass + bucket-count featurize + 3 GD
+    // iterations + the map-only scoring tail (observed 13); the 4 BNLJs
+    // are the 1-row weight-frame broadcasts (the embed_logreg class)
+    "quality_logreg_text" -> B(15, 4),
+    // r10: the D87 scorer + D28 tiers + the bounded cells/totals tail
+    // (observed 19; the weight-frame BNLJs sit behind the cells barrier)
+    "quality_logreg_text_agreement" -> B(21, 0),
     "pq_distortion" -> B(7, 0),
     // 3 GD iterations x (gradient + weight-rebuild) + the holdout
     // confusion tail; the final-plan BNLJs are the 1-row confusion/total

@@ -293,6 +293,24 @@ class PqSpec extends SparkSpecBase {
       s"balanced split should win big on the anisotropic corpus: $base -> $opq")
   }
 
+  test("production-width corner (K=256): serving contract and recall at the published operating point") {
+    // the recorded widths everywhere else are test-scale (K=16); the
+    // published 10^9-vector operating point is M=8..16, K=256 — run the
+    // full two-stage serving pipeline once at that corner (the
+    // AnnWidthSpec two-width discipline applied to the serving tier)
+    withInt("graft.pq.codebook", 256) {
+      assert(Pq.CodebookSize === 256)
+      val out = Pq.annPq(spark, sfDir).collect()
+      assert(out.length === 50, "k=5 x 10 queries contract broke at K=256")
+      val rep = Pq.pqRecallReport(spark, sfDir).collect()
+      val bp = rep.map(_.getLong(3)).sum / rep.length
+      info(s"mean recall at M=8 K=256: $bp bp")
+      assert(bp >= 8000,
+        s"production-width recall floor broke: mean $bp bp < 8000")
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("covariance: wide decimal aggregate is bit-identical to the narrow long path") {
     val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     def rows() = Pq.embedCovarOf(v).collect().map(_.toSeq.mkString("|")).toSet
