@@ -19,7 +19,13 @@ import graft.Tables
   * what a genuinely 10× crawl looks like. A naive union would replicate
   * every doc into a 10-member exact-dup cluster and inflate the pair
   * generators QUADRATICALLY — planting the very superlinearity the ladder
-  * exists to catch. Other tables copy as-is.
+  * exists to catch. Embeddings (r10, the serving/linear-algebra tier's
+  * decade) replicate with shifted vec_ids and a PER-REPLICA COORDINATE
+  * ROTATION — the same idea in vector space: norms, per-replica pairwise
+  * distances and every dimension-marginal statistic are preserved, but
+  * replicas are distinct vectors, so candidate volume per ANN query
+  * genuinely grows amp× instead of the shortlists trivially re-finding
+  * planted exact duplicates. Other tables copy as-is.
   *
   * Output: one line per measurement, `SCALEXL <query> <amp> <seconds>`
   * (warmup + best-of-2, Bench's conventions) — appended to SCALING.md's
@@ -62,6 +68,28 @@ object ScalingXL {
               translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k))
                 .as("text"),
               col("lang"), col("source"), col("n_chars"))
+          }.reduce(_.unionAll(_))
+        else if (t == "embeddings")
+          // the serving/linear-algebra tier's amplification (r10): replica
+          // k CYCLICALLY ROTATES each vector's coordinates by k — the
+          // character-rotation idea in embedding space. Rotation preserves
+          // norms, per-replica pairwise distances, and every dimension-
+          // marginal statistic the covariance family measures, but makes
+          // replicas distinct vectors — so a 10× corpus looks like 10×
+          // fresh data, not a field of planted exact duplicates the ANN
+          // shortlists would trivially re-find. vec_ids shift like
+          // doc_ids, so the query set (vec_id < 10) and IVF/codebook
+          // seeds stay the originals and candidate volume per query
+          // genuinely grows 10×.
+          (0 until amp).map { k =>
+            val d = graft.llm.Ann.Dim
+            val rotated =
+              if (k == 0) col("embedding")
+              else concat(slice(col("embedding"), k + 1, d - k),
+                slice(col("embedding"), 1, k))
+            df.select(
+              (col("vec_id") + lit(k.toLong * 100000000L)).as("vec_id"),
+              rotated.as("embedding"), col("label"))
           }.reduce(_.unionAll(_))
         else df
       out.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
