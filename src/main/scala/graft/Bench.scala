@@ -75,7 +75,11 @@ object Bench {
     // encode pass), and the text-feature classifier (tier pass + bucket
     // featurize + 3 distributed GD iterations + map-only scoring — the
     // heaviest new text pass)
-    "pq_radius_ivf", "pq_opq_index_probe", "quality_logreg_text")
+    "pq_radius_ivf", "pq_opq_index_probe", "quality_logreg_text",
+    // late r10: the persisted IVFADC probe — the serving matrix's last
+    // cell (cell-gated ADC + salted top-R + refine from the stored pair;
+    // pair built in the untimed warmup, pay-at-ingest)
+    "pq_ivfadc_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -597,6 +597,35 @@ object Pq {
         .select(col("vec_id"), col("m"), col("code")))
   }
 
+  /** D88: IVFADC serving from the PERSISTED pair (r10) — the last cell of
+    * the serving matrix: {top-k, radius} × {recompute, persisted} ×
+    * {full-scan, cell-pruned}. D80 recomputes centroids, codebook and
+    * codes per query; here everything is stored (the pq_index_probe
+    * convention), so the per-query cost is probe-list ranking over the
+    * pinned `_cents` + the cell-gated ADC scan + the salted top-R + the
+    * R-row exact refine — the recurring cost of a deployed 10⁹-vector
+    * serving tier, with the scan bounded by nprobe/cells of the codes
+    * table. Output ≡ D80 (stored artifacts are the recompute's
+    * expressions verbatim), so the oracle reuses annIvfadcSql; the probe
+    * reads the codes tombstone-aware like every persisted serve.
+    */
+  def pqIvfadcProbe(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensurePqIndex(spark, dir)
+    val v = vecs(spark, dir)
+    val probes = Ann.rankedAgainstCents(
+        v.filter(col("vec_id") < NQueries), spark.table(table + "_cents"),
+        Ann.NProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    refineExact(v, saltedTopR(
+      graft.sources.BucketedSink.readServing(spark, table, "vec_id")
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .join(broadcast(adcLut(v, spark.table(table + "_cb"))),
+          Seq("q_id", "m", "code"))
+        .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+        .agg(sum(col("d2q")).as("adc"))))
+  }
+
   /** Recompute twin for the lifecycle specs: serve `v`'s queries against
     * codes freshly encoded from `corpus` under the STORED codebook — what
     * a from-scratch encode of the current survivor set would return.

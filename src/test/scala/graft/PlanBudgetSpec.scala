@@ -81,6 +81,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     // stored-centroid ranking crossJoin — contract-bounded (10 queries x
     // <= NumCells rows, the ann_bruteforce class)
     "pq_radius_ivf" -> B(3, 4),
+    // r10 persisted IVFADC: warm pair, cell-gated ADC + salted top-R +
+    // refine (observed 4); same contract-bounded probe-ranking BNLJs
+    "pq_ivfadc_probe" -> B(6, 4),
     // r10 OPQ pair probe: ceiling covers the ensure-build path (perm +
     // permuted codebook/centroids/codes writes; observed 20); warm probes
     // execute the pq_index_probe tail + the query re-layout

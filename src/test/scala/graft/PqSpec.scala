@@ -293,6 +293,19 @@ class PqSpec extends SparkSpecBase {
       s"balanced split should win big on the anisotropic corpus: $base -> $opq")
   }
 
+  test("persisted IVFADC probe returns exactly the recompute's rows") {
+    // the last cell of the serving matrix: cell-pruned top-k from the
+    // STORED pair must equal the D80 per-query recompute byte-for-byte
+    // (stored centroids/codebook/codes are the recompute's expressions)
+    val got = Pq.pqIvfadcProbe(spark, sfDir).collect()
+      .map(_.toSeq.mkString("|")).toSet
+    val want = Pq.annIvfadc(spark, sfDir).collect()
+      .map(_.toSeq.mkString("|")).toSet
+    assert(got === want && got.nonEmpty,
+      "persisted IVFADC probe diverged from the recompute")
+    Checkpoints.releaseAll()
+  }
+
   test("production-width corner (K=256): serving contract and recall at the published operating point") {
     // the recorded widths everywhere else are test-scale (K=16); the
     // published 10^9-vector operating point is M=8..16, K=256 — run the
