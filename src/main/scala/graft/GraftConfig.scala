@@ -17,6 +17,7 @@ package graft
   *  - graft.ann.embPlanesPerBand(llm.Ann.EmbPlanesPerBand,   default 4)
   *  - graft.ann.numPlanes       (llm.Ann.NumPlanes,          default 8)
   *  - graft.ann.numCells        (llm.Ann.NumCells,           default 16)
+  *  - graft.ann.nprobe          (llm.Ann.NProbe,             default 2)
   *  - graft.pq.subspaces        (llm.Pq.NumSubspaces,        default 8)
   *  - graft.pq.codebook         (llm.Pq.CodebookSize,        default 16)
   *  - graft.pq.shortlist        (llm.Pq.ShortlistR,          default 50)

@@ -406,7 +406,21 @@ object Ann {
     require(c >= 1, s"graft.ann.numCells must be >= 1, got $c")
     c
   }
-  val NProbe = 2
+
+  /** Cells probed per query (`graft.ann.nprobe`, default 2, live config
+    * r10): THE published IVF recall/cost lever — scan work per query is
+    * ~corpus·(nprobe/cells), recall rises with nprobe (D65's curve
+    * measures exactly this trade). A pure query-time breadth like
+    * Pq.ShortlistR: never part of a stored layout (home cells are rn=1
+    * regardless), so raising it against an existing index needs no
+    * rebuild. Threads through every oracle generator via
+    * ivfRankedCtesAt(NProbe), so the engines cannot disagree on it.
+    */
+  def NProbe: Int = {
+    val p = graft.GraftConfig.int("graft.ann.nprobe", 2)
+    require(p >= 1, s"graft.ann.nprobe must be >= 1, got $p")
+    p
+  }
 
   /** Deterministic one-step Lloyd (spherical k-means) refinement of the
     * IVF centroids: assign every vector to its nearest SEED (the first

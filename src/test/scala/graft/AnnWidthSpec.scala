@@ -137,4 +137,25 @@ class AnnWidthSpec extends SparkSpecBase {
       "12-plane index holds only 8-plane bucket ids")
     spark.sql(s"DROP TABLE IF EXISTS `$t12`")
   }
+
+  test("nprobe is a live query-time lever: full-depth IVF equals brute force") {
+    // graft.ann.nprobe (r10): at nprobe = NumCells every vector's home
+    // cell is probed, so IVF's candidate set is the whole corpus and the
+    // serving output must equal brute force byte-for-byte — the endpoint
+    // that proves the lever changes ONLY recall breadth, never scoring
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    val bf = rows(Ann.annBruteforce(spark, sfDir))
+    Checkpoints.releaseAll()
+    val full = withInt("graft.ann.nprobe", Ann.NumCells) {
+      val r = rows(Ann.annIvf(spark, sfDir)); Checkpoints.releaseAll(); r
+    }
+    assert(full === bf && bf.nonEmpty,
+      "full-depth IVF diverged from brute force")
+    // the oracle generator re-reads the lever (no stale captured depth)
+    withInt("graft.ann.nprobe", 3) {
+      assert(Ann.annIvfSql.contains("rn <= 3"),
+        "annIvfSql did not re-read graft.ann.nprobe")
+    }
+  }
 }
