@@ -78,8 +78,10 @@ object Bench {
     "pq_radius_ivf", "pq_opq_index_probe", "quality_logreg_text",
     // late r10: the persisted IVFADC probe — the serving matrix's last
     // cell (cell-gated ADC + salted top-R + refine from the stored pair;
-    // pair built in the untimed warmup, pay-at-ingest)
-    "pq_ivfadc_probe")
+    // pair built in the untimed warmup, pay-at-ingest) — and the
+    // OPQ+IVF+ADC triple (the complete published composition in one
+    // tracked plan: rotation derive + re-layout + coarse prune + ADC)
+    "pq_ivfadc_probe", "ann_opq_ivfadc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -561,22 +561,24 @@ object Ann {
 
   /** The ranking CTE block exposed for cross-module oracle composition:
     * Pq.annIvfadcSql (D80) runs this and the PQ pipeline in one statement
-    * (CTE namespaces are disjoint — the PQ block is pq_-prefixed).
+    * (CTE namespaces are disjoint — the PQ block is pq_-prefixed); `src`
+    * lets the OPQ+IVFADC triple (D89) rank over the permuted projection.
     */
-  private[graft] def ivfRankedCtesComposable: String = ivfRankedCtes
+  private[graft] def ivfRankedCtesComposable(src: String = "embeddings"): String =
+    ivfRankedCtesAt(NProbe, src)
 
   /** Depth-parametric variant (rn ≤ `depth`): NProbe for the serving
     * queries, NumCells for D65's full recall sweep. */
-  private def ivfRankedCtesAt(depth: Int): String = {
+  private def ivfRankedCtesAt(depth: Int, src: String = "embeddings"): String = {
     val ccosSeed = s"${dotSql("v.embedding", "s.cv")}" +
       s" / (${normSql("v.embedding")} * ${normSql("s.cv")})"
     val ccosCent = s"${dotSql("v.embedding", "c.cv")}" +
       s" / (${normSql("v.embedding")} * ${normSql("c.cv")})"
     s"""seeds AS (
-      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < $NumCells),
+      SELECT vec_id AS cent_id, embedding AS cv FROM $src WHERE vec_id < $NumCells),
     a0 AS (
       SELECT v.vec_id, v.embedding, s.cent_id, $ccosSeed AS ccos
-      FROM embeddings v, seeds s),
+      FROM $src v, seeds s),
     a1 AS (
       SELECT vec_id, embedding, cent_id FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -591,7 +593,7 @@ object Ann {
       FROM sums GROUP BY cell),
     r0 AS (
       SELECT v.vec_id, v.embedding, c.cell, $ccosCent AS ccos
-      FROM embeddings v, cents c),
+      FROM $src v, cents c),
     ranked AS MATERIALIZED (
       SELECT vec_id, embedding, cell, ccos, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id

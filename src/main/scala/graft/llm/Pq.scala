@@ -793,6 +793,41 @@ object Pq {
       s"""FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
       WHERE l.q_id != e.vec_id""", refSrc = "pvecs")}"""
 
+  /** D89: OPQ + IVF + ADC — the COMPLETE published composition (the FAISS
+    * index string "OPQ,IVF,PQ"; Ge et al. CVPR'13 §5 compose their
+    * rotation with Jégou et al.'s IVFADC): the variance-balancing
+    * permutation re-lays-out queries and corpus, the coarse quantizer
+    * prunes cells IN THE PERMUTED SPACE (a permutation is orthogonal, so
+    * cosine ranks are the same geometry — only the fold order over
+    * coordinates differs, which the oracle mirrors), and the ADC scan +
+    * salted top-R + exact refine run over the balanced subspaces. The
+    * engine composition is literally D80 over D81's projection — each
+    * piece verbatim, which is the point: compositions stay correct
+    * because every stage is deterministic and layout-independent.
+    */
+  def annOpqIvfadc(spark: SparkSession, dir: String): DataFrame =
+    annIvfadcOf(graft.Checkpoints.cp(permutedVecs(vecs(spark, dir))))
+
+  def annOpqIvfadcSql: String =
+    s"""WITH $covTriangleCtes,
+    $permCtes,
+    permf AS (SELECT list(pos ORDER BY sub_m, slot) AS perm FROM asg),
+    pvecs AS MATERIALIZED (
+      SELECT vec_id, list_transform(perm, p -> embedding[p + 1]) AS embedding
+      FROM embeddings, permf),
+    ${Ann.ivfRankedCtesComposable("pvecs")},
+    ${pqCtes("pvecs")},
+    members AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE vec_id < $NQueries),
+    cands AS (
+      SELECT p.q_id, mb.vec_id FROM members mb
+      JOIN probes p ON mb.cell = p.cell AND p.q_id != mb.vec_id),
+    ${serveTailSql(
+      s"""FROM cands cd
+      JOIN enc e ON e.vec_id = cd.vec_id
+      JOIN lut l ON l.q_id = cd.q_id AND l.m = e.m AND l.code = e.code""",
+      refSrc = "pvecs")}"""
+
   /** D83: PQ radius probe — the RANGE form of compressed serving ("all
     * stored vectors within ADC distance r of the query"), the contract the
     * streaming twin needs: top-k is a rank (stateful, needs the whole
@@ -878,7 +913,7 @@ object Pq {
     * cell-gated ADC sums.
     */
   def pqRadiusIvfSql: String =
-    s"""WITH ${Ann.ivfRankedCtesComposable},
+    s"""WITH ${Ann.ivfRankedCtesComposable()},
     ${pqCtes()},
     members AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
     probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE vec_id < $NQueries),
@@ -1473,7 +1508,7 @@ object Pq {
     * cell (rn=1) is in the query's probe list (rn ≤ NProbe).
     */
   def annIvfadcSql: String =
-    s"""WITH ${Ann.ivfRankedCtesComposable},
+    s"""WITH ${Ann.ivfRankedCtesComposable()},
     ${pqCtes()},
     members AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
     probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE vec_id < $NQueries),

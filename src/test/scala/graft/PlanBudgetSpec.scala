@@ -45,6 +45,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     "ann_ivfadc" -> B(16, 0),
     // r9: covariance-diag permutation barrier + the full D73 serve (observed 14)
     "ann_pq_opq" -> B(16, 0),
+    // r10 triple: permutation barrier + IVF ranking + PQ train/encode +
+    // pruned ADC serve, all over the permuted projection (observed 19)
+    "ann_opq_ivfadc" -> B(21, 0),
     // the 4 BNLJs are the r9 exactness-bound guard's 1-row broadcast
     // (contract-bounded, the embed_logreg class)
     "embed_covar" -> B(6, 4),

@@ -293,6 +293,23 @@ class PqSpec extends SparkSpecBase {
       s"balanced split should win big on the anisotropic corpus: $base -> $opq")
   }
 
+  test("OPQ+IVF+ADC triple: full k=5 contract and recall floor vs exact ground truth") {
+    val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val out = Pq.annOpqIvfadc(spark, sfDir).collect()
+    assert(out.length === 50, "k=5 x 10 queries contract broke in the triple")
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length === 50)
+    // graded against the ORIGINAL-space exact ground truth: a permutation
+    // is orthogonal, so the triple loses recall only to cell pruning and
+    // code quantization, never to the rotation itself
+    val exact = Pq.exactL2TopK(v).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = out.map(r => (r.getLong(0), r.getLong(1))).count(exact)
+    val recall = hits.toDouble / exact.size
+    info(f"opq+ivfadc recall vs exact: $recall%.2f")
+    assert(recall >= 0.6, f"triple recall floor broke: $recall%.2f")
+    Checkpoints.releaseAll()
+  }
+
   test("persisted IVFADC probe returns exactly the recompute's rows") {
     // the last cell of the serving matrix: cell-pruned top-k from the
     // STORED pair must equal the D80 per-query recompute byte-for-byte
