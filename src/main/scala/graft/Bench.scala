@@ -81,7 +81,11 @@ object Bench {
     // pair built in the untimed warmup, pay-at-ingest) — and the
     // OPQ+IVF+ADC triple (the complete published composition in one
     // tracked plan: rotation derive + re-layout + coarse prune + ADC)
-    "pq_ivfadc_probe", "ann_opq_ivfadc")
+    "pq_ivfadc_probe", "ann_opq_ivfadc",
+    // r10 late: the PERSISTED triple — what D89's composition costs when
+    // rotation/centroids/codebook/codes are all pinned at ingest (query
+    // re-layout + coarse prune + cell-gated ADC + refine, warm pair)
+    "pq_opq_ivfadc_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

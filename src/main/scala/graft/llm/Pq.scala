@@ -609,9 +609,40 @@ object Pq {
     * expressions verbatim), so the oracle reuses annIvfadcSql; the probe
     * reads the codes tombstone-aware like every persisted serve.
     */
-  def pqIvfadcProbe(spark: SparkSession, dir: String): DataFrame = {
-    val table = ensurePqIndex(spark, dir)
-    val v = vecs(spark, dir)
+  def pqIvfadcProbe(spark: SparkSession, dir: String): DataFrame =
+    serveIvfadcFrom(vecs(spark, dir), ensurePqIndex(spark, dir))
+
+  /** D90: the PERSISTED "OPQ,IVF,PQ" triple (the FAISS index-string
+    * composition in its pay-at-ingest form) — D89 re-derives rotation,
+    * centroids, codebook and codes on every query; here all four are the
+    * stored artifacts of the OPQ pair (rotation pinned first, everything
+    * downstream built in the permuted coordinate system), so the
+    * recurring per-query cost is: re-lay-out the arriving queries under
+    * the stored `_perm` (one broadcast 1-row array over one map) +
+    * probe-list ranking over the pinned permuted `_cents` + the
+    * cell-gated ADC scan + the salted top-R + the R-row exact refine.
+    * Output ≡ D89 (stored artifacts are the recompute's expressions
+    * verbatim — the pq_index_probe convention), so the oracle reuses
+    * annOpqIvfadcSql; codes are read tombstone-aware like every
+    * persisted serve.
+    */
+  def pqOpqIvfadcProbe(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensurePqOpqIndex(spark, dir)
+    serveIvfadcFrom(
+      graft.Checkpoints.cp(
+        applyStoredPerm(vecs(spark, dir), spark.table(table + "_perm"))),
+      table)
+  }
+
+  /** Cell-pruned top-k from an arbitrary persisted pair (shared by the
+    * plain D88 probe and the D90 triple, whose `v` arrives already
+    * re-laid-out under the pair's stored rotation): probe-list over the
+    * pair's `_cents`, ADC over the cell-gated codes, exact refine over
+    * `v`'s own floats — so the refine's fold order always matches the
+    * coordinate system the pair serves in.
+    */
+  private[graft] def serveIvfadcFrom(v: DataFrame, table: String): DataFrame = {
+    val spark = v.sparkSession
     val probes = Ann.rankedAgainstCents(
         v.filter(col("vec_id") < NQueries), spark.table(table + "_cents"),
         Ann.NProbe)

@@ -91,6 +91,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // permuted codebook/centroids/codes writes; observed 20); warm probes
     // execute the pq_index_probe tail + the query re-layout
     "pq_opq_index_probe" -> B(22, 0),
+    // r10 persisted OPQ+IVF+ADC triple: ensure-build of the OPQ pair +
+    // query re-layout + cell-gated ADC + salted top-R + refine (observed
+    // 21); same contract-bounded probe-ranking BNLJs as pq_ivfadc_probe
+    "pq_opq_ivfadc_probe" -> B(23, 4),
     // r10 text classifier: tier pass + bucket-count featurize + 3 GD
     // iterations + the map-only scoring tail (observed 13); the 4 BNLJs
     // are the 1-row weight-frame broadcasts (the embed_logreg class)

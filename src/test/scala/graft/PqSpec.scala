@@ -323,6 +323,19 @@ class PqSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("persisted OPQ+IVF+ADC triple returns exactly the recompute's rows") {
+    // the pay-at-ingest form of the full composition: stored rotation,
+    // permuted centroids, codebook and codes must together reproduce the
+    // D89 per-query recompute byte-for-byte
+    val got = Pq.pqOpqIvfadcProbe(spark, sfDir).collect()
+      .map(_.toSeq.mkString("|")).toSet
+    val want = Pq.annOpqIvfadc(spark, sfDir).collect()
+      .map(_.toSeq.mkString("|")).toSet
+    assert(got === want && got.nonEmpty,
+      "persisted OPQ+IVFADC triple diverged from the recompute")
+    Checkpoints.releaseAll()
+  }
+
   test("production-width corner (K=256): serving contract and recall at the published operating point") {
     // the recorded widths everywhere else are test-scale (K=16); the
     // published 10^9-vector operating point is M=8..16, K=256 — run the
