@@ -85,7 +85,11 @@ object Bench {
     // r10 late: the PERSISTED triple — what D89's composition costs when
     // rotation/centroids/codebook/codes are all pinned at ingest (query
     // re-layout + coarse prune + cell-gated ADC + refine, warm pair)
-    "pq_opq_ivfadc_probe")
+    "pq_opq_ivfadc_probe",
+    // r10 late: the lexical retrieval family — keyword top-k (tokenize +
+    // postings aggs + broadcast query-term join + salted top-k) and the
+    // RRF fusion with the exact-cosine list
+    "lexical_topk", "hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,6 +26,9 @@ package graft
   *  - graft.logreg.iters        (llm.Classify.Iters,         default 3)
   *  - graft.pca.iters           (llm.Pq.PcaIters,            default 8)
   *  - graft.pca.components      (llm.Pq.PcaComponents,       default 4)
+  *  - graft.lex.qterms          (llm.Lexical.QueryTerms,     default 8)
+  *  - graft.lex.topk            (llm.Lexical.TopK,           default 5)
+  *  - graft.lex.salts           (llm.Lexical.Salts,          default 4)
   */
 object GraftConfig {
   def int(key: String, default: Int): Int =

@@ -1,0 +1,244 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Lexical (keyword) retrieval and lexical×vector hybrid fusion
+  * (SURVEY.md §2.D, D91/D92) — the query→document serving family the
+  * embedding tier can't cover alone: RAG stacks and training-data miners
+  * run BM25-class keyword retrieval beside the ANN index and fuse the two
+  * lists (reciprocal-rank fusion, Cormack et al. SIGIR'09), because the
+  * lexical path catches exact identifiers/rare names that embedding
+  * geometry smears.
+  *
+  * Arithmetic discipline: the engine is transcendental-free (the D32 LM
+  * convention), so the scorer is the BM25 FAMILY with the idf log dropped
+  * in favor of the exact Robertson–Spärck-Jones RATIO — both factors are
+  * exact integer rationals, so the two engines agree bit-for-bit:
+  *
+  *   idf_e4    = (10000·(2(N−df)+1)) div (2·df+1)        [RSJ ratio ×1e4]
+  *   tfsat_e6  = (22·tf·total·1e6) div
+  *               (10·tf·total + 3·total + 9·len·N)       [k1=1.2, b=0.75]
+  *   score_e10 = Σ_t idf_e4·tfsat_e6                     [DECIMAL(38,0)]
+  *
+  * (tf·(k1+1)/(tf + k1(1−b+b·len/avgdl)) with avgdl=total/N, numerator
+  * and denominator both multiplied by 10·total — every operand integer.)
+  * Versus log-idf the ratio weights rare terms more sharply; single-term
+  * rankings are identical (both monotone in df). Scale headroom: the div
+  * operands run in DECIMAL(38,0)/HUGEINT, exact past N=10¹² docs and
+  * 10¹⁵ total tokens (the 100 TB operating point) — the covar-wide
+  * discipline, paid up front since retrieval is a serving surface.
+  *
+  * Queries are the first 10 documents (the ANN NQueries convention);
+  * each query is its doc's `graft.lex.qterms` RAREST distinct terms
+  * (global df ascending, term ascending — rare-first is the standard
+  * keyword-extraction shape and bounds the posting fan-out: hot terms
+  * never enter the candidate join). Self-matches are excluded.
+  *
+  * Scale shape: one tokenize scan → (doc,term) partial-agg postings
+  * (shuffle bounded by distinct (doc,term) — the text_repetition class);
+  * df is one vocab-bounded partial agg; the ≤ Q·qterms selected query
+  * terms BROADCAST into the postings join so candidates arrive map-side;
+  * the final top-k is the salted TWO-PHASE rank (`graft.lex.salts`), so
+  * no reducer frame exceeds candidates/salts even when a query's rare
+  * terms turn out hot (the servePq shortlist discipline).
+  */
+object Lexical {
+
+  /** Rarest-terms-per-query width — the recall/fan-out lever: each extra
+    * term adds one posting-list's worth of candidates. Query-time only,
+    * never part of a stored layout.
+    */
+  def QueryTerms: Int = {
+    val q = graft.GraftConfig.int("graft.lex.qterms", 8)
+    require(q >= 1, s"graft.lex.qterms must be >= 1, got $q")
+    q
+  }
+
+  /** Results per query (both the lexical list and the fused list). */
+  def TopK: Int = {
+    val k = graft.GraftConfig.int("graft.lex.topk", 5)
+    require(k >= 1, s"graft.lex.topk must be >= 1, got $k")
+    k
+  }
+
+  /** Salt width for the two-phase top-k (phase-1 frames are bounded by
+    * candidates/salts; phase 2 ranks ≤ TopK·salts survivors).
+    */
+  def Salts: Int = {
+    val s = graft.GraftConfig.int("graft.lex.salts", 4)
+    require(s >= 1, s"graft.lex.salts must be >= 1, got $s")
+    s
+  }
+
+  private val NQueries = 10
+
+  /** RRF smoothing constant (Cormack et al.'s k=60, the universal
+    * default); contribution of rank r is 1e6 div (60+r), exact integer.
+    */
+  private val RrfK = 60
+
+  def lexicalTopk(spark: SparkSession, dir: String): DataFrame =
+    lexicalTopkOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  /** Corpus-parametric core over a (doc_id, text) frame. */
+  private[graft] def lexicalTopkOf(docs0: DataFrame): DataFrame = {
+    val post = postingsOf(docs0) // (doc_id, term, len, tf)
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs0.select(size(TextOps.toks(col("text"))).as("l"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("l")), lit(0L)).as("total"))
+    // query-term selection: the ≤ Q·vocab(query docs) frame joins df and
+    // ranks rare-first per query — contract-bounded by the query docs'
+    // own vocabularies (the embed_pca window class)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("df").asc, col("term").asc)
+    val qsel = broadcast(post.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("q_id"), col("term")))
+      .join(dfreq, Seq("term"))
+      .withColumn("tr", row_number().over(wq))
+      .filter(col("tr") <= QueryTerms)
+      .select(col("q_id"), col("term"), col("df"))
+    val scored = post
+      .join(broadcast(qsel), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e4",
+        expr("(10000 * (2 * (n - df) + 1)) div (2 * df + 1)"))
+      .withColumn("tfsat_e6",
+        expr("""(cast(22 as decimal(38,0)) * tf * total * 1000000) div
+                (cast(10 as decimal(38,0)) * tf * total + 3 * total + 9 * len * n)"""))
+      .groupBy(col("q_id"), col("doc_id").as("nb_id"))
+      .agg(sum(expr("cast(idf_e4 as decimal(38,0)) * tfsat_e6")).as("s_e10"))
+    saltedLexTopK(scored)
+      .select(col("q_id"), col("nb_id"), col("rank"),
+        round(col("s_e10").cast("double") / 1e10, 6).as("score"))
+  }
+
+  /** (doc_id, term, len, tf): one tokenize scan, one partial-agg shuffle
+    * bounded by distinct (doc, term); `len` (the doc's token count) rides
+    * the grouping key — functionally dependent on doc_id, no extra pass.
+    */
+  private def postingsOf(docs0: DataFrame): DataFrame =
+    docs0.select(col("doc_id"), TextOps.toks(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("len"),
+        explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("len"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Two-phase salted top-k over (q_id, nb_id, s_e10) — the servePq
+    * shortlist shape: phase 1 partitions by (q_id, salt) so no reducer
+    * frame exceeds candidates/salts, phase 2 ranks ≤ TopK·salts
+    * survivors. Ordering is on the EXACT integer score (desc, nb_id asc)
+    * so the cut is engine-independent.
+    */
+  private def saltedLexTopK(scored: DataFrame): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("salt"))
+      .orderBy(col("s_e10").desc, col("nb_id").asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("s_e10").desc, col("nb_id").asc)
+    scored
+      .withColumn("salt", col("nb_id") % Salts)
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= TopK)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** Composable oracle CTE chain ending in `lexrk` = (q_id, nb_id, s_e10,
+    * rank ≤ TopK) — shared by the D91 oracle and the D92 fusion oracle.
+    */
+  private def lexCtes: String =
+    s"""ltk AS (SELECT doc_id, ${TextOps.toksSql} AS ts FROM documents),
+    lpost AS (
+      SELECT doc_id, term, len, count(*) AS tf FROM (
+        SELECT doc_id, len(ts) AS len, unnest(ts) AS term FROM ltk)
+      GROUP BY doc_id, term, len),
+    ldf AS (SELECT term, count(*) AS df FROM lpost GROUP BY term),
+    lstats AS (SELECT count(*) AS n, coalesce(sum(len(ts)), 0) AS total FROM ltk),
+    lqsel AS (
+      SELECT q_id, term, df FROM (
+        SELECT p.doc_id AS q_id, p.term, d.df,
+               row_number() OVER (PARTITION BY p.doc_id
+                 ORDER BY d.df ASC, p.term ASC) AS tr
+        FROM lpost p JOIN ldf d USING (term) WHERE p.doc_id < $NQueries)
+      WHERE tr <= $QueryTerms),
+    lsc AS (
+      SELECT q.q_id, p.doc_id AS nb_id,
+        sum( ((10000 * (2 * (s.n - q.df) + 1)) // (2 * q.df + 1))
+           * ((CAST(22 AS HUGEINT) * p.tf * s.total * 1000000) //
+              (CAST(10 AS HUGEINT) * p.tf * s.total + 3 * s.total + 9 * p.len * s.n)) )
+          AS s_e10
+      FROM lqsel q JOIN lpost p USING (term), lstats s
+      WHERE p.doc_id != q.q_id
+      GROUP BY q.q_id, p.doc_id),
+    lexrk AS (
+      SELECT q_id, nb_id, s_e10, rank FROM (
+        SELECT q_id, nb_id, s_e10,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY s_e10 DESC, nb_id ASC) AS rank
+        FROM lsc)
+      WHERE rank <= $TopK)"""
+
+  def lexicalTopkSql: String =
+    s"""WITH $lexCtes
+    SELECT q_id, nb_id, rank,
+           round(CAST(s_e10 AS DOUBLE) / 1e10, 6) AS score
+    FROM lexrk"""
+
+  /** D92: hybrid lexical×vector retrieval via reciprocal-rank fusion —
+    * each query's lexical top-k (D91) and exact-cosine ANN top-k (D6)
+    * fuse as rrf_e6 = Σ_lists 1e6 div (60 + rank) (Cormack et al.
+    * SIGIR'09; integer-exact, rank-only — RRF's point is that it needs no
+    * score calibration between the incomparable BM25 and cosine scales).
+    * The shared id space is the testdata's convention that `embeddings`
+    * embeds a prefix of `documents` (vec_id ≡ doc_id); documents without
+    * a vector simply never appear in the vector list, which is the honest
+    * production shape for a partially-embedded corpus. n_lists reports
+    * 2 / 1 for consensus vs single-path hits. The fusion window is
+    * contract-bounded (≤ 2·TopK rows per query — the union of two
+    * k-lists), so no salting is needed; the expensive work happens inside
+    * the two upstream retrievals.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = lexicalTopk(spark, dir)
+      .select(col("q_id"), col("nb_id"), col("rank").as("lrank"))
+    val ann = Ann.annBruteforce(spark, dir)
+      .select(col("q_id"), col("nb_id"), col("rank").as("arank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_e6").desc, col("nb_id").asc)
+    lex.join(ann, Seq("q_id", "nb_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000 div ($RrfK + lrank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + arank)"), lit(0L)))
+      .withColumn("n_lists",
+        (when(col("lrank").isNotNull, 1).otherwise(0) +
+          when(col("arank").isNotNull, 1).otherwise(0)).cast("int"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nb_id"), col("rank"), col("rrf_e6"),
+        col("n_lists"))
+  }
+
+  def hybridRrfSql: String =
+    s"""WITH $lexCtes,
+    annr AS (SELECT q_id, nb_id, rank FROM (${Ann.annBruteforceSql})),
+    fused AS (
+      SELECT coalesce(l.q_id, a.q_id) AS q_id,
+             coalesce(l.nb_id, a.nb_id) AS nb_id,
+             coalesce(1000000 // ($RrfK + l.rank), 0)
+               + coalesce(1000000 // ($RrfK + a.rank), 0) AS rrf_e6,
+             (CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+      FROM lexrk l FULL OUTER JOIN annr a
+        ON l.q_id = a.q_id AND l.nb_id = a.nb_id)
+    SELECT q_id, nb_id, CAST(rank AS INT) AS rank,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS INT) AS n_lists
+    FROM (
+      SELECT q_id, nb_id, rrf_e6, n_lists,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_e6 DESC, nb_id ASC) AS rank
+      FROM fused)
+    WHERE rank <= $TopK"""
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.GraftConfig.withInt
+import graft.llm.{Ann, Lexical}
+
+/** D91/D92: lexical (keyword) retrieval + reciprocal-rank fusion. */
+class LexicalSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  /** Constructed corpus: doc 0 is the query; "zebra" is rare (docs 0, 20
+    * only), "common" appears everywhere, doc 30 carries only common terms.
+    */
+  private def corpus = {
+    val filler = (1 to 19).map(i => (i.toLong, s"common words filler$i here"))
+    val rows = Seq(
+      (0L, "zebra common words"),
+      (20L, "zebra appears here too common"),
+      (30L, "common words here")) ++ filler
+    rows.toDF("doc_id", "text")
+  }
+
+  test("rare-term match dominates: the only other zebra doc ranks first") {
+    val out = Lexical.lexicalTopkOf(corpus)
+      .filter(col("q_id") === 0).orderBy(col("rank")).collect()
+    assert(out.nonEmpty, "query 0 retrieved nothing")
+    assert(out.head.getLong(1) === 20L,
+      s"doc 20 (the rare-term match) should rank #1, got ${out.head.getLong(1)}")
+    // self-retrieval is excluded and the k contract holds
+    assert(!out.exists(_.getLong(1) == 0L), "query retrieved itself")
+    assert(out.length <= Lexical.TopK)
+    assert(out.map(_.getInt(2)).toSeq === (1 to out.length))
+  }
+
+  test("scores are monotone in the exact integer ordering (desc, id asc)") {
+    val out = Lexical.lexicalTopkOf(corpus)
+      .filter(col("q_id") === 0).orderBy(col("rank")).collect()
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"rank order disagrees with score order: ${scores.mkString(",")}")
+  }
+
+  test("salt width never changes the retrieved set (two-phase exactness)") {
+    val narrow = withInt("graft.lex.salts", 1) {
+      Lexical.lexicalTopkOf(corpus).collect().map(_.toSeq.mkString("|")).toSet
+    }
+    val wide = withInt("graft.lex.salts", 7) {
+      Lexical.lexicalTopkOf(corpus).collect().map(_.toSeq.mkString("|")).toSet
+    }
+    assert(narrow === wide && narrow.nonEmpty,
+      "salted two-phase top-k output depends on the salt width")
+  }
+
+  test("query-term budget keeps the rarest terms: hot-only docs drop out") {
+    // with a 1-term budget the query is just "zebra" (rarest); doc 30
+    // shares only hot terms with the query and must not be a candidate
+    val only = withInt("graft.lex.qterms", 1) {
+      Lexical.lexicalTopkOf(corpus).filter(col("q_id") === 0).collect()
+    }
+    assert(only.map(_.getLong(1)).toSet === Set(20L),
+      "1-term rare-first query should match exactly the other zebra doc")
+  }
+
+  test("RRF fusion equals the hand-computed fold of the two k-lists") {
+    val lex = Lexical.lexicalTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ann = Ann.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = (lex.keySet ++ ann.keySet).toSeq
+      .map { k =>
+        val s = lex.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          ann.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        val n = lex.contains(k).compare(false) + ann.contains(k).compare(false)
+        (k._1, k._2, s, n)
+      }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(Lexical.TopK).zipWithIndex
+          .map { case ((q, nb, s, n), i) => (q, nb, i + 1, s, n) }
+      }.toSet
+    val got = Lexical.hybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === want && got.nonEmpty,
+      "hybrid RRF diverged from the hand-computed fusion")
+  }
+
+  test("consensus beats single-list: n_lists=2 pairs outrank n_lists=1 at equal contributions") {
+    // structural property of 1e6 div (60+r): any doc on BOTH lists at
+    // ranks (r1, r2) scores strictly above a doc on one list at
+    // min(r1, r2) — fusion rewards agreement
+    val got = Lexical.hybridRrf(spark, sfDir).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      sorted.zip(sorted.tail).foreach { case (hi, lo) =>
+        assert(hi.getLong(3) >= lo.getLong(3), "rank order broke on rrf_e6")
+      }
+    }
+    assert(got.forall(r => r.getInt(4) == 1 || r.getInt(4) == 2))
+  }
+}

@@ -34,6 +34,15 @@ class PlanBudgetSpec extends SparkSpecBase {
     "ab_test_ztest" -> B(4, 0),
     "agg_incremental" -> B(7, 0),
     "ann_bruteforce" -> B(3, 4),
+    // r10 lexical retrieval: tokenize scan + postings/df partial aggs +
+    // broadcast query-term join + salted two-phase top-k (observed 9);
+    // the 4 BNLJs are the 1-row corpus-stats broadcast (the
+    // ann_bruteforce contract-bounded class)
+    "lexical_topk" -> B(11, 4),
+    // r10 RRF fusion: lexical list + the exact-cosine list + the
+    // contract-bounded (<= 2k rows/query) fusion window (observed 11);
+    // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin
+    "hybrid_rrf" -> B(13, 8),
     "ann_index_multiprobe" -> B(4, 0),
     "ann_index_probe" -> B(3, 0),
     "ann_int8" -> B(4, 4),
