@@ -84,10 +84,25 @@ object Lexical {
 
   /** Corpus-parametric core over a (doc_id, text) frame. */
   private[graft] def lexicalTopkOf(docs0: DataFrame): DataFrame = {
-    val post = postingsOf(docs0) // (doc_id, term, len, tf)
-    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs0.select(size(TextOps.toks(col("text"))).as("l"))
+    val post = postingsOf(docs0)
+    rankedRetrieve(post,
+      post.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      statsOf(docs0))
+  }
+
+  /** (n, total) collection statistics — computed from the DOCS frame, not
+    * the postings (token-less docs carry no posting rows but still count
+    * toward N and avgdl).
+    */
+  private def statsOf(docs0: DataFrame): DataFrame =
+    docs0.select(size(TextOps.toks(col("text"))).as("l"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("l")), lit(0L)).as("total"))
+
+  /** The retrieval tail over any (postings, df, stats) source — live
+    * frames for D91, the stored index for D91b.
+    */
+  private def rankedRetrieve(post: DataFrame, dfreq: DataFrame,
+                             stats: DataFrame): DataFrame = {
     // query-term selection: the ≤ Q·vocab(query docs) frame joins df and
     // ranks rare-first per query — contract-bounded by the query docs'
     // own vocabularies (the embed_pca window class)
@@ -186,6 +201,145 @@ object Lexical {
     SELECT q_id, nb_id, rank,
            round(CAST(s_e10 AS DOUBLE) / 1e10, 6) AS score
     FROM lexrk"""
+
+  // ---------------------------------------------------------------------
+  // D91b: the PERSISTED inverted index (pay-at-ingest lexical serving)
+  // ---------------------------------------------------------------------
+
+  /** Per-dataset, content-fingerprinted index name (the AnnIndexSink
+    * convention): a rewritten corpus must build a FRESH index — serving
+    * postings from another corpus would silently mis-rank, not fail. The
+    * query-time levers (qterms/topk/salts) are NOT in the name: the
+    * stored layout doesn't depend on them (unlike the PQ widths, which
+    * define the codes themselves).
+    */
+  private def tableFor(dir: String): String =
+    "lex_post_" + graft.sources.BucketedSink.nameHash(
+      s"$dir\n${graft.sources.BucketedSink.contentFingerprint(
+        Seq(s"$dir/documents.parquet"))}\nlayout=bucketed-v1")
+
+  /** Bucket count for the postings table (the BucketedSink rule). */
+  private val PostBuckets = 32
+
+  /** Build (once) the persisted lexical index for `dir`'s corpus:
+    * `<t>` = the doc_id-bucketed postings (doc_id, term, len, tf),
+    * `<t>_df` = per-term document frequencies, `<t>_stats` = the 1-row
+    * (N, total-tokens) collection statistics. A partial triple rebuilds
+    * everything including tombstones (the ensurePqIndex contract).
+    */
+  def ensureLexIndex(spark: SparkSession, dir: String): String = {
+    val table = tableFor(dir)
+    if (!Seq(table, table + "_df", table + "_stats")
+          .forall(spark.catalog.tableExists))
+      writeLexIndexOf(
+        Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"), table)
+    table
+  }
+
+  /** Build the index from a FRAME, overwrite semantics (the
+    * writePqIndexOf contract: no half, pair, or stale tombstone survives
+    * a rebuild). df and stats are PINNED at build time — the collection
+    * statistics an appended document is scored under are the build's,
+    * exactly how segment-based lexical engines serve idf between merges,
+    * and the lexical twin of the pinned-codebook discipline: re-deriving
+    * df on append would re-rank every stored document's terms.
+    */
+  def writeLexIndexOf(docs0: DataFrame, table: String): Unit = {
+    val spark = docs0.sparkSession
+    Seq(table, table + "_df", table + "_stats",
+      graft.sources.BucketedSink.tombTableOf(table))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val post = postingsOf(docs0)
+    graft.sources.BucketedSink.ensureTable(spark, table) {
+      graft.sources.BucketedSink.writeBucketed(
+        post, table, "doc_id", PostBuckets, sortCols = Seq("doc_id", "term"))
+    }
+    graft.sources.BucketedSink.ensureTable(spark, table + "_df") {
+      spark.table(table).groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.format("parquet").saveAsTable(table + "_df")
+    }
+    graft.sources.BucketedSink.ensureTable(spark, table + "_stats") {
+      statsOf(docs0).write.format("parquet").saveAsTable(table + "_stats")
+    }
+  }
+
+  /** D91b: lexical retrieval from the PERSISTED index — identical
+    * contract and output to D91 (the oracle reuses lexicalTopkSql: the
+    * stored postings/df/stats are the recompute's expressions verbatim,
+    * the pq_index_probe convention), but the per-query cost drops to the
+    * broadcast query-term join + the candidate scan + the salted top-k:
+    * no corpus tokenize, no vocab aggregation. Postings are read through
+    * the tombstone-aware serving view, so deleted documents stop being
+    * candidates with no added exchange.
+    */
+  def lexicalIndexProbe(spark: SparkSession, dir: String): DataFrame =
+    lexProbeFromStore(spark, ensureLexIndex(spark, dir))
+
+  /** Serve from an arbitrary persisted index (shared by the catalog probe
+    * and the lifecycle specs): tombstone-aware postings + pinned df/stats
+    * from `table`.
+    */
+  private[graft] def lexProbeFromStore(spark: SparkSession, table: String): DataFrame =
+    rankedRetrieve(
+      graft.sources.BucketedSink.readServing(spark, table, "doc_id"),
+      spark.table(table + "_df"), spark.table(table + "_stats"))
+
+  /** Recompute twin for the lifecycle specs: retrieve over postings
+    * freshly tokenized from `docs0` but under the STORED df/stats — what
+    * a from-scratch tokenize of the current survivor set would return
+    * given the pinned collection statistics.
+    */
+  private[graft] def lexProbeRecomputed(docs0: DataFrame, table: String): DataFrame = {
+    val spark = docs0.sparkSession
+    rankedRetrieve(postingsOf(docs0),
+      spark.table(table + "_df"), spark.table(table + "_stats"))
+  }
+
+  /** Incremental ingest (the appendPqCodes lifecycle applied to the
+    * inverted index): tokenize a new batch and insert its posting rows —
+    * df/stats stay PINNED (see writeLexIndexOf). Same three protections
+    * as the PQ pair: intra-batch doc_id dedup, idempotence under
+    * redelivery (stored ids semi-joined against the broadcast batch-id
+    * set, then the batch anti-joins that bounded set — the index itself
+    * never shuffles), and tombstone reinstatement (a batch carrying a
+    * tombstoned id compacts first so the re-ingested doc serves). The
+    * batch repartitions by the table's own bucket hash so each append
+    * lands exactly `buckets` files.
+    */
+  def appendLexDocs(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val b = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+    val batchIds = b.select(col("doc_id"))
+    val tt = graft.sources.BucketedSink.tombTableOf(table)
+    if (spark.catalog.tableExists(tt) &&
+        !spark.table(tt).join(broadcast(batchIds), Seq("doc_id"), "left_semi").isEmpty)
+      compactLex(spark, table)
+    val present = spark.table(table).select(col("doc_id"))
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
+    val fresh = b.join(broadcast(present), Seq("doc_id"), "left_anti")
+    postingsOf(fresh)
+      .repartition(nBuckets, col("doc_id"))
+      .write.insertInto(table)
+  }
+
+  /** Retract documents from the index: tombstones on doc_id, excluded by
+    * every probe via the bounded broadcast anti-join in
+    * `BucketedSink.readServing` (the deletePqCodes contract).
+    */
+  def deleteLexDocs(spark: SparkSession, table: String, docIds: DataFrame): Unit =
+    graft.sources.BucketedSink.appendTombstones(spark, table,
+      docIds.select(col(docIds.columns.head).as("doc_id")))
+
+  /** Fold tombstones into the bucketed files and clear the tombstone
+    * table; probes identical before/after. df/stats never change —
+    * compaction touches only the postings.
+    */
+  def compactLex(spark: SparkSession, table: String): Unit =
+    graft.sources.BucketedSink.compactTombstones(spark, table, "doc_id")
 
   /** D92: hybrid lexical×vector retrieval via reciprocal-rank fusion —
     * each query's lexical top-k (D91) and exact-cosine ANN top-k (D6)

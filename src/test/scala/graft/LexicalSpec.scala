@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.GraftConfig.withInt
 import graft.llm.{Ann, Lexical}
+import graft.sources.BucketedSink
 
 /** D91/D92: lexical (keyword) retrieval + reciprocal-rank fusion. */
 class LexicalSpec extends SparkSpecBase {
@@ -98,5 +99,71 @@ class LexicalSpec extends SparkSpecBase {
       }
     }
     assert(got.forall(r => r.getInt(4) == 1 || r.getInt(4) == 2))
+  }
+
+  // ------------------------------------------------------------------
+  // persisted-index lifecycle (the PqLifecycleSpec battery, lexical twin)
+  // ------------------------------------------------------------------
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSet
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  private def dropIdx(tbl: String): Unit =
+    drop(tbl, tbl + "_df", tbl + "_stats", BucketedSink.tombTableOf(tbl))
+
+  private def docsOf(dir: String) = Tables.documents(spark, dir)
+    .select(col("doc_id"), col("text"))
+
+  test("persisted index probe returns exactly the live retrieval's rows") {
+    val got = rows(Lexical.lexicalIndexProbe(spark, sfDir))
+    val want = rows(Lexical.lexicalTopk(spark, sfDir))
+    assert(got === want && got.nonEmpty,
+      "persisted lexical probe diverged from the live retrieval")
+  }
+
+  test("append parity under pinned stats: half-build + append == full tokenize") {
+    val tbl = "lex_idx_lc_append"
+    dropIdx(tbl)
+    val d = docsOf(sfDir)
+    Lexical.writeLexIndexOf(d.filter(col("doc_id") % 2 === 0), tbl)
+    Lexical.appendLexDocs(d.filter(col("doc_id") % 2 =!= 0), tbl)
+    // redelivery idempotence: re-appending the same batch changes nothing
+    Lexical.appendLexDocs(d.filter(col("doc_id") % 2 =!= 0), tbl)
+    // served rows must equal a from-scratch tokenize of the full corpus
+    // under the STORED (half-build) df/stats — the pinned-stats contract
+    val stored = rows(Lexical.lexProbeRecomputed(d, tbl))
+    val served = rows(Lexical.lexProbeFromStore(spark, tbl))
+    assert(served === stored && served.nonEmpty,
+      "appended postings diverged from a full tokenize under the stored stats")
+    dropIdx(tbl)
+  }
+
+  test("delete == serve-without; re-append reinstates the document") {
+    val tbl = "lex_idx_lc_del"
+    dropIdx(tbl)
+    val d = docsOf(sfDir)
+    Lexical.writeLexIndexOf(d, tbl)
+    // pick a doc that actually appears as a neighbor
+    val victim = Lexical.lexProbeFromStore(spark, tbl)
+      .select(col("nb_id")).head().getLong(0)
+    import spark.implicits._
+    Lexical.deleteLexDocs(spark, tbl, Seq(victim).toDF("doc_id"))
+    val without = rows(
+      Lexical.lexProbeRecomputed(d.filter(col("doc_id") =!= victim), tbl))
+    assert(rows(Lexical.lexProbeFromStore(spark, tbl)) === without,
+      "tombstoned doc still surfaced as a candidate")
+    // compaction folds the tombstone; probes identical before/after
+    Lexical.compactLex(spark, tbl)
+    assert(rows(Lexical.lexProbeFromStore(spark, tbl)) === without,
+      "compaction changed the served rows")
+    // re-appending the deleted doc reinstates it
+    Lexical.appendLexDocs(d.filter(col("doc_id") === victim), tbl)
+    assert(rows(Lexical.lexProbeFromStore(spark, tbl)) ===
+        rows(Lexical.lexProbeRecomputed(d, tbl)),
+      "re-appended doc did not reinstate")
+    dropIdx(tbl)
   }
 }

@@ -39,6 +39,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // the 4 BNLJs are the 1-row corpus-stats broadcast (the
     // ann_bruteforce contract-bounded class)
     "lexical_topk" -> B(11, 4),
+    // r10 persisted-index probe: ceiling covers the ensure-build path
+    // (postings/df/stats writes; observed 7 cold); warm probes are the
+    // broadcast query-term join + candidate scan + salted top-k
+    "lexical_index_probe" -> B(9, 4),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin
