@@ -29,6 +29,7 @@ package graft
   *  - graft.lex.qterms          (llm.Lexical.QueryTerms,     default 8)
   *  - graft.lex.topk            (llm.Lexical.TopK,           default 5)
   *  - graft.lex.salts           (llm.Lexical.Salts,          default 4)
+  *  - graft.doremi.etaE2        (llm.Sampling.DoremiEtaE2,   default 100)
   */
 object GraftConfig {
   def int(key: String, default: Int): Int =

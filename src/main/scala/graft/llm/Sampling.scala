@@ -672,4 +672,113 @@ object Sampling {
       FROM iw)
     SELECT doc_id, n_tokens, w_sum_nano, p_bp, draw
     FROM scored WHERE draw < p_bp"""
+
+  /** Hedge step size for D93 in hundredths (100 = η 1.0) — a query-time
+    * lever like the mixture targets, never part of a stored layout.
+    */
+  def DoremiEtaE2: Int = {
+    val e = graft.GraftConfig.int("graft.doremi.etaE2", 100)
+    require(e >= 0, s"graft.doremi.etaE2 must be >= 0, got $e")
+    e
+  }
+
+  /** D93: DoReMi-style domain reweighting (Xie et al., NeurIPS 2023) — one
+    * multiplicative-weights (hedge) update of the per-SOURCE mixture from
+    * per-domain excess loss, the published remedy for "uniform or
+    * token-proportional mixtures over-train easy domains". The engine form
+    * is exact-integer end to end (the transcendental-free discipline):
+    *
+    *   proxy loss  : the D32 corpus-trained bigram LM — a domain whose
+    *                 mean per-bigram typicality (e9) sits BELOW the corpus
+    *                 mean is "harder" for the reference model, which is
+    *                 precisely the signal DoReMi's excess loss carries;
+    *   excess_e9   = max(0, corpus_typ_e9 − domain_typ_e9);
+    *   update      = base_bp · (1e9 + (η·excess_e9) div 100) — the hedge
+    *                 exp(η·excess) LINEARIZED (exact for the small
+    *                 per-step excess the algorithm is run at; the
+    *                 published iterate is a sequence of such small steps),
+    *                 η from `graft.doremi.etaE2`;
+    *   doremi_bp   = the update renormalized to exact basis points.
+    *
+    * Baseline weights are the domains' bigram-mass shares (the token
+    * measure the LM itself is trained on). Shape: lmDocSums carries
+    * `source` through its per-doc projection (no second corpus join), one
+    * #sources-bounded aggregate, two 1-row broadcasts back — the
+    * mixture_realized class. Long-sum exactness bound: Σ sp ≲ 9e18 ⇒
+    * ~9e9 bigrams (the qualityLmAgreement bound); share products run in
+    * DECIMAL(38,0)/HUGEINT past it.
+    */
+  def mixtureDoremi(spark: SparkSession, dir: String): DataFrame =
+    mixtureDoremiOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  private[graft] def mixtureDoremiOf(docs: DataFrame): DataFrame = {
+    val perSrc = TextOps.lmDocSums(
+        docs.select(col("doc_id"), col("source"), col("text")), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sp")).as("sp"))
+    val tot = perSrc.agg(sum(col("n_bigrams")).as("tb"), sum(col("sp")).as("tsp"))
+    val w = perSrc.crossJoin(broadcast(tot))
+      .withColumn("typ_e9",
+        expr("case when n_bigrams > 0 then sp div n_bigrams else cast(0 as bigint) end"))
+      .withColumn("excess_e9",
+        greatest(
+          expr("case when tb > 0 then tsp div tb else cast(0 as bigint) end")
+            - col("typ_e9"),
+          lit(0L)))
+      .withColumn("base_bp",
+        expr("case when tb > 0 then (cast(n_bigrams as decimal(38,0)) * 10000) div tb else cast(0 as bigint) end"))
+      .withColumn("w_raw",
+        expr(s"base_bp * (1000000000 + ($DoremiEtaE2 * excess_e9) div 100)"))
+    val ws = w.agg(coalesce(sum(col("w_raw")), lit(0L)).as("wsum"))
+    w.crossJoin(broadcast(ws))
+      .select(col("source"), col("n_docs"), col("n_bigrams"), col("typ_e9"),
+        col("excess_e9"), col("base_bp"),
+        expr("case when wsum > 0 then (cast(w_raw as decimal(38,0)) * 10000) div wsum else cast(0 as bigint) end")
+          .as("doremi_bp"))
+  }
+
+  def mixtureDoremiSql: String = {
+    val v2 = TextOps.LmAlphabetSize * TextOps.LmAlphabetSize
+    s"""WITH t AS (SELECT doc_id, source, ${TextOps.lmNormSql} AS s FROM documents),
+    bg AS (SELECT doc_id, unnest(${TextOps.lmBigramsSql("s")}) AS b FROM t),
+    cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    tot AS (SELECT coalesce(sum(c), 0) AS tc FROM cnt),
+    probs AS (SELECT b,
+        CAST((CAST(c AS HUGEINT) + 1) * ${TextOps.LmNano} // (tc + $v2) AS BIGINT) AS p
+      FROM cnt, tot),
+    persum AS (
+      SELECT doc_id, count(*) AS n, sum(p) AS sp
+      FROM bg JOIN probs USING (b) GROUP BY doc_id),
+    perdoc AS (
+      SELECT t.doc_id, t.source, coalesce(n, 0) AS n, coalesce(sp, 0) AS sp
+      FROM t LEFT JOIN persum USING (doc_id)),
+    src AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(sum(sp) AS BIGINT) AS sp
+      FROM perdoc GROUP BY source),
+    tt AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS tb,
+                  CAST(sum(sp) AS BIGINT) AS tsp FROM src),
+    w AS (
+      SELECT source, n_docs, n_bigrams,
+             CASE WHEN n_bigrams > 0 THEN sp // n_bigrams ELSE 0 END AS typ_e9,
+             greatest((CASE WHEN tb > 0 THEN tsp // tb ELSE 0 END)
+               - (CASE WHEN n_bigrams > 0 THEN sp // n_bigrams ELSE 0 END), 0)
+               AS excess_e9,
+             CASE WHEN tb > 0
+               THEN CAST((CAST(n_bigrams AS HUGEINT) * 10000) // tb AS BIGINT)
+               ELSE 0 END AS base_bp
+      FROM src, tt),
+    w2 AS (SELECT *,
+             base_bp * (1000000000 + ($DoremiEtaE2 * excess_e9) // 100) AS w_raw
+           FROM w),
+    ws AS (SELECT coalesce(sum(w_raw), 0) AS wsum FROM w2)
+    SELECT source, n_docs, n_bigrams, CAST(typ_e9 AS BIGINT) AS typ_e9,
+           CAST(excess_e9 AS BIGINT) AS excess_e9,
+           CAST(base_bp AS BIGINT) AS base_bp,
+           CAST(CASE WHEN wsum > 0
+             THEN (CAST(w_raw AS HUGEINT) * 10000) // wsum ELSE 0 END AS BIGINT)
+             AS doremi_bp
+    FROM w2, ws"""
+  }
 }

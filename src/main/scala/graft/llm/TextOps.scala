@@ -295,7 +295,14 @@ object TextOps {
     * aggregations over docs (D58's per-tier means) stay order-independent;
     * the public D32 typicality is sp/n over these.
     */
-  private[graft] def lmDocSums(docs0: DataFrame): DataFrame = {
+  private[graft] def lmDocSums(docs0: DataFrame): DataFrame =
+    lmDocSums(docs0, Nil)
+
+  /** lmDocSums carrying passthrough columns (e.g. `source` for the D93
+    * per-domain aggregation) — identical math, the extras just ride the
+    * per-doc projection so no second corpus join is needed.
+    */
+  private[graft] def lmDocSums(docs0: DataFrame, carry: Seq[String]): DataFrame = {
     val v = LmAlphabetSize
     // one O(len) pass: normalized text → per-char code array. split(s, "")
     // may emit stray empty strings at the ends depending on regex engine —
@@ -305,7 +312,7 @@ object TextOps {
       c => when(c === " ", 27).when(c === "0", 26)
         .otherwise(ascii(c) - 97).cast("int"))
     val codes = graft.Checkpoints.cp(
-      docs0.select(col("doc_id"), codeArr.as("codes")))
+      docs0.select(col("doc_id") +: carry.map(col) :+ codeArr.as("codes"): _*))
     def slots(cs: Column): Column =
       when(size(cs) < 2, array().cast("array<int>"))
         .otherwise(transform(sequence(lit(1), size(cs) - 1), i =>
@@ -323,9 +330,8 @@ object TextOps {
     val sumP = aggregate(slots(col("codes")), lit(0L),
       (acc, s) => acc + element_at(probLit, s + 1))
     codes.select(
-      col("doc_id"),
-      n.cast("bigint").as("n_bigrams"),
-      sumP.as("sp"))
+      col("doc_id") +: carry.map(col) :+
+        n.cast("bigint").as("n_bigrams") :+ sumP.as("sp"): _*)
   }
   val textLmScoreSql: String = {
     val v2 = LmAlphabetSize * LmAlphabetSize

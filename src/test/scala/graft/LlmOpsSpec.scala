@@ -1430,4 +1430,47 @@ class LlmOpsSpec extends SparkSpecBase {
       if (toks > 0) assert(r.getAs[Long]("chars_per_token_e2") >= 100L)
     }
   }
+
+  test("mixture_doremi: hedge update upweights exactly the excess-loss domains") {
+    val out = graft.llm.Sampling.mixtureDoremi(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // weights renormalize to basis points (integer div floors each share,
+    // so the sum lands within #sources of 10000, never above)
+    val s = out.map(_.getAs[Long]("doremi_bp")).sum
+    assert(s <= 10000 && s > 10000 - out.length,
+      s"doremi_bp should renormalize to ~10000, got $s")
+    out.foreach { r =>
+      val (base, upd) = (r.getAs[Long]("base_bp"), r.getAs[Long]("doremi_bp"))
+      val excess = r.getAs[Long]("excess_e9")
+      assert(excess >= 0)
+      // a domain AT the corpus mean (excess 0) can only lose share to the
+      // upweighted ones; a domain with excess can also gain (floor-only
+      // slack of 1 bp each way from the integer renormalization)
+      if (excess == 0) assert(upd <= base + 1,
+        s"zero-excess domain gained share: $base -> $upd")
+    }
+    // the relative ordering of multipliers follows excess exactly
+    val byExcess = out.sortBy(_.getAs[Long]("excess_e9"))
+    val hi = byExcess.last
+    if (hi.getAs[Long]("excess_e9") > 0 && hi.getAs[Long]("base_bp") > 0) {
+      // the max-excess domain's share ratio vs base must be the corpus max
+      def ratioE4(r: org.apache.spark.sql.Row): Long =
+        if (r.getAs[Long]("base_bp") == 0) 0L
+        else r.getAs[Long]("doremi_bp") * 10000 / r.getAs[Long]("base_bp")
+      assert(out.map(ratioE4).max === ratioE4(hi),
+        "max excess-loss domain should carry the max upweight ratio")
+    }
+  }
+
+  test("mixture_doremi: eta=0 degenerates to the baseline token shares") {
+    val out = graft.GraftConfig.withInt("graft.doremi.etaE2", 0) {
+      graft.llm.Sampling.mixtureDoremi(spark, sfDir).collect()
+    }
+    out.foreach { r =>
+      // with no hedge step the renormalized weight IS the baseline (up to
+      // the 1-bp renormalization floor)
+      assert(math.abs(r.getAs[Long]("doremi_bp") - r.getAs[Long]("base_bp")) <= 1,
+        s"eta=0 should reproduce base_bp: ${r.mkString(",")}")
+    }
+  }
 }

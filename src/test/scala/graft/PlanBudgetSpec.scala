@@ -43,6 +43,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // (postings/df/stats writes; observed 7 cold); warm probes are the
     // broadcast query-term join + candidate scan + salted top-k
     "lexical_index_probe" -> B(9, 4),
+    // r10 DoReMi reweighting: the D32 LM pass + one #sources-bounded agg
+    // (observed 6); the 12 BNLJs are all 1-row broadcasts (corpus totals,
+    // weight normalizer, LM bigram-count literal derivation)
+    "mixture_doremi" -> B(8, 12),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin
