@@ -89,7 +89,10 @@ object Bench {
     // r10 late: the lexical retrieval family — keyword top-k (tokenize +
     // postings aggs + broadcast query-term join + salted top-k) and the
     // RRF fusion with the exact-cosine list
-    "lexical_topk", "hybrid_rrf")
+    "lexical_topk", "hybrid_rrf",
+    // r10 late: the impact radius (warm index, per-row cut) and the
+    // DoReMi hedge update (one LM scan + #sources-bounded agg)
+    "lexical_radius", "mixture_doremi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

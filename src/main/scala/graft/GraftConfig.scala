@@ -29,6 +29,8 @@ package graft
   *  - graft.lex.qterms          (llm.Lexical.QueryTerms,     default 8)
   *  - graft.lex.topk            (llm.Lexical.TopK,           default 5)
   *  - graft.lex.salts           (llm.Lexical.Salts,          default 4)
+  *  - graft.lex.maxDfBp         (llm.Lexical.MaxDfBp,        default 500)
+  *  - graft.lex.radiusE4        (llm.Lexical.RadiusE4,       default 100000)
   *  - graft.doremi.etaE2        (llm.Sampling.DoremiEtaE2,   default 100)
   */
 object GraftConfig {

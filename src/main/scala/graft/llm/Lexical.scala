@@ -74,6 +74,28 @@ object Lexical {
 
   private val NQueries = 10
 
+  /** Query-term df ceiling for the RADIUS form, in basis points of the
+    * collection size: a term enters a radius query iff df ≤ N·bp/10⁴.
+    * The stateless replacement for the top-k form's rare-first window —
+    * a pure row predicate (so the streaming twin needs no per-query
+    * ranking state) that bounds candidate fan-out the same way: hot
+    * terms never reach the posting join.
+    */
+  def MaxDfBp: Int = {
+    val b = graft.GraftConfig.int("graft.lex.maxDfBp", 500)
+    require(b >= 1 && b <= 10000, s"graft.lex.maxDfBp must be in [1,10000], got $b")
+    b
+  }
+
+  /** Single-term impact radius (e4-scaled score units; contribution_e10 ≥
+    * radiusE4·10⁶ emits). A query-time breadth lever like the PQ radius.
+    */
+  def RadiusE4: Int = {
+    val r = graft.GraftConfig.int("graft.lex.radiusE4", 100000)
+    require(r > 0, s"graft.lex.radiusE4 must be > 0, got $r")
+    r
+  }
+
   /** RRF smoothing constant (Cormack et al.'s k=60, the universal
     * default); contribution of rank r is 1e6 div (60+r), exact integer.
     */
@@ -325,6 +347,64 @@ object Lexical {
       .repartition(nBuckets, col("doc_id"))
       .write.insertInto(table)
   }
+
+  /** The per-term contribution expression shared by the batch radius and
+    * the streaming twin — idf_e4 · tfsat_e6 with the collection stats
+    * BAKED as literals (the codebook-literal pattern: 2 longs read once
+    * at plan time, so the hot path carries no stats join at all). Expects
+    * columns df, tf, len on the row.
+    */
+  private[graft] def contribE10(n: Long, total: Long): org.apache.spark.sql.Column =
+    expr(s"""((10000 * (2 * ($n - df) + 1)) div (2 * df + 1))
+           * ((cast(22 as decimal(38,0)) * tf * $total * 1000000) div
+              (cast(10 as decimal(38,0)) * tf * $total + 3 * $total + 9 * len * $n))""")
+
+  /** D91c: single-term impact radius over the persisted index — the RANGE
+    * form of lexical retrieval (the pq_radius lineage): emit every
+    * (query, doc) pair whose BEST shared rare term alone clears the
+    * radius. "Best single term clears r" is the impact-ordered-index
+    * emission rule (Anh & Moffat's impact sorting; MaxScore's bound) made
+    * a pure per-row predicate: no per-pair aggregation, no ranking state
+    * — which is exactly what makes the form STREAMABLE (top-k is a rank,
+    * a radius is a filter; the decontaminateStream shape with a weighted
+    * threshold). Query terms are the df-thresholded rare set (MaxDfBp —
+    * a row predicate, not a window), stats are baked literals, and the
+    * only exchange is the final pair distinct, bounded by emitted pairs.
+    */
+  def lexicalRadius(spark: SparkSession, dir: String): DataFrame =
+    lexRadiusFromStore(spark, ensureLexIndex(spark, dir))
+
+  private[graft] def lexRadiusFromStore(spark: SparkSession, table: String): DataFrame = {
+    val st = spark.table(table + "_stats").head()
+    val (n, total) = (st.getLong(0), st.getLong(1))
+    val maxDf = n * MaxDfBp / 10000
+    val post = graft.sources.BucketedSink.readServing(spark, table, "doc_id")
+    val qsel = broadcast(post.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("q_id"), col("term"))
+        .join(spark.table(table + "_df").filter(col("df") <= maxDf), Seq("term"))
+        .select(col("q_id"), col("term"), col("df")))
+    post.join(qsel, Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .filter(contribE10(n, total) >= lit(RadiusE4.toLong) * 1000000L)
+      .select(col("q_id"), col("doc_id").as("nb_id"))
+      .distinct()
+  }
+
+  def lexicalRadiusSql: String =
+    s"""WITH $lexCtes,
+    rq AS (
+      SELECT p.doc_id AS q_id, p.term, d.df
+      FROM lpost p JOIN ldf d USING (term), lstats s
+      WHERE p.doc_id < $NQueries AND d.df <= (s.n * $MaxDfBp) // 10000),
+    hits AS (
+      SELECT rq.q_id, p.doc_id AS nb_id
+      FROM rq JOIN lpost p USING (term), lstats s
+      WHERE p.doc_id != rq.q_id
+        AND ((10000 * (2 * (s.n - rq.df) + 1)) // (2 * rq.df + 1))
+          * ((CAST(22 AS HUGEINT) * p.tf * s.total * 1000000) //
+             (CAST(10 AS HUGEINT) * p.tf * s.total + 3 * s.total + 9 * p.len * s.n))
+          >= CAST($RadiusE4 AS HUGEINT) * 1000000)
+    SELECT DISTINCT q_id, nb_id FROM hits"""
 
   /** Retract documents from the index: tombstones on doc_id, excluded by
     * every probe via the bounded broadcast anti-join in

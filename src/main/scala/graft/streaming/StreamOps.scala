@@ -410,6 +410,44 @@ object StreamOps {
         round(col("adc").cast("double"), 6).as("adc"))
   }
 
+  /** Streaming probe of the PERSISTED inverted index (r10 — the
+    * indexProbeStream lineage applied to the lexical tier, D91b/D91c):
+    * each arriving document's distinct terms are exploded statelessly,
+    * gated by the STORED df table pre-filtered to the rare set (df ≤
+    * N·maxDfBp/10⁴ — a static frame bounded by the rare vocabulary, so
+    * the stream-static equality join on term touches only rare posting
+    * lists, the same fan-out gate the batch radius applies), then joined
+    * against the tombstone-aware postings and cut by the single-term
+    * impact radius — a pure per-row predicate over BAKED collection
+    * stats (two longs as literals, the codebook-literal pattern), with
+    * NO aggregation state. The only state is the within-watermark
+    * (q, nb) pair dedup that collapses multi-term hits — bounded by
+    * emitted pairs inside the horizon, never by the corpus or the batch.
+    * Output rows are identical to the batch radius over the same index
+    * (`Lexical.lexRadiusFromStore`; StreamingSpec pins set-equality).
+    */
+  def lexRadiusStream(spark: SparkSession, indexTable: String,
+                      docs: DataFrame, tsCol: String): DataFrame = {
+    val L = graft.llm.Lexical
+    val st = spark.table(indexTable + "_stats").head()
+    val (n, total) = (st.getLong(0), st.getLong(1))
+    val maxDf = n * L.MaxDfBp / 10000
+    val rare = spark.table(indexTable + "_df").filter(col("df") <= maxDf)
+    val post = graft.sources.BucketedSink
+      .readServing(spark, indexTable, "doc_id")
+      .select(col("doc_id").as("nb_id"), col("term"), col("len"), col("tf"))
+    docs
+      .select(col("doc_id").as("q_id"), col(tsCol),
+        explode(array_distinct(graft.llm.TextOps.toks(col("text")))).as("term"))
+      .join(rare, Seq("term"))
+      .join(post, Seq("term"))
+      .filter(col("q_id") =!= col("nb_id"))
+      .filter(L.contribE10(n, total) >= lit(L.RadiusE4.toLong) * 1000000L)
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("q_id", "nb_id")
+      .select(col("q_id"), col("nb_id"))
+  }
+
   /** E7 stream-stream interval join (click attribution): each purchase
     * pairs with every same-user click in the preceding hour. BOTH sides
     * carry event-time watermarks and the join predicate carries the time

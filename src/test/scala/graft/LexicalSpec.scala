@@ -166,4 +166,27 @@ class LexicalSpec extends SparkSpecBase {
       "re-appended doc did not reinstate")
     dropIdx(tbl)
   }
+
+  test("streaming radius probe of the persisted index matches the batch radius pair-for-pair") {
+    val tbl = "lex_idx_lc_stream"
+    dropIdx(tbl)
+    val d = docsOf(sfDir)
+    Lexical.writeLexIndexOf(d, tbl)
+    // stage the query docs as the arriving stream (one parquet file)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-lex-stream")
+    d.filter(col("doc_id") < 10)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+    val schema = spark.read.parquet(sdir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+    val streamed = graft.streaming.StreamOps
+      .lexRadiusStream(spark, tbl, stream, "arrived")
+    val got = rows(graft.streaming.StreamOps
+      .runToMemory(spark, streamed, "lex_radius_mem"))
+    // the batch twin over the SAME index — the production radius path
+    val want = rows(Lexical.lexRadiusFromStore(spark, tbl))
+    assert(got === want && got.nonEmpty,
+      s"streaming lexical radius diverged from batch (${got.size} vs ${want.size})")
+    dropIdx(tbl)
+  }
 }

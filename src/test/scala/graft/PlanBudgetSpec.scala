@@ -47,6 +47,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // (observed 6); the 12 BNLJs are all 1-row broadcasts (corpus totals,
     // weight normalizer, LM bigram-count literal derivation)
     "mixture_doremi" -> B(8, 12),
+    // r10 single-term impact radius: warm index, broadcast rare-query-term
+    // join + per-row predicate + pair distinct (observed 4, zero BNLJ —
+    // stats are baked literals)
+    "lexical_radius" -> B(6, 0),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin

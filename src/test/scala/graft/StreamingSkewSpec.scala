@@ -208,4 +208,38 @@ class StreamingSkewSpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     Checkpoints.releaseAll()
   }
+
+  test("lexical radius stream: redelivered query burst stays pair-bounded and matches batch") {
+    val tbl = "lex_idx_skew"
+    Seq(tbl, tbl + "_df", tbl + "_stats",
+      graft.sources.BucketedSink.tombTableOf(tbl))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    graft.llm.Lexical.writeLexIndexOf(d, tbl)
+    // the burst: one query doc redelivered 50x on top of the normal
+    // 10-doc batch — every copy explodes the SAME rare terms and re-meets
+    // the same posting rows; the watermark pair-dedup must collapse them,
+    // so state tracks distinct emitted pairs, never burst x candidates
+    val q = d.filter(col("doc_id") < 10)
+    val burst = q.filter(col("doc_id") === 0)
+      .crossJoin(spark.range(50).select(lit(1).as("dd"))).drop("dd")
+    val sdir = java.nio.file.Files.createTempDirectory("graft-skew-lex").toString
+    q.union(burst)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir)
+    val schema = spark.read.parquet(sdir).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir)
+    val (out, prog) = runWithProgress(
+      StreamOps.lexRadiusStream(spark, tbl, stream, "arrived"), "skew_lex_radius")
+    val got = out.collect().map(_.toSeq.mkString("|")).toSet
+    val want = graft.llm.Lexical.lexRadiusFromStore(spark, tbl)
+      .collect().map(_.toSeq.mkString("|")).toSet
+    assert(got === want && want.nonEmpty,
+      s"burst lexical stream diverged from the batch twin (${got.size} vs ${want.size})")
+    assert(maxStateRows(prog) <= want.size,
+      s"lexical radius state ${maxStateRows(prog)} exceeds distinct pairs ${want.size}")
+    Seq(tbl, tbl + "_df", tbl + "_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Checkpoints.releaseAll()
+  }
 }
