@@ -92,7 +92,10 @@ object Bench {
     "lexical_topk", "hybrid_rrf",
     // r10 late: the impact radius (warm index, per-row cut) and the
     // DoReMi hedge update (one LM scan + #sources-bounded agg)
-    "lexical_radius", "mixture_doremi")
+    "lexical_radius", "mixture_doremi",
+    // r10 late: hybrid fusion from the two persisted indexes (the
+    // production hybrid-search recurring cost)
+    "hybrid_rrf_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -435,11 +435,27 @@ object Lexical {
     * k-lists), so no salting is needed; the expensive work happens inside
     * the two upstream retrievals.
     */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val lex = lexicalTopk(spark, dir)
-      .select(col("q_id"), col("nb_id"), col("rank").as("lrank"))
-    val ann = Ann.annBruteforce(spark, dir)
-      .select(col("q_id"), col("nb_id"), col("rank").as("arank"))
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(lexicalTopk(spark, dir), Ann.annBruteforce(spark, dir))
+
+  /** D92b: hybrid fusion served entirely from the two PERSISTED indexes —
+    * the production shape of D92: the lexical list from the stored
+    * inverted index (D91b) and the vector list from the stored
+    * hyperplane-bucketed embedding index (D53), fused by the same
+    * integer-exact RRF. The recurring per-query cost is two warm index
+    * probes + the contract-bounded fusion window; nothing tokenizes or
+    * scans the corpus. The vector list is the single-probe LSH top-k
+    * (approximate by construction — the serving tradeoff a deployed
+    * hybrid stack actually makes), so the oracle composes D91's SQL with
+    * D7's deterministic bucket expressions.
+    */
+  def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(lexicalIndexProbe(spark, dir), Ann.annIndexProbe(spark, dir))
+
+  /** The RRF fold over two (q_id, nb_id, rank, …) k-lists. */
+  private def rrfFuse(lexList: DataFrame, annList: DataFrame): DataFrame = {
+    val lex = lexList.select(col("q_id"), col("nb_id"), col("rank").as("lrank"))
+    val ann = annList.select(col("q_id"), col("nb_id"), col("rank").as("arank"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("rrf_e6").desc, col("nb_id").asc)
     lex.join(ann, Seq("q_id", "nb_id"), "full_outer")
@@ -455,9 +471,16 @@ object Lexical {
         col("n_lists"))
   }
 
-  def hybridRrfSql: String =
+  def hybridRrfSql: String = hybridSqlWith(Ann.annBruteforceSql)
+
+  /** D92b oracle: the same fusion fold, the vector list from D7's
+    * deterministic LSH expressions (= what the stored index serves).
+    */
+  def hybridRrfIndexedSql: String = hybridSqlWith(Ann.annLshSql)
+
+  private def hybridSqlWith(annSql: String): String =
     s"""WITH $lexCtes,
-    annr AS (SELECT q_id, nb_id, rank FROM (${Ann.annBruteforceSql})),
+    annr AS (SELECT q_id, nb_id, rank FROM ($annSql)),
     fused AS (
       SELECT coalesce(l.q_id, a.q_id) AS q_id,
              coalesce(l.nb_id, a.nb_id) AS nb_id,

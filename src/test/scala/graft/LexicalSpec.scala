@@ -101,6 +101,29 @@ class LexicalSpec extends SparkSpecBase {
     assert(got.forall(r => r.getInt(4) == 1 || r.getInt(4) == 2))
   }
 
+  test("indexed RRF fusion equals the hand-computed fold of the two persisted probes") {
+    val lex = Lexical.lexicalIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ann = Ann.annIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = (lex.keySet ++ ann.keySet).toSeq
+      .map { k =>
+        val s = lex.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          ann.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        val n = lex.contains(k).compare(false) + ann.contains(k).compare(false)
+        (k._1, k._2, s, n)
+      }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(Lexical.TopK).zipWithIndex
+          .map { case ((q, nb, s, n), i) => (q, nb, i + 1, s, n) }
+      }.toSet
+    val got = Lexical.hybridRrfIndexed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === want && got.nonEmpty,
+      "indexed hybrid RRF diverged from the hand-computed fusion")
+  }
+
   // ------------------------------------------------------------------
   // persisted-index lifecycle (the PqLifecycleSpec battery, lexical twin)
   // ------------------------------------------------------------------

@@ -51,6 +51,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // join + per-row predicate + pair distinct (observed 4, zero BNLJ —
     // stats are baked literals)
     "lexical_radius" -> B(6, 0),
+    // r10 persisted hybrid: two warm index probes + the contract-bounded
+    // fusion window (observed 9; BNLJ count is lexical's 1-row stats
+    // broadcast — the LSH list joins on bucket equality)
+    "hybrid_rrf_indexed" -> B(11, 4),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin
