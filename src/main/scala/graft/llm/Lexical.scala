@@ -452,6 +452,48 @@ object Lexical {
   def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame =
     rrfFuse(lexicalIndexProbe(spark, dir), Ann.annIndexProbe(spark, dir))
 
+  /** D92c: hybrid recall QC — the D51/D78/D84 scoreboard pattern applied
+    * to fusion: per query, how many of the EXACT cosine top-k (D6 ground
+    * truth) survive in (a) the ann-only persisted probe list and (b) the
+    * fused hybrid list, in exact basis points. This is the sheet that
+    * answers the deployment question fusion raises: RRF admits lexical
+    * hits by displacing vector hits from the fixed-k list, so semantic
+    * recall can only stay or drop — the report measures what that costs
+    * next to what the lexical path adds (which ground-truthing by cosine
+    * alone cannot credit). All three lists are k-bounded per query; the
+    * whole report is joins over ≤ 3k rows per query.
+    */
+  def hybridRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val gt = Ann.annBruteforce(spark, dir).select(col("q_id"), col("nb_id"))
+    val annL = Ann.annIndexProbe(spark, dir)
+      .select(col("q_id"), col("nb_id"), lit(1L).as("a"))
+    val hyb = hybridRrfIndexed(spark, dir)
+      .select(col("q_id"), col("nb_id"), lit(1L).as("h"))
+    gt.join(annL, Seq("q_id", "nb_id"), "left")
+      .join(hyb, Seq("q_id", "nb_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("a")), lit(0L)).as("ann_hits"),
+        coalesce(sum(col("h")), lit(0L)).as("hyb_hits"))
+      .select(col("q_id"), col("n_exact"), col("ann_hits"), col("hyb_hits"),
+        expr("(ann_hits * 10000) div n_exact").as("ann_bp"),
+        expr("(hyb_hits * 10000) div n_exact").as("hyb_bp"))
+  }
+
+  def hybridRecallReportSql: String =
+    s"""WITH gt AS (SELECT q_id, nb_id FROM (${Ann.annBruteforceSql})),
+    annl AS (SELECT q_id, nb_id, 1 AS a FROM (${Ann.annLshSql})),
+    hyb AS (SELECT q_id, nb_id, 1 AS h FROM ($hybridRrfIndexedSql))
+    SELECT g.q_id, count(*) AS n_exact,
+           CAST(coalesce(sum(a.a), 0) AS BIGINT) AS ann_hits,
+           CAST(coalesce(sum(h.h), 0) AS BIGINT) AS hyb_hits,
+           CAST((coalesce(sum(a.a), 0) * 10000) // count(*) AS BIGINT) AS ann_bp,
+           CAST((coalesce(sum(h.h), 0) * 10000) // count(*) AS BIGINT) AS hyb_bp
+    FROM gt g
+    LEFT JOIN annl a ON g.q_id = a.q_id AND g.nb_id = a.nb_id
+    LEFT JOIN hyb h ON g.q_id = h.q_id AND g.nb_id = h.nb_id
+    GROUP BY g.q_id"""
+
   /** The RRF fold over two (q_id, nb_id, rank, …) k-lists. */
   private def rrfFuse(lexList: DataFrame, annList: DataFrame): DataFrame = {
     val lex = lexList.select(col("q_id"), col("nb_id"), col("rank").as("lrank"))

@@ -124,6 +124,30 @@ class LexicalSpec extends SparkSpecBase {
       "indexed hybrid RRF diverged from the hand-computed fusion")
   }
 
+  test("hybrid recall report equals the hand-computed scoreboard of the three lists") {
+    val gt = Ann.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annL = Ann.annIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hyb = Lexical.hybridRrfIndexed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = gt.groupBy(_._1).map { case (q, pairs) =>
+      val n = pairs.size.toLong
+      val a = pairs.count(annL).toLong
+      val h = pairs.count(hyb).toLong
+      (q, n, a, h, a * 10000 / n, h * 10000 / n)
+    }.toSet
+    val got = Lexical.hybridRecallReport(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === want && got.nonEmpty,
+      "hybrid recall report diverged from the hand-computed scoreboard")
+    // contract sanity: hits never exceed the ground-truth k
+    got.foreach { case (_, n, a, h, _, _) =>
+      assert(a <= n && h <= n, "hits exceeded ground truth size")
+    }
+  }
+
   // ------------------------------------------------------------------
   // persisted-index lifecycle (the PqLifecycleSpec battery, lexical twin)
   // ------------------------------------------------------------------

@@ -55,6 +55,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // fusion window (observed 9; BNLJ count is lexical's 1-row stats
     // broadcast — the LSH list joins on bucket equality)
     "hybrid_rrf_indexed" -> B(11, 4),
+    // r10 hybrid recall QC: ground truth + two probe lists + the
+    // k-bounded scoreboard joins (observed 10); BNLJ = bruteforce's
+    // query crossJoin + lexical's stats broadcast
+    "hybrid_recall_report" -> B(12, 8),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin
