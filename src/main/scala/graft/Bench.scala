@@ -94,8 +94,9 @@ object Bench {
     // DoReMi hedge update (one LM scan + #sources-bounded agg)
     "lexical_radius", "mixture_doremi",
     // r10 late: hybrid fusion from the two persisted indexes (the
-    // production hybrid-search recurring cost)
-    "hybrid_rrf_indexed")
+    // production hybrid-search recurring cost), the fusion recall QC
+    // sheet, and positional phrase retrieval
+    "hybrid_rrf_indexed", "hybrid_recall_report", "lexical_phrase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -353,6 +354,38 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pq probe stream row failed: $e"); (-1.0, -1.0)
     }
+    // r10 streaming e2e row: the lexical-tier serving probe — query docs
+    // stream against the PERSISTED inverted index (built in the untimed
+    // warmup), rare-term gated, impact-radius cut, watermarked pair
+    // dedup. State rows = emitted pairs inside the horizon.
+    val (lexProbeSec, lexProbeStateRows) = try {
+      val tbl = graft.llm.Lexical.ensureLexIndex(spark, sfDir)
+      graft.Checkpoints.releaseAll()
+      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-lex-probe")
+      import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+        .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+      val schema = spark.read.parquet(sdir.toString).schema
+      var stateRows = 0.0
+      def run(): Unit = {
+        val cp = java.nio.file.Files.createTempDirectory("graft-bench-lex-probe-cp")
+        val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+        val q = graft.streaming.StreamOps.lexRadiusStream(spark, tbl, stream, "arrived")
+          .writeStream.format("noop").option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        stateRows = lastStateRows(q)
+      }
+      run()
+      val t0 = System.nanoTime(); run()
+      ((System.nanoTime() - t0) / 1e9, stateRows)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] lex radius stream row failed: $e"); (-1.0, -1.0)
+    }
     val (clickSec, clickStateRows) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-bench-click")
       java.nio.file.Files.copy(
@@ -381,6 +414,8 @@ object Bench {
       ("stream_index_probe_state_rows" -> probeStateRows) :+
       ("stream_pq_probe_e2e" -> pqProbeSec) :+
       ("stream_pq_probe_state_rows" -> pqProbeStateRows) :+
+      ("stream_lex_radius_e2e" -> lexProbeSec) :+
+      ("stream_lex_radius_state_rows" -> lexProbeStateRows) :+
       ("stream_click_attr_e2e" -> clickSec) :+
       ("stream_click_attr_state_rows" -> clickStateRows) :+
       ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)

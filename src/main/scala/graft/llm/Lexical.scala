@@ -452,6 +452,89 @@ object Lexical {
   def hybridRrfIndexed(spark: SparkSession, dir: String): DataFrame =
     rrfFuse(lexicalIndexProbe(spark, dir), Ann.annIndexProbe(spark, dir))
 
+  /** D91d: exact-phrase retrieval over POSITIONAL postings — the
+    * capability class term-bag scoring cannot express (Lucene's phrase
+    * query): find every document containing the query's phrase with the
+    * terms ADJACENT, not merely co-present. Each query doc contributes
+    * its RAREST adjacent bigram (min df(t1)+df(t2), ties by the terms —
+    * the rare-first discipline applied to phrases: the phrase join's
+    * fan-out is bounded by the rarest available posting list), and the
+    * match is positional: occurrences are (doc, pos) rows holding t1
+    * whose (doc, pos+1) row holds t2. Output: (q_id, nb_id, n_occ) with
+    * exact occurrence counts, self excluded.
+    *
+    * Scale shape: positional postings are ONE posexplode scan (no
+    * aggregation — position rows are the index, the Lucene proximity
+    * layout); the ≤ Q phrase rows broadcast into the t1 posting join;
+    * the adjacency check is an equality join on (doc, pos+1) against the
+    * same positional frame; the occurrence count is bounded by phrase
+    * hits. Nothing touches hot vocabulary unless the query doc offers
+    * nothing rarer.
+    */
+  def lexicalPhrase(spark: SparkSession, dir: String): DataFrame =
+    lexicalPhraseOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  private[graft] def lexicalPhraseOf(docs0: DataFrame): DataFrame = {
+    val ppost = docs0
+      .select(col("doc_id"), posexplode(TextOps.toks(col("text"))).as(Seq("pos", "term")))
+    val dfreq = ppost.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // phrase candidates of the query docs: adjacent (t1, t2) pairs with
+    // their df sum — contract-bounded by the query docs' own lengths
+    val qb = ppost.filter(col("doc_id") < NQueries)
+    val pairs = broadcast(qb.select(col("doc_id").as("q_id"),
+        col("pos"), col("term").as("t1"))
+      .join(qb.select(col("doc_id").as("q_id"), (col("pos") - 1).as("pos"),
+        col("term").as("t2")), Seq("q_id", "pos")))
+      .join(dfreq.withColumnRenamed("term", "t1").withColumnRenamed("df", "df1"), Seq("t1"))
+      .join(dfreq.withColumnRenamed("term", "t2").withColumnRenamed("df", "df2"), Seq("t2"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy((col("df1") + col("df2")).asc, col("t1").asc, col("t2").asc)
+    val phrase = pairs
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") === 1)
+      .select(col("q_id"), col("t1"), col("t2"))
+    ppost.join(broadcast(phrase), col("term") === col("t1"))
+      .select(col("q_id"), col("doc_id"), col("pos"), col("t2"))
+      .join(ppost.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("term").as("t2")), Seq("doc_id", "pos", "t2"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id").as("nb_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  def lexicalPhraseSql: String =
+    s"""WITH ltk AS (SELECT doc_id, ${TextOps.toksSql} AS ts FROM documents),
+    ppost AS (
+      SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS term
+      FROM ltk),
+    pdf AS (
+      SELECT term, count(*) AS df FROM (
+        SELECT DISTINCT doc_id, term FROM ppost)
+      GROUP BY term),
+    qb AS (SELECT * FROM ppost WHERE doc_id < $NQueries),
+    pairs AS (
+      SELECT a.doc_id AS q_id, a.term AS t1, b.term AS t2,
+             d1.df + d2.df AS dfsum
+      FROM qb a
+      JOIN qb b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN pdf d1 ON d1.term = a.term
+      JOIN pdf d2 ON d2.term = b.term),
+    phrase AS (
+      SELECT q_id, t1, t2 FROM (
+        SELECT q_id, t1, t2,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY dfsum ASC, t1 ASC, t2 ASC) AS pr
+        FROM pairs)
+      WHERE pr = 1)
+    SELECT ph.q_id, m1.doc_id AS nb_id, count(*) AS n_occ
+    FROM phrase ph
+    JOIN ppost m1 ON m1.term = ph.t1
+    JOIN ppost m2 ON m2.doc_id = m1.doc_id AND m2.pos = m1.pos + 1
+                 AND m2.term = ph.t2
+    WHERE m1.doc_id != ph.q_id
+    GROUP BY ph.q_id, m1.doc_id"""
+
   /** D92c: hybrid recall QC — the D51/D78/D84 scoreboard pattern applied
     * to fusion: per query, how many of the EXACT cosine top-k (D6 ground
     * truth) survive in (a) the ann-only persisted probe list and (b) the

@@ -124,6 +124,25 @@ class LexicalSpec extends SparkSpecBase {
       "indexed hybrid RRF diverged from the hand-computed fusion")
   }
 
+  test("phrase retrieval: adjacency is required and occurrences count exactly") {
+    // doc 0's rarest bigram is "zebra stripes" (both terms df=4, every
+    // other adjacent pair touches the hot filler vocabulary); doc 40
+    // contains it twice ADJACENT, doc 41 has both terms but separated,
+    // doc 42 has it once
+    val rows = Seq(
+      (0L, "zebra stripes common words"),
+      (40L, "zebra stripes here and zebra stripes again"),
+      (41L, "zebra common stripes apart"),
+      (42L, "one zebra stripes occurrence")) ++
+      (1 to 19).map(i => (i.toLong, s"common words filler$i"))
+    val out = graft.llm.Lexical.lexicalPhraseOf(rows.toDF("doc_id", "text"))
+      .filter(col("q_id") === 0).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(40L -> 2L, 42L -> 1L),
+      s"phrase semantics broke: $out (41 has the terms non-adjacent and " +
+        "must be absent; 40 must count 2 occurrences)")
+  }
+
   test("hybrid recall report equals the hand-computed scoreboard of the three lists") {
     val gt = Ann.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -59,6 +59,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     // k-bounded scoreboard joins (observed 10); BNLJ = bruteforce's
     // query crossJoin + lexical's stats broadcast
     "hybrid_recall_report" -> B(12, 8),
+    // r10 phrase retrieval: one posexplode scan + vocab df agg + the
+    // broadcast phrase join + positional adjacency join (observed 5)
+    "lexical_phrase" -> B(7, 0),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin
