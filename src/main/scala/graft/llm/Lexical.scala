@@ -343,7 +343,12 @@ object Lexical {
     val present = spark.table(table).select(col("doc_id"))
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
     val fresh = b.join(broadcast(present), Seq("doc_id"), "left_anti")
+    // insertInto resolves by POSITION, not name — select the batch rows in
+    // the target table's own column order so a future reorder of
+    // postingsOf's projection can never silently write term/len/tf into
+    // the wrong columns
     postingsOf(fresh)
+      .select(spark.table(table).columns.map(col).toSeq: _*)
       .repartition(nBuckets, col("doc_id"))
       .write.insertInto(table)
   }

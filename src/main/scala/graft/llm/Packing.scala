@@ -138,7 +138,7 @@ object Packing {
     * (D54's full statement nests as a subquery — DuckDB allows WITH
     * RECURSIVE inside a derived table).
     */
-  val packSequencesBpeSql: String =
+  def packSequencesBpeSql: String =
     s"""SELECT doc_id, shard, n_tokens,
       CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id,
       CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
@@ -204,7 +204,7 @@ object Packing {
   /** D72 oracle: the identical integer derivations over each pack
     * statement's own output (every output column CAST — DuckDB's SUM over
     * BIGINT widens to HUGEINT). */
-  val packEfficiencySql: String = {
+  def packEfficiencySql: String = {
     def stats(sub: String, counter: String) =
       s"""SELECT '$counter' AS counter, shard,
         CAST(COUNT(*) AS BIGINT) AS n_docs,

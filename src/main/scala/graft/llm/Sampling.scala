@@ -678,8 +678,26 @@ object Sampling {
     */
   def DoremiEtaE2: Int = {
     val e = graft.GraftConfig.int("graft.doremi.etaE2", 100)
-    require(e >= 0, s"graft.doremi.etaE2 must be >= 0, got $e")
+    // upper bound keeps η·excess_e9 inside the long product headroom the
+    // raw-update operands are sized for (η ≤ 10⁶ ⇒ η·excess ≤ 10¹⁵); the
+    // update itself runs in DECIMAL(38,0)/HUGEINT regardless, so the bound
+    // is belt-and-braces, not the exactness guarantee
+    require(e >= 0 && e <= 1000000,
+      s"graft.doremi.etaE2 must be in [0, 1000000], got $e")
     e
+  }
+
+  /** Hedge iteration count for D93 (the published DoReMi iterate is T
+    * rounds of the multiplicative-weights update with renormalization
+    * between — Xie et al. run it to convergence; the D75 `graft.logreg.
+    * iters` pattern). Each round multiplies the CURRENT normalized weight
+    * by the linearized hedge factor and renormalizes to exact basis
+    * points, so iters=1 reproduces the single-update form bit-for-bit.
+    */
+  def DoremiIters: Int = {
+    val t = graft.GraftConfig.int("graft.doremi.iters", 1)
+    require(t >= 1 && t <= 64, s"graft.doremi.iters must be in [1,64], got $t")
+    t
   }
 
   /** D93: DoReMi-style domain reweighting (Xie et al., NeurIPS 2023) — one
@@ -728,14 +746,31 @@ object Sampling {
           lit(0L)))
       .withColumn("base_bp",
         expr("case when tb > 0 then (cast(n_bigrams as decimal(38,0)) * 10000) div tb else cast(0 as bigint) end"))
-      .withColumn("w_raw",
-        expr(s"base_bp * (1000000000 + ($DoremiEtaE2 * excess_e9) div 100)"))
-    val ws = w.agg(coalesce(sum(col("w_raw")), lit(0L)).as("wsum"))
-    w.crossJoin(broadcast(ws))
-      .select(col("source"), col("n_docs"), col("n_bigrams"), col("typ_e9"),
-        col("excess_e9"), col("base_bp"),
-        expr("case when wsum > 0 then (cast(w_raw as decimal(38,0)) * 10000) div wsum else cast(0 as bigint) end")
-          .as("doremi_bp"))
+    // T hedge rounds (DoremiIters): w_bp⁰ = base_bp; each round multiplies
+    // the CURRENT normalized weight by the linearized factor and
+    // renormalizes to exact basis points. The raw product runs in
+    // DECIMAL(38,0) (the covar-wide discipline — w_bp ≤ 10⁴ and the factor
+    // ≤ 10⁹ + η·excess/100 ≤ ~10¹³, so the long form was one config away
+    // from silent wrap), and the frame is #sources-bounded, so the loop is
+    // T tiny aggregates + T broadcast renormalizations — never a corpus
+    // pass (the LM scan above happens once).
+    val iterated = (1 to DoremiIters).foldLeft(
+      w.withColumn("w_bp", col("base_bp"))) { (cur, _) =>
+      val raw = cur.withColumn("w_raw",
+        expr(s"cast(w_bp as decimal(38,0)) * " +
+          s"(1000000000 + ($DoremiEtaE2 * excess_e9) div 100)"))
+      val ws = raw.agg(
+        coalesce(sum(col("w_raw")), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).as("wsum"))
+      raw.crossJoin(broadcast(ws))
+        .withColumn("w_bp",
+          expr("case when wsum > 0 then cast((w_raw * 10000) div wsum as bigint) " +
+            "else cast(0 as bigint) end"))
+        .drop("w_raw", "wsum")
+    }
+    iterated.select(col("source"), col("n_docs"), col("n_bigrams"),
+      col("typ_e9"), col("excess_e9"), col("base_bp"),
+      col("w_bp").as("doremi_bp"))
   }
 
   def mixtureDoremiSql: String = {
@@ -769,16 +804,19 @@ object Sampling {
                THEN CAST((CAST(n_bigrams AS HUGEINT) * 10000) // tb AS BIGINT)
                ELSE 0 END AS base_bp
       FROM src, tt),
-    w2 AS (SELECT *,
-             base_bp * (1000000000 + ($DoremiEtaE2 * excess_e9) // 100) AS w_raw
-           FROM w),
-    ws AS (SELECT coalesce(sum(w_raw), 0) AS wsum FROM w2)
+    wb0 AS (SELECT *, base_bp AS w_bp FROM w),
+    ${(1 to DoremiIters).map { i =>
+      s"""wr$i AS (SELECT *, CAST(w_bp AS HUGEINT)
+           * (1000000000 + ($DoremiEtaE2 * excess_e9) // 100) AS w_raw
+         FROM wb${i - 1}),
+    wb$i AS (SELECT source, n_docs, n_bigrams, typ_e9, excess_e9, base_bp,
+           CASE WHEN s.ws > 0 THEN (w_raw * 10000) // s.ws ELSE 0 END AS w_bp
+         FROM wr$i, (SELECT coalesce(sum(w_raw), 0) AS ws FROM wr$i) s)"""
+    }.mkString(",\n    ")}
     SELECT source, n_docs, n_bigrams, CAST(typ_e9 AS BIGINT) AS typ_e9,
            CAST(excess_e9 AS BIGINT) AS excess_e9,
            CAST(base_bp AS BIGINT) AS base_bp,
-           CAST(CASE WHEN wsum > 0
-             THEN (CAST(w_raw AS HUGEINT) * 10000) // wsum ELSE 0 END AS BIGINT)
-             AS doremi_bp
-    FROM w2, ws"""
+           CAST(w_bp AS BIGINT) AS doremi_bp
+    FROM wb$DoremiIters"""
   }
 }

@@ -528,7 +528,22 @@ object TextOps {
         '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
       FROM documents)"""
 
-  val BpeTopMerges = 20
+  /** Mined-merge-table width for the D46/D54/D59/D62 tokenizer family
+    * (`graft.bpe.topMerges`, the graft.ann.* convention: read at
+    * plan-construction time by BOTH the Spark encoder and the oracle-SQL
+    * generators). Default 20 preserves the historical toy width; real
+    * vocabularies run at hundreds of merges. Ceiling 648: token ids are
+    * base 0-27 + merge ids 28+rank, and the ORACLE's fixed-width
+    * two-char token band (uppercase·lowercase = 26·26 = 676 encodable
+    * ids) must hold every id — the engine-side integer-array encoder has
+    * no width limit of its own.
+    */
+  def BpeTopMerges: Int = {
+    val m = graft.GraftConfig.int("graft.bpe.topMerges", 20)
+    require(m >= 1 && m <= 648,
+      s"graft.bpe.topMerges must be in [1, 648], got $m")
+    m
+  }
 
   /** D46: BPE merge candidates — the first vocabulary-induction step
     * (Sennrich et al. 2016): the corpus-wide most frequent ADJACENT symbol
@@ -569,7 +584,7 @@ object TextOps {
       .orderBy(col("n").desc, col("slot").asc)
       .limit(BpeTopMerges)
   }
-  val bpeMergesSql: String = {
+  def bpeMergesSql: String = {
     val v = LmAlphabetSize
     def dec(e: String) =
       s"CASE WHEN $e = 27 THEN ' ' WHEN $e = 26 THEN '0' ELSE chr($e + 97) END"
@@ -603,26 +618,69 @@ object TextOps {
     * literals. The encode itself is then one map-only pass over the
     * corpus: no join, no shuffle, embarrassingly parallel at 100 TB.
     */
-  /** The baked BPE merge fold shared by D54 (encode) and D62 (coverage):
-    * the mined merges collect as code-time literals (bounded by
-    * BpeTopMerges — the §5 bounded-scalar contract) and replay over the
-    * normalized text left-to-right, each merge collapsing to one char in
-    * the A.. placeholder band (65+rank; BpeTopMerges ≤ 26 keeps the band
-    * inside A-Z — D62's `[A-Z]` counting depends on that). ONE definition
-    * so the two operators' tokenizations cannot drift.
+  /** The mined merge table as integer rules in priority order: (left
+    * code, right code, merged id). Codes are the D32 base alphabet 0-27;
+    * merge rank i mints id 28+i. The collect is ≤ BpeTopMerges rows of a
+    * vocabulary²-bounded aggregate (the §5 bounded-scalar contract —
+    * same class as the PQ codebook), baked into the encoder closure.
     */
-  private def bakedMergeFold(spark: SparkSession, dir: String): Column = {
+  private def minedMerges(spark: SparkSession, dir: String): Array[(Int, Int, Int)] = {
+    val v = LmAlphabetSize
+    bpeMerges(spark, dir).select(col("slot")).collect()
+      .map(_.getLong(0).toInt).zipWithIndex
+      .map { case (slot, i) => (slot / v, slot % v, 28 + i) }
+  }
+
+  /** One merge rule applied to a token-id array: leftmost-first,
+    * non-overlapping (a merged id is fresh, so it can never re-match the
+    * same rule's left symbol within the pass) — exactly the semantics of
+    * string `replace` over an unambiguous token encoding, which is what
+    * the DuckDB oracle runs (and what BpeParitySpec pins against the
+    * historical ≤26-merge single-char string fold).
+    */
+  private[llm] def applyMerge(arr: Array[Int], a: Int, b: Int, x: Int): Array[Int] = {
+    if (arr.length < 2) return arr
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(arr.length)
+    var i = 0
+    while (i < arr.length) {
+      if (i + 1 < arr.length && arr(i) == a && arr(i + 1) == b) {
+        out += x; i += 2
+      } else { out += arr(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The full encode: merge rules replayed in mined priority order over a
+    * base-code array. O(len · merges) per doc with zero allocations beyond
+    * the per-pass output buffer — the shape a real tokenizer apply takes.
+    */
+  private[llm] def bpeEncodeIds(codes: Array[Int],
+                                merges: Array[(Int, Int, Int)]): Array[Int] = {
+    var cur = codes
+    var i = 0
+    while (i < merges.length) {
+      val (a, b, x) = merges(i)
+      cur = applyMerge(cur, a, b, x)
+      i += 1
+    }
+    cur
+  }
+
+  /** The historical ≤26-merge string fold (merge rank i collapses to the
+    * single placeholder char 65+i) — retained ONLY as the parity witness
+    * for the integer-array encoder (BpeParitySpec): at any width ≤ 26 the
+    * two produce identical token ids, which is the proof the array
+    * encoder didn't change semantics when it lifted the width cap.
+    */
+  private[llm] def stringFoldEncodeIds(spark: SparkSession, dir: String): DataFrame = {
     require(BpeTopMerges <= 26, "placeholder band must stay within A-Z")
     val merges = bpeMerges(spark, dir).select(col("pair"))
       .collect().map(_.getString(0))
-    merges.zipWithIndex.foldLeft(lmNorm(col("text"))) {
+    val encoded = merges.zipWithIndex.foldLeft(lmNorm(col("text"))) {
       case (s, (p, i)) =>
         call_function("replace", s, lit(p), lit((65 + i).toChar.toString))
     }
-  }
-
-  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val encoded = bakedMergeFold(spark, dir)
     val ids = transform(
       filter(split(encoded, ""), c => length(c) === 1),
       c => when(c === " ", lit(27)).when(c === "0", lit(26))
@@ -634,33 +692,83 @@ object TextOps {
         coalesce(array_join(transform(ids, i => i.cast("string")), ","), lit(""))
           .as("token_csv"))
   }
-  val textBpeEncodeSql: String = {
-    // identical merge sequence, applied by a recursive CTE: step i rewrites
-    // with merge rank i (ranks are the mined order), so the replace chain
-    // is the same left-to-right fold the Spark side bakes in as literals;
-    // the stop level adapts if the corpus yields fewer than BpeTopMerges
-    // pairs (the Spark fold shortens identically)
+
+  /** Shared D54/D62 core: (doc_id, source, n_chars, ids) with `ids` the
+    * tokenizer-true BPE token ids (base chars 0-27, merge rank i → 28+i).
+    * The normalize + char→code pass stays in Column space (one O(len)
+    * projection, identical to the D32/D46 machinery); the merge replay
+    * runs in a typed mapPartitions with the ≤ BpeTopMerges rules baked
+    * into the closure — map-only, no join, no shuffle, embarrassingly
+    * parallel at 100 TB, and the width now scales to real vocabularies
+    * (hundreds of merges) instead of the A-Z placeholder band's 26.
+    */
+  private def bpeIdsFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = minedMerges(spark, dir)
+    val codeArr = transform(
+      filter(split(lmNorm(col("text")), ""), c => length(c) === 1),
+      c => when(c === " ", 27).when(c === "0", 26)
+        .otherwise(ascii(c) - 97).cast("int"))
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
+        codeArr.as("codes"))
+      .as[(Long, String, Array[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, src, codes) =>
+          (id, src, codes.length, bpeEncodeIds(codes, merges))
+        }
+      }
+      .toDF("doc_id", "source", "n_chars", "ids")
+  }
+
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeIdsFrame(spark, dir).select(
+      col("doc_id"),
+      size(col("ids")).cast("bigint").as("n_tokens"),
+      array_join(transform(col("ids"), i => i.cast("string")), ",")
+        .as("token_csv"))
+
+  /** Oracle-side fixed-width token encoding: id t (0 ≤ t < 676) →
+    * chr(65 + t div 26) · chr(97 + t mod 26) — first char uppercase,
+    * second lowercase, so EVERY occurrence of a two-token search pattern
+    * in the encoded stream is token-aligned (an odd offset would need an
+    * uppercase where only lowercase occurs), and `replace`'s
+    * leftmost-first non-overlapping scan is exactly one BPE merge pass.
+    * This is what lifts the oracle past 26 merges: the placeholder is a
+    * fixed-width band of 676 ids, not a single A-Z char.
+    */
+  private def encTokSql(e: String): String =
+    s"chr(CAST(65 + ($e) // 26 AS INT)) || chr(CAST(97 + ($e) % 26 AS INT))"
+
+  def textBpeEncodeSql: String =
     s"""WITH RECURSIVE m AS (
-      SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, slot ASC) - 1 AS INT) AS rank
-      FROM ($bpeMergesSql)),
+      SELECT rank, ${encTokSql("slot // 28")} || ${encTokSql("slot % 28")} AS pat,
+             ${encTokSql("28 + rank")} AS repl
+      FROM (SELECT CAST(row_number() OVER (ORDER BY n DESC, slot ASC) - 1 AS INT)
+                     AS rank, slot
+            FROM ($bpeMergesSql))),
     t AS (SELECT doc_id, $lmNormSql AS s FROM documents),
+    e0 AS (SELECT doc_id, array_to_string(list_transform(
+        list_transform(list_filter(string_split(s, ''), c -> len(c) = 1),
+          c -> CASE WHEN c = ' ' THEN 27 WHEN c = '0' THEN 26
+                    ELSE ascii(c) - 97 END),
+        k -> ${encTokSql("k")}), '') AS s2
+      FROM t),
     ap AS (
-      SELECT doc_id, s, 0 AS i FROM t
+      SELECT doc_id, s2, 0 AS i FROM e0
       UNION ALL
-      SELECT ap.doc_id, replace(ap.s, m.pair, chr(65 + m.rank)), ap.i + 1
+      SELECT ap.doc_id, replace(ap.s2, m.pat, m.repl), ap.i + 1
       FROM ap JOIN m ON m.rank = ap.i
       WHERE ap.i < $BpeTopMerges),
-    enc AS (SELECT doc_id, s FROM ap WHERE i = (SELECT count(*) FROM m)),
+    enc AS (SELECT doc_id, s2 FROM ap WHERE i = (SELECT count(*) FROM m)),
     ids AS (SELECT doc_id,
-      list_transform(list_filter(string_split(s, ''), c -> len(c) = 1),
-        c -> CASE WHEN c = ' ' THEN 27 WHEN c = '0' THEN 26
-                  WHEN ascii(c) >= 97 THEN ascii(c) - 97
-                  ELSE ascii(c) - 65 + 28 END) AS l
+      list_transform(range(len(s2) // 2),
+        i -> (ascii(substr(s2, CAST(i * 2 + 1 AS INT), 1)) - 65) * 26
+           + ascii(substr(s2, CAST(i * 2 + 2 AS INT), 1)) - 97) AS l
       FROM enc)
     SELECT doc_id, CAST(coalesce(len(l), 0) AS BIGINT) AS n_tokens,
            coalesce(array_to_string(l, ','), '') AS token_csv
     FROM ids"""
-  }
 
   /** D62 (r7): tokenizer coverage report — the QC gate behind "is the
     * mined BPE vocabulary actually covering this corpus": per source,
@@ -671,21 +779,18 @@ object TextOps {
     * merged_bp collapses is out-of-domain for the tokenizer and shows up
     * here BEFORE it inflates training sequence lengths.
     *
-    * Shape: the same baked merge fold as D54 (no join — merges are
-    * code-time literals per run), all counting on the folded string
-    * (every char = one token; merge placeholders are the A..T band), then
-    * ONE partial-agg shuffle bounded by the source alphabet. Ratios in
-    * exact integer arithmetic, zero-token sources guard to 0.
+    * Shape: the same integer-array merge replay as D54 (no join — merges
+    * are closure-baked rules per run), all counting on the token-id array
+    * (a merged token is any id ≥ 28), then ONE partial-agg shuffle
+    * bounded by the source alphabet. Ratios in exact integer arithmetic,
+    * zero-token sources guard to 0.
     */
   def bpeCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val encoded = bakedMergeFold(spark, dir)
-    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
-      .select(coalesce(col("source"), lit("")).as("source"),
-        coalesce(length(encoded), lit(0)).cast("bigint").as("toks"),
-        coalesce(length(encoded) -
-          length(regexp_replace(encoded, lit("[A-Z]"), lit(""))), lit(0))
-          .cast("bigint").as("merged"),
-        coalesce(length(lmNorm(col("text"))), lit(0)).cast("bigint").as("chars"))
+    bpeIdsFrame(spark, dir)
+      .select(col("source"),
+        size(col("ids")).cast("bigint").as("toks"),
+        size(filter(col("ids"), i => i >= 28)).cast("bigint").as("merged"),
+        col("n_chars").cast("bigint").as("chars"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
         sum(col("merged")).as("n_merged"), sum(col("chars")).as("n_chars"))
@@ -696,23 +801,37 @@ object TextOps {
           .otherwise(expr("(100 * n_chars) div n_tokens")).as("chars_per_token_e2"))
   }
 
-  val bpeCoverageSql: String =
+  def bpeCoverageSql: String =
     s"""WITH RECURSIVE m AS (
-      SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, slot ASC) - 1 AS INT) AS rank
-      FROM ($bpeMergesSql)),
+      SELECT rank, ${encTokSql("slot // 28")} || ${encTokSql("slot % 28")} AS pat,
+             ${encTokSql("28 + rank")} AS repl
+      FROM (SELECT CAST(row_number() OVER (ORDER BY n DESC, slot ASC) - 1 AS INT)
+                     AS rank, slot
+            FROM ($bpeMergesSql))),
     t AS (SELECT doc_id, $lmNormSql AS s FROM documents),
+    e0 AS (SELECT doc_id, array_to_string(list_transform(
+        list_transform(list_filter(string_split(s, ''), c -> len(c) = 1),
+          c -> CASE WHEN c = ' ' THEN 27 WHEN c = '0' THEN 26
+                    ELSE ascii(c) - 97 END),
+        k -> ${encTokSql("k")}), '') AS s2
+      FROM t),
     ap AS (
-      SELECT doc_id, s, 0 AS i FROM t
+      SELECT doc_id, s2, 0 AS i FROM e0
       UNION ALL
-      SELECT ap.doc_id, replace(ap.s, m.pair, chr(65 + m.rank)), ap.i + 1
+      SELECT ap.doc_id, replace(ap.s2, m.pat, m.repl), ap.i + 1
       FROM ap JOIN m ON m.rank = ap.i
       WHERE ap.i < $BpeTopMerges),
-    enc AS (SELECT doc_id, s FROM ap WHERE i = (SELECT count(*) FROM m)),
+    enc AS (SELECT doc_id, s2 FROM ap WHERE i = (SELECT count(*) FROM m)),
+    ids AS (SELECT doc_id,
+      list_transform(range(len(s2) // 2),
+        i -> (ascii(substr(s2, CAST(i * 2 + 1 AS INT), 1)) - 65) * 26
+           + ascii(substr(s2, CAST(i * 2 + 2 AS INT), 1)) - 97) AS l
+      FROM enc),
     per AS (
-      SELECT e.doc_id, CAST(len(e.s) AS BIGINT) AS toks,
-             CAST(len(e.s) - len(regexp_replace(e.s, '[A-Z]', '', 'g')) AS BIGINT) AS merged,
+      SELECT e.doc_id, CAST(len(e.l) AS BIGINT) AS toks,
+             CAST(len(list_filter(e.l, x -> x >= 28)) AS BIGINT) AS merged,
              CAST(len(p.s) AS BIGINT) AS chars
-      FROM enc e JOIN t p USING (doc_id))
+      FROM ids e JOIN t p USING (doc_id))
     SELECT coalesce(d.source, '') AS source,
       CAST(count(*) AS BIGINT) AS n_docs,
       CAST(sum(per.toks) AS BIGINT) AS n_tokens,
