@@ -32,6 +32,10 @@ package graft
   *  - graft.lex.maxDfBp         (llm.Lexical.MaxDfBp,        default 500)
   *  - graft.lex.radiusE4        (llm.Lexical.RadiusE4,       default 100000)
   *  - graft.doremi.etaE2        (llm.Sampling.DoremiEtaE2,   default 100)
+  *  - graft.doremi.iters        (llm.Sampling.DoremiIters,   default 1)
+  *  - graft.bpe.topMerges       (llm.TextOps.BpeTopMerges,   default 20)
+  *  - graft.lex.phraseK         (llm.Lexical.PhraseK,        default 3)
+  *  - graft.lex.slop            (llm.Lexical.PhraseSlop,     default 2)
   */
 object GraftConfig {
   def int(key: String, default: Int): Int =

@@ -120,24 +120,30 @@ object Lexical {
     docs0.select(size(TextOps.toks(col("text"))).as("l"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("l")), lit(0L)).as("total"))
 
-  /** The retrieval tail over any (postings, df, stats) source — live
-    * frames for D91, the stored index for D91b.
+  /** Query-term selection shared by both scorers: the ≤ Q·vocab(query
+    * docs) frame joins df and ranks rare-first per query —
+    * contract-bounded by the query docs' own vocabularies (the embed_pca
+    * window class).
     */
-  private def rankedRetrieve(post: DataFrame, dfreq: DataFrame,
-                             stats: DataFrame): DataFrame = {
-    // query-term selection: the ≤ Q·vocab(query docs) frame joins df and
-    // ranks rare-first per query — contract-bounded by the query docs'
-    // own vocabularies (the embed_pca window class)
+  private def querySelOf(post: DataFrame, dfreq: DataFrame): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("df").asc, col("term").asc)
-    val qsel = broadcast(post.filter(col("doc_id") < NQueries)
+    broadcast(post.filter(col("doc_id") < NQueries)
         .select(col("doc_id").as("q_id"), col("term")))
       .join(dfreq, Seq("term"))
       .withColumn("tr", row_number().over(wq))
       .filter(col("tr") <= QueryTerms)
       .select(col("q_id"), col("term"), col("df"))
-    val scored = post
-      .join(broadcast(qsel), Seq("term"))
+  }
+
+  /** Full candidate scores under the integer RSJ-ratio scorer (the
+    * pre-top-k frame) — also the left side of the rank-agreement gauge
+    * that quantifies the documented log→ratio idf substitution
+    * (LexicalSpec).
+    */
+  private[graft] def scoredCandidatesOf(post: DataFrame, dfreq: DataFrame,
+                                        stats: DataFrame): DataFrame =
+    post.join(broadcast(querySelOf(post, dfreq)), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_e4",
@@ -147,10 +153,52 @@ object Lexical {
                 (cast(10 as decimal(38,0)) * tf * total + 3 * total + 9 * len * n)"""))
       .groupBy(col("q_id"), col("doc_id").as("nb_id"))
       .agg(sum(expr("cast(idf_e4 as decimal(38,0)) * tfsat_e6")).as("s_e10"))
-    saltedLexTopK(scored)
+
+  /** The TEXTBOOK log-idf BM25 scorer (double ln — transcendental, so
+    * spec-side only, never an oracle surface): the ground truth the
+    * engine's exact RSJ-ratio family is measured against. Deliberately
+    * Lucene BM25Similarity's NON-NEGATIVE form ln(1 + (N−df+½)/(df+½)) —
+    * the raw RSJ log goes negative once df > N/2 (the classic
+    * negative-idf pathology, which this synthetic corpus's uniformly hot
+    * vocabulary hits on every term), and no deployed engine serves that.
+    * Same query selection, same k1/b, same candidate set; only the idf
+    * transform differs — which is precisely the delta the gauge
+    * isolates.
+    */
+  private[graft] def scoredCandidatesLogOf(docs0: DataFrame): DataFrame = {
+    val post = postingsOf(docs0)
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(querySelOf(post, dfreq)), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(statsOf(docs0)))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfsat",
+        col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("len") * col("n") / col("total"))))
+      .groupBy(col("q_id"), col("doc_id").as("nb_id"))
+      .agg(sum(col("idf") * col("tfsat")).as("score"))
+  }
+
+  /** Integer-RSJ candidate scores straight from a docs frame (spec-side
+    * gauge entry point — the serving paths go through rankedRetrieve).
+    */
+  private[graft] def scoredCandidatesOf(docs0: DataFrame): DataFrame = {
+    val post = postingsOf(docs0)
+    scoredCandidatesOf(post,
+      post.groupBy(col("term")).agg(count(lit(1)).as("df")), statsOf(docs0))
+  }
+
+  /** The retrieval tail over any (postings, df, stats) source — live
+    * frames for D91, the stored index for D91b.
+    */
+  private def rankedRetrieve(post: DataFrame, dfreq: DataFrame,
+                             stats: DataFrame): DataFrame =
+    saltedLexTopK(scoredCandidatesOf(post, dfreq, stats))
       .select(col("q_id"), col("nb_id"), col("rank"),
         round(col("s_e10").cast("double") / 1e10, 6).as("score"))
-  }
 
   /** (doc_id, term, len, tf): one tokenize scan, one partial-agg shuffle
     * bounded by distinct (doc, term); `len` (the doc's token count) rides
@@ -479,6 +527,26 @@ object Lexical {
   def lexicalPhrase(spark: SparkSession, dir: String): DataFrame =
     lexicalPhraseOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
 
+  /** Phrase length for the k-token forms (D91e/D91f) — how many
+    * consecutive query-doc tokens make the probe phrase. Query-time only.
+    */
+  def PhraseK: Int = {
+    val k = graft.GraftConfig.int("graft.lex.phraseK", 3)
+    require(k >= 2 && k <= 8, s"graft.lex.phraseK must be in [2,8], got $k")
+    k
+  }
+
+  /** Proximity budget for the slop form (D91f): matched positions must
+    * satisfy p_{k-1} − p_0 ≤ (k−1) + slop with the terms in order —
+    * Lucene PhraseQuery's ordered-window reading of slop. slop=0 is the
+    * exact-adjacency match.
+    */
+  def PhraseSlop: Int = {
+    val s = graft.GraftConfig.int("graft.lex.slop", 2)
+    require(s >= 0 && s <= 32, s"graft.lex.slop must be in [0,32], got $s")
+    s
+  }
+
   private[graft] def lexicalPhraseOf(docs0: DataFrame): DataFrame = {
     val ppost = docs0
       .select(col("doc_id"), posexplode(TextOps.toks(col("text"))).as(Seq("pos", "term")))
@@ -539,6 +607,180 @@ object Lexical {
                  AND m2.term = ph.t2
     WHERE m1.doc_id != ph.q_id
     GROUP BY ph.q_id, m1.doc_id"""
+
+  // ---------------------------------------------------------------------
+  // D91e/D91f: k-token phrase + ordered-proximity (slop) retrieval
+  // ---------------------------------------------------------------------
+
+  /** (q_id, t0..t_{k-1}) — each query doc's RAREST consecutive k-gram
+    * (min Σ df over the k terms; ties by the terms then position — fully
+    * deterministic), the k-token generalization of D91d's bigram pick.
+    * Rare-first keeps the downstream posting fan-out bounded by the
+    * rarest available k-gram's lists. Built from the query docs' own
+    * positional rows (≤ Q docs — contract-bounded), df joins on the
+    * corpus presence frequencies.
+    */
+  private def rarestKgrams(ppost: DataFrame, dfreq: DataFrame, k: Int): DataFrame = {
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("pos").asc)
+    val qb = ppost.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("pos"), col("term").as("t0"))
+    val grams = (1 until k).foldLeft(qb) { (d, i) =>
+      d.withColumn(s"t$i", lead(col("t0"), i).over(wl))
+    }.filter((1 until k).map(i => col(s"t$i").isNotNull)
+      .foldLeft(lit(true))(_ && _))
+    val withDf = (0 until k).foldLeft(grams) { (d, i) =>
+      d.join(dfreq.select(col("term").as(s"t$i"), col("df").as(s"df$i")), Seq(s"t$i"))
+    }
+    val dfsum = (0 until k).map(i => col(s"df$i")).reduce(_ + _)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(dfsum.asc +: (0 until k).map(i => col(s"t$i").asc) :+ col("pos").asc: _*)
+    withDf.withColumn("pr", row_number().over(wp)).filter(col("pr") === 1)
+      .select(col("q_id") +: (0 until k).map(i => col(s"t$i")): _*)
+  }
+
+  private def ppostOf(docs0: DataFrame): DataFrame =
+    docs0.select(col("doc_id"),
+      posexplode(TextOps.toks(col("text"))).as(Seq("pos", "term")))
+
+  private def presenceDfOf(ppost: DataFrame): DataFrame =
+    ppost.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** D91e: FULL k-token phrase retrieval — every document containing the
+    * query's rarest consecutive k-gram with all k terms ADJACENT in
+    * order, exact occurrence counts (the full Lucene PhraseQuery at
+    * slop 0, lifting D91d's adjacent-bigram verification to the whole
+    * phrase). The match is a chain of k−1 EQUALITY joins anchored on the
+    * t0 posting rows: step i joins the positional frame on
+    * (doc, pos = anchor+i, term = t_i) — each join key carries the
+    * broadcast phrase's term, so fan-out only ever shrinks as the chain
+    * extends (a longer phrase is a cheaper verify, never a pricier one).
+    */
+  def lexicalPhraseK(spark: SparkSession, dir: String): DataFrame =
+    lexicalPhraseKOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  private[graft] def lexicalPhraseKOf(docs0: DataFrame): DataFrame = {
+    val k = PhraseK
+    val ppost = ppostOf(docs0)
+    val phrase = rarestKgrams(ppost, presenceDfOf(ppost), k)
+    val anchors = ppost.join(broadcast(phrase), col("term") === col("t0"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id") +: col("doc_id") +: col("pos") +:
+        (1 until k).map(i => col(s"t$i")): _*)
+    val matched = (1 until k).foldLeft(anchors) { (d, i) =>
+      d.join(ppost.select(col("doc_id"), (col("pos") - i).as("pos"),
+          col("term").as(s"t$i")), Seq("doc_id", "pos", s"t$i"))
+    }
+    matched.groupBy(col("q_id"), col("doc_id").as("nb_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Shared oracle CTE prologue for the k-gram forms: positional
+    * postings, presence df, and the per-query rarest k-gram (mirrors
+    * rarestKgrams' window exactly).
+    */
+  private def kgramCtes(k: Int): String = {
+    val gramJoins = (1 until k).map(i =>
+      s"JOIN qb a$i ON a$i.doc_id = a0.doc_id AND a$i.pos = a0.pos + $i").mkString("\n      ")
+    val dfJoins = (0 until k).map(i =>
+      s"JOIN pdf d$i ON d$i.term = a$i.term").mkString("\n      ")
+    val termCols = (0 until k).map(i => s"a$i.term AS t$i").mkString(", ")
+    val dfSum = (0 until k).map(i => s"d$i.df").mkString(" + ")
+    val orderTs = (0 until k).map(i => s"t$i ASC").mkString(", ")
+    s"""ltk AS (SELECT doc_id, ${TextOps.toksSql} AS ts FROM documents),
+    ppost AS (
+      SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS term
+      FROM ltk),
+    pdf AS (
+      SELECT term, count(*) AS df FROM (
+        SELECT DISTINCT doc_id, term FROM ppost)
+      GROUP BY term),
+    qb AS (SELECT * FROM ppost WHERE doc_id < $NQueries),
+    grams AS (
+      SELECT a0.doc_id AS q_id, a0.pos, $termCols, $dfSum AS dfsum
+      FROM qb a0
+      $gramJoins
+      $dfJoins),
+    phrase AS (
+      SELECT ${(0 until k).map(i => s"t$i").mkString("q_id, ", ", ", "")} FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY dfsum ASC, $orderTs, pos ASC) AS pr
+        FROM grams)
+      WHERE pr = 1)"""
+  }
+
+  def lexicalPhraseKSql: String = {
+    val k = PhraseK
+    val chainJoins = (1 until k).map(i =>
+      s"JOIN ppost m$i ON m$i.doc_id = m0.doc_id AND m$i.pos = m0.pos + $i AND m$i.term = ph.t$i")
+      .mkString("\n    ")
+    s"""WITH ${kgramCtes(k)}
+    SELECT ph.q_id, m0.doc_id AS nb_id, count(*) AS n_occ
+    FROM phrase ph
+    JOIN ppost m0 ON m0.term = ph.t0
+    $chainJoins
+    WHERE m0.doc_id != ph.q_id
+    GROUP BY ph.q_id, m0.doc_id"""
+  }
+
+  /** D91f: ordered-proximity (slop) retrieval — the same rarest k-gram,
+    * matched with the terms IN ORDER inside a bounded window:
+    * positions p_0 < p_1 < … < p_{k-1} with p_{k-1} − p_0 ≤ (k−1)+slop
+    * (Lucene PhraseQuery slop, ordered reading). Output counts the
+    * DISTINCT anchor positions p_0 that admit at least one such chain —
+    * anchor-counted because proximity chains overlap combinatorially and
+    * "how many places does the phrase approximately occur" is the
+    * deployable statistic. Each chain step is an equality join on
+    * (doc, term) with the window bound as a residual range predicate
+    * (hash join + filter, never BNLJ: the equality keys are extracted
+    * first), so the fan-out is bounded by each term's in-window
+    * occurrences.
+    */
+  def lexicalPhraseSlop(spark: SparkSession, dir: String): DataFrame =
+    lexicalPhraseSlopOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  private[graft] def lexicalPhraseSlopOf(docs0: DataFrame): DataFrame = {
+    val k = PhraseK
+    val span = k - 1 + PhraseSlop
+    val ppost = ppostOf(docs0)
+    val phrase = rarestKgrams(ppost, presenceDfOf(ppost), k)
+    val anchors = ppost.join(broadcast(phrase), col("term") === col("t0"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id") +: col("doc_id") +: col("pos").as("p0") +:
+        (1 until k).map(i => col(s"t$i")): _*)
+    val chained = (1 until k).foldLeft(anchors.withColumn("prev", col("p0"))) {
+      (d, i) =>
+        val m = ppost.select(col("doc_id"), col("pos").as("mp"),
+          col("term").as(s"t$i"))
+        d.join(m, Seq("doc_id", s"t$i"))
+          .filter(col("mp") > col("prev") && col("mp") <= col("p0") + span)
+          .withColumn("prev", col("mp")).drop("mp")
+    }
+    chained.select(col("q_id"), col("doc_id"), col("p0")).distinct()
+      .groupBy(col("q_id"), col("doc_id").as("nb_id"))
+      .agg(count(lit(1)).as("n_anchors"))
+  }
+
+  def lexicalPhraseSlopSql: String = {
+    val k = PhraseK
+    val span = k - 1 + PhraseSlop
+    val chainJoins = (1 until k).map { i =>
+      val prev = if (i == 1) "m0.pos" else s"m${i - 1}.pos"
+      s"""JOIN ppost m$i ON m$i.doc_id = m0.doc_id AND m$i.term = ph.t$i
+         AND m$i.pos > $prev AND m$i.pos <= m0.pos + $span"""
+    }.mkString("\n    ")
+    s"""WITH ${kgramCtes(k)},
+    hits AS (
+      SELECT DISTINCT ph.q_id, m0.doc_id, m0.pos
+      FROM phrase ph
+      JOIN ppost m0 ON m0.term = ph.t0
+      $chainJoins
+      WHERE m0.doc_id != ph.q_id)
+    SELECT q_id, doc_id AS nb_id, count(*) AS n_anchors
+    FROM hits GROUP BY q_id, doc_id"""
+  }
 
   /** D92c: hybrid recall QC — the D51/D78/D84 scoreboard pattern applied
     * to fusion: per query, how many of the EXACT cosine top-k (D6 ground

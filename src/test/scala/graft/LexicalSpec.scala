@@ -143,6 +143,134 @@ class LexicalSpec extends SparkSpecBase {
         "must be absent; 40 must count 2 occurrences)")
   }
 
+  /** D91e/D91f corpus: doc 0's rarest 3-gram is "zebra stripes gallop"
+    * (each term df=5; every other adjacent triple touches hot filler
+    * vocabulary). 40 holds it twice exactly, 41 holds it only at slop
+    * (one intruder token), 42 reverses the order, 43 holds it once.
+    */
+  private def phraseCorpus = {
+    val rows = Seq(
+      (0L, "zebra stripes gallop common words"),
+      (40L, "zebra stripes gallop again zebra stripes gallop"),
+      (41L, "zebra stripes common gallop"),
+      (42L, "gallop stripes zebra"),
+      (43L, "one zebra stripes gallop occurrence")) ++
+      (1 to 19).map(i => (i.toLong, s"common words filler$i"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("k-phrase: full k-token adjacency in order, exact occurrence counts") {
+    val out = Lexical.lexicalPhraseKOf(phraseCorpus)
+      .filter(col("q_id") === 0).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(40L -> 2L, 43L -> 1L),
+      s"k-phrase semantics broke: $out (41 is adjacent only at slop, " +
+        "42 is out of order — both must be absent)")
+  }
+
+  test("slop phrase: ordered window admits the intruder, rejects reversal") {
+    val out = Lexical.lexicalPhraseSlopOf(phraseCorpus)
+      .filter(col("q_id") === 0).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // slop=2 (default): 41's z _ s _ _ g span (3 ≤ k-1+slop = 4) now hits;
+    // 42 stays out (order is required); anchors count distinct start
+    // positions, so 40 reports 2
+    assert(out === Map(40L -> 2L, 41L -> 1L, 43L -> 1L),
+      s"slop semantics broke: $out")
+  }
+
+  test("slop=0 degenerates to the exact k-phrase (anchors == occurrences)") {
+    val exact = Lexical.lexicalPhraseKOf(phraseCorpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val slop0 = withInt("graft.lex.slop", 0) {
+      Lexical.lexicalPhraseSlopOf(phraseCorpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(slop0 === exact && exact.nonEmpty,
+      "slop=0 must equal the exact adjacency form")
+  }
+
+  test("phraseK=2 reproduces the bigram phrase operator row-for-row") {
+    val bigram = Lexical.lexicalPhraseOf(phraseCorpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k2 = withInt("graft.lex.phraseK", 2) {
+      Lexical.lexicalPhraseKOf(phraseCorpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(k2 === bigram && k2.nonEmpty,
+      "k=2 must coincide with the dedicated bigram phrase form")
+  }
+
+  /** Radius corpus: 60 docs so the df ≤ N·maxDfBp/10⁴ rare gate admits
+    * df=2 (N/20 = 3); "uniqz" is shared by query doc 0 and doc 20 only,
+    * and its single-term contribution clears the default radius
+    * (idf_e4 ≈ 23.4e4 × tfsat_e6 ≈ 1e6 ≥ 10¹¹).
+    */
+  private def radiusCorpus = {
+    val rows = Seq(
+      (0L, "uniqz common words here"),
+      (20L, "uniqz appears again too"),
+      (30L, "common words here again")) ++
+      (1 to 19).map(i => (i.toLong, s"common words filler$i here")) ++
+      (31 to 59).map(i => (i.toLong, s"common words other filler$i"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("radius emits on a constructed corpus: rare shared term clears it, hot terms never do") {
+    val tbl = "lex_idx_radius_emit"
+    dropIdx(tbl)
+    Lexical.writeLexIndexOf(radiusCorpus, tbl)
+    val out = Lexical.lexRadiusFromStore(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 20L)),
+      s"the rare-term pair (0,20) must clear the radius, got $out")
+    // doc 30 shares only hot vocabulary with the queries: the df gate
+    // keeps hot terms out of every radius query, so it can never emit
+    assert(!out.exists(_._2 == 30L),
+      s"hot-vocabulary doc 30 leaked through the rare-term gate: $out")
+    dropIdx(tbl)
+  }
+
+  test("rank agreement vs textbook log BM25: overlap@k and pair agreement floors") {
+    // the documented RSJ-ratio-for-log substitution, quantified (VERDICT
+    // r10 watch item 1): same candidates, same tf saturation, only the
+    // idf transform differs. Doubles are fine here — spec-side gauge,
+    // never an oracle surface.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val rsj = Lexical.scoredCandidatesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDecimal(2))).toMap
+    val log = Lexical.scoredCandidatesLogOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rsj.keySet === log.keySet,
+      "the two scorers must rank the SAME candidate set")
+    val byQ = rsj.keySet.groupBy(_._1)
+    val k = Lexical.TopK
+    var overlapNum = 0; var overlapDen = 0
+    var agreePairs = 0L; var allPairs = 0L
+    byQ.foreach { case (q, keys) =>
+      val cands = keys.toSeq.map(_._2)
+      val topR = cands.sortBy(d => (-rsj((q, d)), d)).take(k)
+      val topL = cands.sortBy(d => (-log((q, d)), d)).take(k)
+      overlapNum += topR.toSet.intersect(topL.toSet).size
+      overlapDen += math.min(k, cands.size)
+      for (Seq(a, b) <- cands.combinations(2)) {
+        val r = rsj((q, a)).compare(rsj((q, b)))
+        val l = log((q, a)).compare(log((q, b)))
+        allPairs += 1
+        if (r == l || r == 0 || l == 0) agreePairs += 1
+      }
+    }
+    val overlapBp = overlapNum * 10000 / overlapDen
+    val agreeBp = agreePairs * 10000 / allPairs
+    info(s"RSJ-vs-log gauge: overlap@$k = $overlapBp bp " +
+      s"($overlapNum/$overlapDen), pair agreement = $agreeBp bp " +
+      s"($agreePairs/$allPairs)")
+    assert(overlapBp >= 8000,
+      s"top-$k overlap vs textbook BM25 fell below 80%: $overlapBp bp")
+    assert(agreeBp >= 9000,
+      s"pairwise rank agreement vs textbook BM25 fell below 90%: $agreeBp bp")
+  }
+
   test("hybrid recall report equals the hand-computed scoreboard of the three lists") {
     val gt = Ann.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
