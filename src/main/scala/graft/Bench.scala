@@ -386,6 +386,38 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] lex radius stream row failed: $e"); (-1.0, -1.0)
     }
+    // r11 streaming e2e row: the lexical RANKING probe — query docs stream
+    // against the persisted inverted index (warm, pay-at-ingest) and each
+    // micro-batch ranks its arrivals through the exact batch probe plan
+    // (foreachBatch; the only stream state is the watermark query dedup).
+    // Wall time is the recurring cost of a deployed lexical search stream.
+    val (lexTopkSec, lexTopkStateRows) = try {
+      val tbl = graft.llm.Lexical.ensureLexIndex(spark, sfDir)
+      graft.Checkpoints.releaseAll()
+      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-lex-topk")
+      import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+        .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+      val schema = spark.read.parquet(sdir.toString).schema
+      var stateRows = 0.0
+      def run(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+        val q = graft.streaming.StreamOps
+          .lexTopkStream(spark, tbl, stream, "arrived") { ranked =>
+            ranked.write.format("noop").mode("overwrite").save()
+          }
+        q.processAllAvailable(); q.stop()
+        stateRows = lastStateRows(q)
+      }
+      run()
+      val t0 = System.nanoTime(); run()
+      ((System.nanoTime() - t0) / 1e9, stateRows)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] lex topk stream row failed: $e"); (-1.0, -1.0)
+    }
     val (clickSec, clickStateRows) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-bench-click")
       java.nio.file.Files.copy(
@@ -416,6 +448,8 @@ object Bench {
       ("stream_pq_probe_state_rows" -> pqProbeStateRows) :+
       ("stream_lex_radius_e2e" -> lexProbeSec) :+
       ("stream_lex_radius_state_rows" -> lexProbeStateRows) :+
+      ("stream_lex_topk_e2e" -> lexTopkSec) :+
+      ("stream_lex_topk_state_rows" -> lexTopkStateRows) :+
       ("stream_click_attr_e2e" -> clickSec) :+
       ("stream_click_attr_state_rows" -> clickStateRows) :+
       ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)

@@ -143,16 +143,7 @@ object Lexical {
     */
   private[graft] def scoredCandidatesOf(post: DataFrame, dfreq: DataFrame,
                                         stats: DataFrame): DataFrame =
-    post.join(broadcast(querySelOf(post, dfreq)), Seq("term"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_e4",
-        expr("(10000 * (2 * (n - df) + 1)) div (2 * df + 1)"))
-      .withColumn("tfsat_e6",
-        expr("""(cast(22 as decimal(38,0)) * tf * total * 1000000) div
-                (cast(10 as decimal(38,0)) * tf * total + 3 * total + 9 * len * n)"""))
-      .groupBy(col("q_id"), col("doc_id").as("nb_id"))
-      .agg(sum(expr("cast(idf_e4 as decimal(38,0)) * tfsat_e6")).as("s_e10"))
+    scoreQsel(post, querySelOf(post, dfreq), stats)
 
   /** The TEXTBOOK log-idf BM25 scorer (double ln — transcendental, so
     * spec-side only, never an oracle surface): the ground truth the
@@ -196,9 +187,51 @@ object Lexical {
     */
   private def rankedRetrieve(post: DataFrame, dfreq: DataFrame,
                              stats: DataFrame): DataFrame =
-    saltedLexTopK(scoredCandidatesOf(post, dfreq, stats))
+    rankTail(scoredCandidatesOf(post, dfreq, stats))
+
+  private def rankTail(scored: DataFrame): DataFrame =
+    saltedLexTopK(scored)
       .select(col("q_id"), col("nb_id"), col("rank"),
         round(col("s_e10").cast("double") / 1e10, 6).as("score"))
+
+  /** Warm-index top-k for an ARRIVING query-docs frame — the streaming
+    * serving form's per-micro-batch core (E7's lexTopkStream): identical
+    * scoring and ranking to D91b's probe, but query terms come from
+    * tokenizing the arriving docs (array_distinct(toks) ≡ the postings'
+    * per-doc term set, so an arrived doc that is already indexed
+    * retrieves exactly its D91b rows — the parity LexicalSpec pins)
+    * rare-first against the STORED df, scored under the STORED stats.
+    */
+  private[graft] def lexTopkForQueries(spark: SparkSession, table: String,
+                                       queryDocs: DataFrame): DataFrame = {
+    val post = graft.sources.BucketedSink.readServing(spark, table, "doc_id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("df").asc, col("term").asc)
+    val qsel = broadcast(queryDocs.select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextOps.toks(col("text")))).as("term")))
+      .join(spark.table(table + "_df"), Seq("term"))
+      .withColumn("tr", row_number().over(wq))
+      .filter(col("tr") <= QueryTerms)
+      .select(col("q_id"), col("term"), col("df"))
+    rankTail(scoreQsel(post, qsel, spark.table(table + "_stats")))
+  }
+
+  /** The scoring fold over an explicit (q_id, term, df) query frame —
+    * shared by the df-derived selection (querySelOf) and the
+    * arriving-docs selection (lexTopkForQueries).
+    */
+  private def scoreQsel(post: DataFrame, qsel: DataFrame,
+                        stats: DataFrame): DataFrame =
+    post.join(broadcast(qsel), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e4",
+        expr("(10000 * (2 * (n - df) + 1)) div (2 * df + 1)"))
+      .withColumn("tfsat_e6",
+        expr("""(cast(22 as decimal(38,0)) * tf * total * 1000000) div
+                (cast(10 as decimal(38,0)) * tf * total + 3 * total + 9 * len * n)"""))
+      .groupBy(col("q_id"), col("doc_id").as("nb_id"))
+      .agg(sum(expr("cast(idf_e4 as decimal(38,0)) * tfsat_e6")).as("s_e10"))
 
   /** (doc_id, term, len, tf): one tokenize scan, one partial-agg shuffle
     * bounded by distinct (doc, term); `len` (the doc's token count) rides

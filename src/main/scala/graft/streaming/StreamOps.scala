@@ -448,6 +448,46 @@ object StreamOps {
       .select(col("q_id"), col("nb_id"))
   }
 
+  /** Streaming TOP-K probe of the PERSISTED inverted index (r11 — the
+    * serving family's last streaming corner: the radius form streamed
+    * since r10, the ranking form didn't). Top-k is a RANK over each
+    * query's candidate set, which append-mode streaming cannot express
+    * statelessly — so this is the per-micro-batch recipe (Spark's
+    * documented foreachBatch pattern for batch-only operators): the
+    * streaming graph carries ONLY the watermark + within-watermark query
+    * dedup (redelivery protection — state bounded by DISTINCT arrived
+    * query docs inside the horizon, never by candidates), and each
+    * micro-batch ranks its arrived queries against the static index
+    * through the exact batch probe plan (`Lexical.lexTopkForQueries`:
+    * broadcast query terms, candidate scan touching only the probed
+    * posting lists, salted two-phase top-k). Per-arrived-query output
+    * rows are byte-identical to the batch D91b probe — LexicalSpec pins
+    * parity, StreamingSkewSpec pins the redelivery burst + state ceiling.
+    *
+    * `sink` receives each micro-batch's ranked frame (the foreachBatch
+    * contract); the returned query is already started with an
+    * AvailableNow trigger and a temp checkpoint — callers
+    * processAllAvailable()/stop() it (the runToMemory discipline).
+    */
+  def lexTopkStream(spark: SparkSession, indexTable: String, docs: DataFrame,
+                    tsCol: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cp = java.nio.file.Files.createTempDirectory("graft-lex-topk-cp")
+    docs
+      .select(col("doc_id"), col("text"), col(tsCol))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.llm.Lexical.lexTopkForQueries(spark, indexTable, batch))
+      }
+      .start()
+  }
+
   /** E7 stream-stream interval join (click attribution): each purchase
     * pairs with every same-user click in the preceding hour. BOTH sides
     * carry event-time watermarks and the join predicate carries the time

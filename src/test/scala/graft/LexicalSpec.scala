@@ -361,6 +361,43 @@ class LexicalSpec extends SparkSpecBase {
     dropIdx(tbl)
   }
 
+  test("streaming top-k probe matches the batch index probe per arrived query") {
+    val tbl = "lex_idx_lc_topk_stream"
+    dropIdx(tbl)
+    val d = docsOf(sfDir)
+    Lexical.writeLexIndexOf(d, tbl)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-lex-topk-stream")
+    // two files → two micro-batches under maxFilesPerTrigger=1: proves the
+    // per-batch ranking is independent (each batch ranks only its arrivals)
+    d.filter(col("doc_id") < 5)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir.toString + "/a")
+    d.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:01:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir.toString + "/b")
+    new java.io.File(sdir.toString + "/in").mkdirs()
+    Seq("a", "b").foreach { s =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(sdir.toString, s))
+        .filter(_.toString.endsWith(".parquet")).forEach { p =>
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(sdir.toString, "in", s + "_" + p.getFileName))
+        }
+    }
+    val schema = spark.read.parquet(sdir.toString + "/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir.toString + "/in")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = graft.streaming.StreamOps
+      .lexTopkStream(spark, tbl, stream, "arrived") { ranked =>
+        buf.synchronized { buf ++= ranked.collect().map(_.toSeq.mkString("|")) }
+      }
+    q.processAllAvailable(); q.stop()
+    val want = rows(Lexical.lexProbeFromStore(spark, tbl))
+    assert(buf.toSet === want && want.nonEmpty,
+      s"streaming top-k diverged from the batch probe (${buf.size} vs ${want.size})")
+    dropIdx(tbl)
+  }
+
   test("streaming radius probe of the persisted index matches the batch radius pair-for-pair") {
     val tbl = "lex_idx_lc_stream"
     dropIdx(tbl)

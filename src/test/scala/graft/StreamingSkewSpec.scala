@@ -242,4 +242,45 @@ class StreamingSkewSpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     Checkpoints.releaseAll()
   }
+
+  test("lexical top-k stream: redelivered query burst dedups to one ranking, state query-bounded") {
+    val tbl = "lex_idx_topk_skew"
+    Seq(tbl, tbl + "_df", tbl + "_stats",
+      graft.sources.BucketedSink.tombTableOf(tbl))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    graft.llm.Lexical.writeLexIndexOf(d, tbl)
+    // the burst: one query doc redelivered 50x on top of the normal
+    // 10-doc batch. The ranking form's only stream state is the
+    // within-watermark QUERY dedup — every copy collapses BEFORE the
+    // per-batch ranking runs, so the output holds exactly one k-list per
+    // distinct query and state rows track distinct arrived docs
+    val q = d.filter(col("doc_id") < 10)
+    val burst = q.filter(col("doc_id") === 0)
+      .crossJoin(spark.range(50).select(lit(1).as("dd"))).drop("dd")
+    val sdir = java.nio.file.Files.createTempDirectory("graft-skew-lex-topk").toString
+    q.union(burst)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir)
+    val schema = spark.read.parquet(sdir).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sq = StreamOps.lexTopkStream(spark, tbl, stream, "arrived") { ranked =>
+      buf.synchronized { buf ++= ranked.collect().map(_.toSeq.mkString("|")) }
+    }
+    sq.processAllAvailable()
+    val prog = sq.recentProgress.toSeq
+    sq.stop()
+    val want = graft.llm.Lexical.lexProbeFromStore(spark, tbl)
+      .collect().map(_.toSeq.mkString("|")).toSet
+    // exact multiset parity: the burst must not produce duplicate k-lists
+    assert(buf.size === buf.toSet.size, "redelivered query emitted twice")
+    assert(buf.toSet === want && want.nonEmpty,
+      s"burst top-k stream diverged from the batch probe (${buf.size} vs ${want.size})")
+    assert(maxStateRows(prog) <= 10,
+      s"top-k stream state ${maxStateRows(prog)} exceeds distinct arrived queries 10")
+    Seq(tbl, tbl + "_df", tbl + "_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Checkpoints.releaseAll()
+  }
 }
