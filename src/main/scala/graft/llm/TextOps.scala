@@ -673,7 +673,7 @@ object TextOps {
     * two produce identical token ids, which is the proof the array
     * encoder didn't change semantics when it lifted the width cap.
     */
-  private[llm] def stringFoldEncodeIds(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def stringFoldEncodeIds(spark: SparkSession, dir: String): DataFrame = {
     require(BpeTopMerges <= 26, "placeholder band must stay within A-Z")
     val merges = bpeMerges(spark, dir).select(col("pair"))
       .collect().map(_.getString(0))

@@ -1473,4 +1473,55 @@ class LlmOpsSpec extends SparkSpecBase {
         s"eta=0 should reproduce base_bp: ${r.mkString(",")}")
     }
   }
+
+  test("mixture_doremi T-round iterate: exact BigInt replay, monotone upweight, eta=0 stability") {
+    def run(iters: Int, eta: Int = 300) =
+      graft.GraftConfig.withInt("graft.doremi.iters", iters) {
+        graft.GraftConfig.withInt("graft.doremi.etaE2", eta) {
+          graft.llm.Sampling.mixtureDoremi(spark, sfDir).collect()
+            .map(r => r.getAs[String]("source") ->
+              ((r.getAs[Long]("excess_e9"), r.getAs[Long]("base_bp"),
+                r.getAs[Long]("doremi_bp")))).toMap
+        }
+      }
+    val one = run(1)
+    val three = run(3)
+    assert(one.keySet === three.keySet && one.nonEmpty)
+    // exact replay: iterate the hedge update in BigInt exactly as the
+    // engine defines it (w_raw = w_bp·(1e9 + (eta·excess) div 100),
+    // renormalize to floor basis points) — the engine must match per round
+    def replay(iters: Int): Map[String, Long] = {
+      var w = one.map { case (s, (_, base, _)) => s -> BigInt(base) }
+      for (_ <- 1 to iters) {
+        val raw = w.map { case (s, wbp) =>
+          s -> wbp * (BigInt(1000000000) + BigInt(300) * one(s)._1 / 100)
+        }
+        val tot = raw.values.sum
+        w = raw.map { case (s, r) =>
+          s -> (if (tot > 0) r * 10000 / tot else BigInt(0))
+        }
+      }
+      w.map { case (s, v) => s -> v.toLong }
+    }
+    assert(one.map { case (s, (_, _, d)) => s -> d } === replay(1),
+      "iters=1 diverged from the exact BigInt hedge replay")
+    assert(three.map { case (s, (_, _, d)) => s -> d } === replay(3),
+      "iters=3 diverged from the exact BigInt hedge replay")
+    // more rounds push more weight onto the max-excess domain (strictly,
+    // when any excess spread exists), and the corpus stays renormalized
+    val hi = one.maxBy(_._2._1)._1
+    if (one.values.map(_._1).toSet.size > 1) {
+      assert(three(hi)._3 >= one(hi)._3,
+        s"max-excess domain lost share with more rounds: ${one(hi)._3} -> ${three(hi)._3}")
+    }
+    val s3 = three.values.map(_._3).sum
+    assert(s3 <= 10000 && s3 > 10000 - three.size)
+    // eta=0: extra rounds cannot drift the mixture beyond the per-round
+    // 1-bp renormalization floor slack
+    val z1 = run(1, eta = 0); val z3 = run(3, eta = 0)
+    z1.keySet.foreach { s =>
+      assert(math.abs(z1(s)._3 - z3(s)._3) <= 3,
+        s"eta=0 mixture drifted across rounds for $s: ${z1(s)._3} vs ${z3(s)._3}")
+    }
+  }
 }
