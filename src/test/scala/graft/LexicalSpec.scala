@@ -295,6 +295,33 @@ class LexicalSpec extends SparkSpecBase {
     }
   }
 
+  test("production-serving-width hybrid recall (topk=10, qterms=16): displacement stays bounded") {
+    // r10 VERDICT item 8, fusion half: the D92c scoreboard previously
+    // recorded only at test-scale widths — run it at a deployment-shaped
+    // serving width and floor the displacement cost (RRF can only keep or
+    // drop semantic recall vs the ann-only list; the gauge is how much).
+    // The bucket width coarsens with it: at the default 8 planes the 256
+    // buckets over this 500-vector corpus leave single-probe recall at an
+    // honest ZERO (2 vectors/bucket can't fill a top-5 — recorded in
+    // VALIDATION_r11), so the serving-shaped corner is 4 planes (~31
+    // vectors/bucket), where the ann list actually hits ground truth and
+    // the displacement question becomes non-vacuous.
+    withInt("graft.ann.numPlanes", 4) {
+      withInt("graft.lex.topk", 10) {
+        withInt("graft.lex.qterms", 16) {
+          val rep = Lexical.hybridRecallReport(spark, sfDir).collect()
+            .map(r => (r.getLong(4), r.getLong(5)))
+          val annBp = rep.map(_._1).sum / rep.length
+          val hybBp = rep.map(_._2).sum / rep.length
+          info(s"hybrid recall at serving width: ann=$annBp bp, hyb=$hybBp bp")
+          assert(annBp > 0 && hybBp > 0, "both lists must hit ground truth")
+          assert(hybBp >= annBp - 2000,
+            s"fusion displaced more than 20% of semantic recall: $annBp -> $hybBp bp")
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // persisted-index lifecycle (the PqLifecycleSpec battery, lexical twin)
   // ------------------------------------------------------------------

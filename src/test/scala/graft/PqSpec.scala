@@ -354,6 +354,31 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
+  test("production-width recall matrix (K=256, cells=22): per-method floors at the published operating point") {
+    // r10 VERDICT item 8: the D84 matrix previously recorded only at
+    // test-scale widths — run it once at the full-catalog production
+    // corner (the VALIDATION battery's K=256/cells=22 config) and floor
+    // each method, so a recall regression at the deployed widths fails a
+    // spec rather than surfacing in a scoreboard nobody gates on.
+    withInt("graft.pq.codebook", 256) {
+      withInt("graft.ann.numCells", 22) {
+        val rows = Pq.annRecallMatrix(spark, sfDir).collect()
+          .map(r => (r.getString(0), r.getLong(4)))
+        Checkpoints.releaseAll()
+        val mean = rows.groupBy(_._1).map { case (m, rs) =>
+          m -> rs.map(_._2).sum / rs.length
+        }
+        info(s"production-width recall matrix means (bp): $mean")
+        assert(mean("pq") >= 8000,
+          s"PQ recall at K=256 fell below 80%: ${mean("pq")} bp")
+        assert(mean("pq_opq") >= 8000,
+          s"OPQ+PQ recall at K=256 fell below 80%: ${mean("pq_opq")} bp")
+        assert(mean("ivfadc") >= 6000,
+          s"IVFADC recall at K=256/cells=22 fell below 60%: ${mean("ivfadc")} bp")
+      }
+    }
+  }
+
   test("covariance: wide decimal aggregate is bit-identical to the narrow long path") {
     val v = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     def rows() = Pq.embedCovarOf(v).collect().map(_.toSeq.mkString("|")).toSet
