@@ -62,6 +62,11 @@ class PlanBudgetSpec extends SparkSpecBase {
     // r10 phrase retrieval: one posexplode scan + vocab df agg + the
     // broadcast phrase join + positional adjacency join (observed 5)
     "lexical_phrase" -> B(7, 0),
+    // r11 k-token phrase forms: same posexplode + df shape, the k-gram
+    // window and the chain joins all reuse broadcast/equality exchanges
+    // (observed 4 at k=3)
+    "lexical_phrase_k" -> B(6, 0),
+    "lexical_phrase_slop" -> B(6, 0),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin
@@ -242,6 +247,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // totals broadcast — all contract-bounded 1-row/`#langs`-row sides
     "mixture_realized" -> B(8, 10),
     "mm_dedup" -> B(4, 0),
+    // r11 real codec round trip: map-only PNG encode+decode mapPartitions
+    // over the documents scan (observed 1 — the write stage)
+    "mm_decode_real" -> B(3, 0),
+    "mm_resize_real" -> B(3, 0),
     "mm_frame_sample" -> B(3, 0),
     "mm_pipeline" -> B(3, 0),
     "mm_resize" -> B(3, 0),
