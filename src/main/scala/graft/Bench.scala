@@ -96,7 +96,12 @@ object Bench {
     // r10 late: hybrid fusion from the two persisted indexes (the
     // production hybrid-search recurring cost), the fusion recall QC
     // sheet, and positional phrase retrieval
-    "hybrid_rrf_indexed", "hybrid_recall_report", "lexical_phrase")
+    "hybrid_rrf_indexed", "hybrid_recall_report", "lexical_phrase",
+    // r11: the real codec round trip (PNG encode + ImageIO decode per
+    // row — the heaviest new map-only pass), the full k-token phrase
+    // over live positional postings, and its pay-at-ingest twin over the
+    // persisted positional index (index built in the untimed warmup)
+    "mm_decode_real", "lexical_phrase_k", "lexical_phrase_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -418,6 +423,36 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] lex topk stream row failed: $e"); (-1.0, -1.0)
     }
+    // r11 streaming e2e row: the vector RANKING probe — query vectors
+    // stream against the persisted hyperplane-bucketed index (warm), each
+    // micro-batch ranked through the exact batch probe plan.
+    val (annTopkSec, annTopkStateRows) = try {
+      val tbl = graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, sfDir)
+      graft.Checkpoints.releaseAll()
+      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-ann-topk")
+      import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+      Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("arrived"))
+        .coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+      val schema = spark.read.parquet(sdir.toString).schema
+      var stateRows = 0.0
+      def run(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(sdir.toString)
+        val q = graft.streaming.StreamOps
+          .annTopkStream(spark, tbl, stream, "arrived") { ranked =>
+            ranked.write.format("noop").mode("overwrite").save()
+          }
+        q.processAllAvailable(); q.stop()
+        stateRows = lastStateRows(q)
+      }
+      run()
+      val t0 = System.nanoTime(); run()
+      ((System.nanoTime() - t0) / 1e9, stateRows)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann topk stream row failed: $e"); (-1.0, -1.0)
+    }
     val (clickSec, clickStateRows) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-bench-click")
       java.nio.file.Files.copy(
@@ -450,6 +485,8 @@ object Bench {
       ("stream_lex_radius_state_rows" -> lexProbeStateRows) :+
       ("stream_lex_topk_e2e" -> lexTopkSec) :+
       ("stream_lex_topk_state_rows" -> lexTopkStateRows) :+
+      ("stream_ann_topk_e2e" -> annTopkSec) :+
+      ("stream_ann_topk_state_rows" -> annTopkStateRows) :+
       ("stream_click_attr_e2e" -> clickSec) :+
       ("stream_click_attr_state_rows" -> clickStateRows) :+
       ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)

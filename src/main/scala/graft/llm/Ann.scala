@@ -371,6 +371,32 @@ object Ann {
       .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Warm-index top-k for an ARRIVING query-vectors frame — the streaming
+    * vector-serving form's per-micro-batch core (E7's annTopkStream, the
+    * lexTopkForQueries twin): the arriving embedding's bucket is computed
+    * STATELESSLY through the same baked hyperplane expression the stored
+    * index was built with, then the candidate join / dot fold / tie-break
+    * tail is the D53 probe's verbatim — so an arrived vector that is
+    * already indexed retrieves exactly its ann_index_probe rows (the
+    * parity the specs pin). Self-matches excluded by vec_id.
+    */
+  private[graft] def annTopkForQueries(spark: SparkSession, table: String,
+                                       queryVecs: DataFrame): DataFrame = {
+    val idx = graft.sources.BucketedSink.readServing(spark, table, "vec_id")
+    val q = queryVecs
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv")))
+    val c = idx.select(col("vec_id").as("nb_id"), col("embedding").as("cv"),
+      col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    broadcast(q).join(c, Seq("bucket")).filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nb_id"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** D7c's serving form: multi-probe against the SAME stored index — the
     * query side explodes to its own bucket plus the NumPlanes 1-bit-flip
     * buckets before the join; the index layout still hashes exactly the

@@ -409,7 +409,15 @@ object Lexical {
     * batch repartitions by the table's own bucket hash so each append
     * lands exactly `buckets` files.
     */
-  def appendLexDocs(batch: DataFrame, table: String): Unit = {
+  def appendLexDocs(batch: DataFrame, table: String): Unit =
+    appendDocRows(batch, table, postingsOf)
+
+  /** The shared incremental-ingest fold for both doc_id-bucketed lexical
+    * tables (term-frequency postings and position rows): `rowsOf`
+    * tokenizes a deduped fresh batch into the table's row shape.
+    */
+  private def appendDocRows(batch: DataFrame, table: String,
+                            rowsOf: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val nBuckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -420,15 +428,14 @@ object Lexical {
     val tt = graft.sources.BucketedSink.tombTableOf(table)
     if (spark.catalog.tableExists(tt) &&
         !spark.table(tt).join(broadcast(batchIds), Seq("doc_id"), "left_semi").isEmpty)
-      compactLex(spark, table)
+      graft.sources.BucketedSink.compactTombstones(spark, table, "doc_id")
     val present = spark.table(table).select(col("doc_id"))
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
     val fresh = b.join(broadcast(present), Seq("doc_id"), "left_anti")
     // insertInto resolves by POSITION, not name — select the batch rows in
-    // the target table's own column order so a future reorder of
-    // postingsOf's projection can never silently write term/len/tf into
-    // the wrong columns
-    postingsOf(fresh)
+    // the target table's own column order so a future reorder of the
+    // tokenizer's projection can never silently write into wrong columns
+    rowsOf(fresh)
       .select(spark.table(table).columns.map(col).toSeq: _*)
       .repartition(nBuckets, col("doc_id"))
       .write.insertInto(table)
@@ -695,9 +702,17 @@ object Lexical {
     lexicalPhraseKOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
 
   private[graft] def lexicalPhraseKOf(docs0: DataFrame): DataFrame = {
-    val k = PhraseK
     val ppost = ppostOf(docs0)
-    val phrase = rarestKgrams(ppost, presenceDfOf(ppost), k)
+    phraseKMatch(ppost, presenceDfOf(ppost))
+  }
+
+  /** The exact-adjacency matching core over any (positional postings,
+    * presence df) source — live frames for D91e, the stored positional
+    * index for D91g.
+    */
+  private def phraseKMatch(ppost: DataFrame, dfreq: DataFrame): DataFrame = {
+    val k = PhraseK
+    val phrase = rarestKgrams(ppost, dfreq, k)
     val anchors = ppost.join(broadcast(phrase), col("term") === col("t0"))
       .filter(col("doc_id") =!= col("q_id"))
       .select(col("q_id") +: col("doc_id") +: col("pos") +:
@@ -775,10 +790,18 @@ object Lexical {
     lexicalPhraseSlopOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
 
   private[graft] def lexicalPhraseSlopOf(docs0: DataFrame): DataFrame = {
+    val ppost = ppostOf(docs0)
+    phraseSlopMatch(ppost, presenceDfOf(ppost))
+  }
+
+  /** The ordered-window matching core over any (positional postings,
+    * presence df) source — live frames for D91f, the stored positional
+    * index for D91g.
+    */
+  private def phraseSlopMatch(ppost: DataFrame, dfreq: DataFrame): DataFrame = {
     val k = PhraseK
     val span = k - 1 + PhraseSlop
-    val ppost = ppostOf(docs0)
-    val phrase = rarestKgrams(ppost, presenceDfOf(ppost), k)
+    val phrase = rarestKgrams(ppost, dfreq, k)
     val anchors = ppost.join(broadcast(phrase), col("term") === col("t0"))
       .filter(col("doc_id") =!= col("q_id"))
       .select(col("q_id") +: col("doc_id") +: col("pos").as("p0") +:
@@ -814,6 +837,107 @@ object Lexical {
     SELECT q_id, doc_id AS nb_id, count(*) AS n_anchors
     FROM hits GROUP BY q_id, doc_id"""
   }
+
+  // ---------------------------------------------------------------------
+  // D91g: the PERSISTED POSITIONAL index (pay-at-ingest phrase serving)
+  // ---------------------------------------------------------------------
+
+  /** Positional-index table name — content-fingerprinted like the
+    * term-frequency index (tableFor), but a distinct layout version: the
+    * two indexes serve different query classes (bag scoring vs proximity)
+    * and a deployment typically stores both, exactly as Lucene keeps
+    * frequencies and positions as separate posting payloads.
+    */
+  private def posTableFor(dir: String): String =
+    "lex_pos_" + graft.sources.BucketedSink.nameHash(
+      s"$dir\n${graft.sources.BucketedSink.contentFingerprint(
+        Seq(s"$dir/documents.parquet"))}\nlayout=positional-v1")
+
+  /** Build (once) the persisted positional index for `dir`'s corpus:
+    * `<t>` = doc_id-bucketed (doc_id, pos, term) position rows (the
+    * Lucene proximity payload as a columnar table), `<t>_df` = pinned
+    * per-term presence frequencies (the rarest-k-gram selector's input —
+    * pinned at build exactly like the frequency index's df, so appended
+    * documents select phrases under the build's statistics).
+    */
+  def ensureLexPosIndex(spark: SparkSession, dir: String): String = {
+    val table = posTableFor(dir)
+    if (!Seq(table, table + "_df").forall(spark.catalog.tableExists))
+      writeLexPosIndexOf(
+        Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"), table)
+    table
+  }
+
+  /** Overwrite-semantics build from a frame (the writeLexIndexOf
+    * contract: no half pair or stale tombstone survives a rebuild).
+    */
+  def writeLexPosIndexOf(docs0: DataFrame, table: String): Unit = {
+    val spark = docs0.sparkSession
+    Seq(table, table + "_df",
+      graft.sources.BucketedSink.tombTableOf(table))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    graft.sources.BucketedSink.ensureTable(spark, table) {
+      graft.sources.BucketedSink.writeBucketed(
+        ppostOf(docs0), table, "doc_id", PostBuckets,
+        sortCols = Seq("doc_id", "pos"))
+    }
+    graft.sources.BucketedSink.ensureTable(spark, table + "_df") {
+      spark.table(table).select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.format("parquet").saveAsTable(table + "_df")
+    }
+  }
+
+  /** D91g: exact k-phrase retrieval from the PERSISTED positional index —
+    * identical contract and output to D91e on a fresh build (the oracle
+    * reuses lexicalPhraseKSql: stored position rows are the recompute's
+    * posexplode expressions verbatim, the pq_index_probe convention), but
+    * the per-query cost drops to the broadcast phrase join + the anchored
+    * chain joins: no corpus tokenize, no posexplode, no vocab aggregation.
+    * Position rows read tombstone-aware, so deleted documents stop
+    * matching with no added exchange.
+    */
+  def lexicalPhraseIndexed(spark: SparkSession, dir: String): DataFrame =
+    lexPhraseFromStore(spark, ensureLexPosIndex(spark, dir))
+
+  private[graft] def lexPhraseFromStore(spark: SparkSession, table: String): DataFrame =
+    phraseKMatch(
+      graft.sources.BucketedSink.readServing(spark, table, "doc_id"),
+      spark.table(table + "_df"))
+
+  /** D91g's proximity form: the slop matcher over the same stored
+    * positional rows + pinned df (oracle reuses lexicalPhraseSlopSql).
+    */
+  def lexicalPhraseSlopIndexed(spark: SparkSession, dir: String): DataFrame =
+    lexPhraseSlopFromStore(spark, ensureLexPosIndex(spark, dir))
+
+  private[graft] def lexPhraseSlopFromStore(spark: SparkSession, table: String): DataFrame =
+    phraseSlopMatch(
+      graft.sources.BucketedSink.readServing(spark, table, "doc_id"),
+      spark.table(table + "_df"))
+
+  /** Recompute twins for the lifecycle specs: match over position rows
+    * freshly tokenized from `docs0` but under the STORED df (what a
+    * from-scratch posexplode of the current survivor set would return
+    * given the pinned selection statistics).
+    */
+  private[graft] def lexPhraseRecomputed(docs0: DataFrame, table: String): DataFrame =
+    phraseKMatch(ppostOf(docs0), docs0.sparkSession.table(table + "_df"))
+
+  /** Incremental ingest for the positional index — the appendLexDocs
+    * protections verbatim (intra-batch dedup, redelivery idempotence via
+    * the broadcast batch-id semi/anti pair, tombstone reinstatement via
+    * compact-first, bucket-hash file control, schema-order insert).
+    */
+  def appendLexPosDocs(batch: DataFrame, table: String): Unit =
+    appendDocRows(batch, table, ppostOf)
+
+  def deleteLexPosDocs(spark: SparkSession, table: String, docIds: DataFrame): Unit =
+    graft.sources.BucketedSink.appendTombstones(spark, table,
+      docIds.select(col(docIds.columns.head).as("doc_id")))
+
+  def compactLexPos(spark: SparkSession, table: String): Unit =
+    graft.sources.BucketedSink.compactTombstones(spark, table, "doc_id")
 
   /** D92c: hybrid recall QC — the D51/D78/D84 scoreboard pattern applied
     * to fusion: per query, how many of the EXACT cosine top-k (D6 ground

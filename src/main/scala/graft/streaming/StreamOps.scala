@@ -488,6 +488,37 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming TOP-K probe of the PERSISTED embedding index (r11 — the
+    * vector twin of lexTopkStream, completing the serving matrix's
+    * streaming corner: radius forms streamed since r9/r10, now both
+    * ranking forms do too). Same foreachBatch recipe: the streaming
+    * graph carries ONLY the watermark + within-watermark query-vector
+    * dedup, and each micro-batch ranks its arrivals through the exact
+    * batch D53 probe plan (`Ann.annTopkForQueries` — stateless baked
+    * hyperplane bucket for the arriving embedding, equality join into
+    * the bucketed index, codegen'd dot fold, top-5). Per-arrived-vector
+    * output rows are byte-identical to the batch probe; specs pin parity
+    * and the redelivery burst + state ceiling.
+    */
+  def annTopkStream(spark: SparkSession, indexTable: String, vecs: DataFrame,
+                    tsCol: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cp = java.nio.file.Files.createTempDirectory("graft-ann-topk-cp")
+    vecs
+      .select(col("vec_id"), col("embedding"), col(tsCol))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.llm.Ann.annTopkForQueries(spark, indexTable, batch))
+      }
+      .start()
+  }
+
   /** E7 stream-stream interval join (click attribution): each purchase
     * pairs with every same-user click in the preceding hour. BOTH sides
     * carry event-time watermarks and the join predicate carries the time

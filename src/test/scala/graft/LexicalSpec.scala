@@ -388,6 +388,53 @@ class LexicalSpec extends SparkSpecBase {
     dropIdx(tbl)
   }
 
+  test("positional index probes return exactly the live phrase retrievals' rows") {
+    val got = rows(Lexical.lexicalPhraseIndexed(spark, sfDir))
+    val want = rows(Lexical.lexicalPhraseK(spark, sfDir))
+    assert(got === want && got.nonEmpty,
+      "persisted positional probe diverged from the live k-phrase")
+    val gotS = rows(Lexical.lexicalPhraseSlopIndexed(spark, sfDir))
+    val wantS = rows(Lexical.lexicalPhraseSlop(spark, sfDir))
+    assert(gotS === wantS && gotS.nonEmpty,
+      "persisted positional slop probe diverged from the live form")
+  }
+
+  test("positional index lifecycle: append parity under pinned df, delete, compact, reinstate") {
+    val tbl = "lex_pos_lc"
+    drop(tbl, tbl + "_df", BucketedSink.tombTableOf(tbl))
+    val d = phraseCorpus
+    // half-build + append + redelivered append: serve == a from-scratch
+    // posexplode of the full corpus under the STORED (half-build) df
+    Lexical.writeLexPosIndexOf(d.filter(col("doc_id") % 2 === 0), tbl)
+    Lexical.appendLexPosDocs(d.filter(col("doc_id") % 2 =!= 0), tbl)
+    Lexical.appendLexPosDocs(d.filter(col("doc_id") % 2 =!= 0), tbl)
+    assert(rows(Lexical.lexPhraseFromStore(spark, tbl)) ===
+        rows(Lexical.lexPhraseRecomputed(d, tbl)),
+      "appended position rows diverged from a full posexplode under stored df")
+    // full rebuild: serve == live, and the constructed corpus guarantees
+    // nonzero emission (doc 40 holds the phrase twice, 43 once)
+    drop(tbl, tbl + "_df", BucketedSink.tombTableOf(tbl))
+    Lexical.writeLexPosIndexOf(d, tbl)
+    val full = rows(Lexical.lexPhraseFromStore(spark, tbl))
+    assert(full === rows(Lexical.lexicalPhraseKOf(d)) && full.nonEmpty)
+    // delete a doc that matches: it must stop matching, compaction is
+    // invisible, re-append reinstates
+    Lexical.deleteLexPosDocs(spark, tbl, Seq(40L).toDF("doc_id"))
+    val without = rows(Lexical.lexPhraseRecomputed(
+      d.filter(col("doc_id") =!= 40L), tbl))
+    assert(rows(Lexical.lexPhraseFromStore(spark, tbl)) === without,
+      "tombstoned doc still matched the phrase")
+    assert(without != full, "doc 40 must have been a real match")
+    Lexical.compactLexPos(spark, tbl)
+    assert(rows(Lexical.lexPhraseFromStore(spark, tbl)) === without,
+      "compaction changed the served phrase rows")
+    Lexical.appendLexPosDocs(d.filter(col("doc_id") === 40L), tbl)
+    assert(rows(Lexical.lexPhraseFromStore(spark, tbl)) ===
+        rows(Lexical.lexPhraseRecomputed(d, tbl)),
+      "re-appended doc did not reinstate in the positional index")
+    drop(tbl, tbl + "_df", BucketedSink.tombTableOf(tbl))
+  }
+
   test("streaming top-k probe matches the batch index probe per arrived query") {
     val tbl = "lex_idx_lc_topk_stream"
     dropIdx(tbl)

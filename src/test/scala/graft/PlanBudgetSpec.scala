@@ -67,6 +67,12 @@ class PlanBudgetSpec extends SparkSpecBase {
     // (observed 4 at k=3)
     "lexical_phrase_k" -> B(6, 0),
     "lexical_phrase_slop" -> B(6, 0),
+    // r11 persisted positional probes: warm probes are broadcast-only
+    // (observed 0-2 stages); the ceiling covers the cold ensure-build
+    // path (bucketed position write + df agg), the lexical_index_probe
+    // convention
+    "lexical_phrase_indexed" -> B(6, 0),
+    "lexical_phrase_slop_indexed" -> B(6, 0),
     // r10 RRF fusion: lexical list + the exact-cosine list + the
     // contract-bounded (<= 2k rows/query) fusion window (observed 11);
     // BNLJs = lexical's stats broadcast + bruteforce's query crossJoin

@@ -283,4 +283,39 @@ class StreamingSkewSpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     Checkpoints.releaseAll()
   }
+
+  test("ann top-k stream: parity with the batch probe, burst dedups, state query-bounded") {
+    val tbl = "ann_idx_topk_skew"
+    Seq(tbl, graft.sources.BucketedSink.tombTableOf(tbl))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.AnnIndexSink.writeEmbeddingIndexOf(v, tbl, 16)
+    val q = v.filter(col("vec_id") < 10)
+    val burst = q.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(50).select(lit(1).as("dd"))).drop("dd")
+    val sdir = java.nio.file.Files.createTempDirectory("graft-skew-ann-topk").toString
+    q.union(burst)
+      .withColumn("arrived", to_timestamp(lit("2026-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(sdir)
+    val schema = spark.read.parquet(sdir).schema
+    val stream = spark.readStream.schema(schema).parquet(sdir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sq = StreamOps.annTopkStream(spark, tbl, stream, "arrived") { ranked =>
+      buf.synchronized { buf ++= ranked.collect().map(_.toSeq.mkString("|")) }
+    }
+    sq.processAllAvailable()
+    val prog = sq.recentProgress.toSeq
+    sq.stop()
+    // batch twin: the persisted-index probe over the same table
+    val want = graft.llm.Ann.probeIndexTable(spark, tbl)
+      .collect().map(_.toSeq.mkString("|")).toSet
+    assert(buf.size === buf.toSet.size, "redelivered vector emitted twice")
+    assert(buf.toSet === want && want.nonEmpty,
+      s"burst ann top-k stream diverged from the batch probe (${buf.size} vs ${want.size})")
+    assert(maxStateRows(prog) <= 10,
+      s"ann top-k stream state ${maxStateRows(prog)} exceeds distinct arrived vectors 10")
+    Seq(tbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Checkpoints.releaseAll()
+  }
 }
