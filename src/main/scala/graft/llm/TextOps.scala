@@ -728,6 +728,85 @@ object TextOps {
       array_join(transform(col("ids"), i => i.cast("string")), ",")
         .as("token_csv"))
 
+  /** D54b (r11): tokenizer ROUND-TRIP gate — decode(encode(doc)) must
+    * reproduce the normalized char stream EXACTLY, per document, in both
+    * engines. Single-level BPE (merge pairs are base codes, minted ids
+    * never re-merge) is losslessly invertible by construction, so a
+    * false `roundtrip_ok` anywhere means the encoder, the merge table,
+    * or the decode expansion drifted — the integrity gate a tokenizer
+    * deployment runs before committing a vocabulary. Map-only (the
+    * decode table is ≤ BpeTopMerges closure-baked pairs); emits exact
+    * token/char counts so the gate doubles as the compression sheet.
+    */
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = minedMerges(spark, dir)
+    val expand: Map[Int, (Int, Int)] =
+      merges.map { case (a, b, x) => x -> ((a, b)) }.toMap
+    val codeArr = transform(
+      filter(split(lmNorm(col("text")), ""), c => length(c) === 1),
+      c => when(c === " ", 27).when(c === "0", 26)
+        .otherwise(ascii(c) - 97).cast("int"))
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), codeArr.as("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, codes) =>
+          val ids = bpeEncodeIds(codes, merges)
+          val out = new scala.collection.mutable.ArrayBuilder.ofInt
+          out.sizeHint(codes.length)
+          ids.foreach { i =>
+            if (i < 28) out += i
+            else { val (a, b) = expand(i); out += a; out += b }
+          }
+          (id, ids.length.toLong, codes.length.toLong,
+            java.util.Arrays.equals(out.result(), codes))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_chars", "roundtrip_ok")
+  }
+
+  def bpeRoundtripSql: String =
+    s"""WITH RECURSIVE mr AS (
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, slot ASC) - 1 AS INT)
+               AS rank, slot
+      FROM ($bpeMergesSql)),
+    m AS (SELECT rank, ${encTokSql("slot // 28")} || ${encTokSql("slot % 28")} AS pat,
+             ${encTokSql("28 + rank")} AS repl
+          FROM mr),
+    t AS (SELECT doc_id, $lmNormSql AS s FROM documents),
+    e0 AS (SELECT doc_id, cl,
+        array_to_string(list_transform(cl, k -> ${encTokSql("k")}), '') AS s2
+      FROM (SELECT doc_id,
+          list_transform(list_filter(string_split(s, ''), c -> len(c) = 1),
+            c -> CASE WHEN c = ' ' THEN 27 WHEN c = '0' THEN 26
+                      ELSE ascii(c) - 97 END) AS cl
+        FROM t)),
+    ap AS (
+      SELECT doc_id, s2, 0 AS i FROM e0
+      UNION ALL
+      SELECT ap.doc_id, replace(ap.s2, m.pat, m.repl), ap.i + 1
+      FROM ap JOIN m ON m.rank = ap.i
+      WHERE ap.i < $BpeTopMerges),
+    enc AS (SELECT doc_id, s2 FROM ap WHERE i = (SELECT count(*) FROM m)),
+    ids AS (SELECT doc_id,
+      list_transform(range(len(s2) // 2),
+        i -> (ascii(substr(s2, CAST(i * 2 + 1 AS INT), 1)) - 65) * 26
+           + ascii(substr(s2, CAST(i * 2 + 2 AS INT), 1)) - 97) AS l
+      FROM enc),
+    pl AS (SELECT list([CAST(slot // 28 AS INT), CAST(slot % 28 AS INT)]
+             ORDER BY rank) AS pl
+           FROM mr),
+    dec AS (SELECT i.doc_id,
+        flatten(list_transform(i.l,
+          x -> CASE WHEN x < 28 THEN [CAST(x AS INT)] ELSE pl.pl[x - 27] END)) AS d,
+        len(i.l) AS nt
+      FROM ids i, pl)
+    SELECT e.doc_id, CAST(d.nt AS BIGINT) AS n_tokens,
+           CAST(len(e.cl) AS BIGINT) AS n_chars,
+           coalesce(d.d, []) = e.cl AS roundtrip_ok
+    FROM e0 e JOIN dec d USING (doc_id)"""
+
   /** Oracle-side fixed-width token encoding: id t (0 ≤ t < 676) →
     * chr(65 + t div 26) · chr(97 + t mod 26) — first char uppercase,
     * second lowercase, so EVERY occurrence of a two-token search pattern

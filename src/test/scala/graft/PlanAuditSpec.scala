@@ -521,4 +521,27 @@ class PlanAuditSpec extends SparkSpecBase {
       Checkpoints.releaseAll()
     }
   }
+
+  test("positional-index probes never tokenize: no regex extraction, no posexplode of the corpus") {
+    // the pay-at-ingest claim as a plan property (r11): the persisted
+    // phrase probes must consume STORED position rows — a regression that
+    // silently re-tokenizes (regexp_extract_all) or re-explodes the
+    // corpus per query would keep the rows identical while re-paying the
+    // ingest cost at serve time, which only the plan can catch
+    val tbl = llm.Lexical.ensureLexPosIndex(spark, sfDir)
+    for (df <- Seq(llm.Lexical.lexPhraseFromStore(spark, tbl),
+                   llm.Lexical.lexPhraseSlopFromStore(spark, tbl))) {
+      val p = planOf(df)
+      assert(!p.contains("regexp_extract_all"),
+        "warm phrase probe re-tokenized the corpus:\n" + p.take(500))
+      assert(!p.contains("posexplode"),
+        "warm phrase probe re-exploded positions:\n" + p.take(500))
+      assert(p.contains("BroadcastHashJoin"),
+        "phrase side must broadcast into the position rows")
+    }
+    // and the live form (the recompute twin) DOES tokenize — the contrast
+    // that proves the assertion bites
+    val live = planOf(llm.Lexical.lexicalPhraseK(spark, sfDir))
+    assert(live.contains("regexp_extract_all"))
+  }
 }

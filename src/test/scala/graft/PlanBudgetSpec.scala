@@ -66,6 +66,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     // window and the chain joins all reuse broadcast/equality exchanges
     // (observed 4 at k=3)
     "lexical_phrase_k" -> B(6, 0),
+    // r11 tokenizer round-trip gate: the merge-mine aggregate + the
+    // map-only encode/decode pass (observed 3)
+    "bpe_roundtrip" -> B(5, 0),
     "lexical_phrase_slop" -> B(6, 0),
     // r11 persisted positional probes: warm probes are broadcast-only
     // (observed 0-2 stages); the ceiling covers the cold ensure-build
