@@ -242,23 +242,42 @@ object Bench {
       // (which would render a 310-digit json value and corrupt `total`)
       n -> (if (best == Double.MaxValue) -1.0 else best)
     }
-    // Streaming end-to-end row (r7): the REAL stateful sessionizer —
-    // parquet stream source → flatMapGroupsWithState under the RocksDB
-    // state store → noop streaming sink, AvailableNow — over the same
-    // sf's events. The batch mirror (stream_sessionize) times the
-    // window-function twin; this row is the only wall-clock record of the
-    // streaming engine itself (state store, micro-batch planning,
-    // watermark bookkeeping). Staged dir + one warmup run untimed;
-    // excluded from `total` like the CTAS row.
+    // ---- streaming section (r12: isolated + self-calibrated) ----
+    // The r11 verdict's bench item: the driver window inflated one stream
+    // row 2.15× under a 1.07 batch calib — the single-thread CPU probe is
+    // blind to the I/O + RocksDB + micro-batch-planner contention the
+    // stream rows feel. Three changes: (1) quiesce before the section so
+    // batch-pass GC debt can't bleed in, (2) every stream e2e row is now
+    // BEST-OF-3 timed runs (the same discipline the batch rows have had
+    // since r9 — a single-shot number on a shared VM measures the
+    // neighbor), (3) the section carries its own calib bracket
+    // (calib_stream / calib_stream_worst, probes taken at section entry
+    // and exit) so a contended stream window is detectable from the json.
+    System.gc()
+    Thread.sleep(2000)
+    val calibStreamStart = calibProbe()
+    def scratch(prefix: String): java.nio.file.Path =
+      graft.streaming.TempDirs.scratch(prefix)
+    def bestOf3(body: () => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
+      }.min
+    // The REAL stateful sessionizer — parquet stream source →
+    // flatMapGroupsWithState under the RocksDB state store → noop
+    // streaming sink, AvailableNow — over the same sf's events. The batch
+    // mirror (stream_sessionize) times the window-function twin; this row
+    // is the only wall-clock record of the streaming engine itself (state
+    // store, micro-batch planning, watermark bookkeeping). Staged dir +
+    // one warmup run untimed; excluded from `total` like the CTAS row.
     val streamSec = try {
-      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+      val sdir = scratch("graft-bench-stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         sdir.resolve("part-00000.parquet"))
       import org.apache.spark.sql.functions.col
       import spark.implicits._
       def run(): Unit = {
-        val cp = java.nio.file.Files.createTempDirectory("graft-bench-stream-cp")
+        val cp = scratch("graft-bench-stream-cp")
         val ev = graft.streaming.StreamOps.readEventStream(spark, sdir.toString)
           .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
             col("user_id"), col("event_type"), col("value"))
@@ -268,10 +287,10 @@ object Bench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.processAllAvailable(); q.stop()
+        graft.streaming.TempDirs.release(cp)
       }
       run() // warmup: codegen + RocksDB open
-      val t0 = System.nanoTime(); run()
-      (System.nanoTime() - t0) / 1e9
+      bestOf3(() => run())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream row failed: $e"); -1.0
     }
@@ -301,7 +320,7 @@ object Bench {
         graft.sources.IndexSink.writeSignatureIndex(spark, sfDir, tbl, buckets = 32)
       }
       graft.Checkpoints.releaseAll()
-      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-probe")
+      val sdir = scratch("graft-bench-probe")
       import org.apache.spark.sql.functions.{col, lit, to_timestamp}
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") % graft.llm.Dedup.IncrementalBatchMod === 0)
@@ -310,7 +329,7 @@ object Bench {
       val schema = spark.read.parquet(sdir.toString).schema
       var stateRows = 0.0
       def run(): Unit = {
-        val cp = java.nio.file.Files.createTempDirectory("graft-bench-probe-cp")
+        val cp = scratch("graft-bench-probe-cp")
         val stream = spark.readStream.schema(schema).parquet(sdir.toString)
         val q = graft.streaming.StreamOps.indexProbeStream(spark, tbl, stream, "arrived")
           .writeStream.format("noop").option("checkpointLocation", cp.toString)
@@ -320,8 +339,7 @@ object Bench {
         stateRows = lastStateRows(q)
       }
       run()
-      val t0 = System.nanoTime(); run()
-      ((System.nanoTime() - t0) / 1e9, stateRows)
+      (bestOf3(() => run()), stateRows)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] index probe stream row failed: $e"); (-1.0, -1.0)
     }
@@ -334,7 +352,7 @@ object Bench {
     val (pqProbeSec, pqProbeStateRows) = try {
       val tbl = graft.llm.Pq.ensurePqIndex(spark, sfDir)
       graft.Checkpoints.releaseAll()
-      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-pq-probe")
+      val sdir = scratch("graft-bench-pq-probe")
       import org.apache.spark.sql.functions.{col, lit, to_timestamp}
       Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") < 10)
@@ -344,7 +362,7 @@ object Bench {
       val schema = spark.read.parquet(sdir.toString).schema
       var stateRows = 0.0
       def run(): Unit = {
-        val cp = java.nio.file.Files.createTempDirectory("graft-bench-pq-probe-cp")
+        val cp = scratch("graft-bench-pq-probe-cp")
         val stream = spark.readStream.schema(schema).parquet(sdir.toString)
         val q = graft.streaming.StreamOps.pqProbeStream(spark, tbl, stream, "arrived")
           .writeStream.format("noop").option("checkpointLocation", cp.toString)
@@ -354,8 +372,7 @@ object Bench {
         stateRows = lastStateRows(q)
       }
       run()
-      val t0 = System.nanoTime(); run()
-      ((System.nanoTime() - t0) / 1e9, stateRows)
+      (bestOf3(() => run()), stateRows)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pq probe stream row failed: $e"); (-1.0, -1.0)
     }
@@ -366,7 +383,7 @@ object Bench {
     val (lexProbeSec, lexProbeStateRows) = try {
       val tbl = graft.llm.Lexical.ensureLexIndex(spark, sfDir)
       graft.Checkpoints.releaseAll()
-      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-lex-probe")
+      val sdir = scratch("graft-bench-lex-probe")
       import org.apache.spark.sql.functions.{col, lit, to_timestamp}
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") < 10)
@@ -376,7 +393,7 @@ object Bench {
       val schema = spark.read.parquet(sdir.toString).schema
       var stateRows = 0.0
       def run(): Unit = {
-        val cp = java.nio.file.Files.createTempDirectory("graft-bench-lex-probe-cp")
+        val cp = scratch("graft-bench-lex-probe-cp")
         val stream = spark.readStream.schema(schema).parquet(sdir.toString)
         val q = graft.streaming.StreamOps.lexRadiusStream(spark, tbl, stream, "arrived")
           .writeStream.format("noop").option("checkpointLocation", cp.toString)
@@ -386,8 +403,7 @@ object Bench {
         stateRows = lastStateRows(q)
       }
       run()
-      val t0 = System.nanoTime(); run()
-      ((System.nanoTime() - t0) / 1e9, stateRows)
+      (bestOf3(() => run()), stateRows)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] lex radius stream row failed: $e"); (-1.0, -1.0)
     }
@@ -399,7 +415,7 @@ object Bench {
     val (lexTopkSec, lexTopkStateRows) = try {
       val tbl = graft.llm.Lexical.ensureLexIndex(spark, sfDir)
       graft.Checkpoints.releaseAll()
-      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-lex-topk")
+      val sdir = scratch("graft-bench-lex-topk")
       import org.apache.spark.sql.functions.{col, lit, to_timestamp}
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") < 10)
@@ -418,8 +434,7 @@ object Bench {
         stateRows = lastStateRows(q)
       }
       run()
-      val t0 = System.nanoTime(); run()
-      ((System.nanoTime() - t0) / 1e9, stateRows)
+      (bestOf3(() => run()), stateRows)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] lex topk stream row failed: $e"); (-1.0, -1.0)
     }
@@ -429,7 +444,7 @@ object Bench {
     val (annTopkSec, annTopkStateRows) = try {
       val tbl = graft.sources.AnnIndexSink.ensureEmbeddingIndex(spark, sfDir)
       graft.Checkpoints.releaseAll()
-      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-ann-topk")
+      val sdir = scratch("graft-bench-ann-topk")
       import org.apache.spark.sql.functions.{col, lit, to_timestamp}
       Tables.embeddings(spark, sfDir)
         .filter(col("vec_id") < 10)
@@ -448,19 +463,18 @@ object Bench {
         stateRows = lastStateRows(q)
       }
       run()
-      val t0 = System.nanoTime(); run()
-      ((System.nanoTime() - t0) / 1e9, stateRows)
+      (bestOf3(() => run()), stateRows)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann topk stream row failed: $e"); (-1.0, -1.0)
     }
     val (clickSec, clickStateRows) = try {
-      val sdir = java.nio.file.Files.createTempDirectory("graft-bench-click")
+      val sdir = scratch("graft-bench-click")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         sdir.resolve("part-00000.parquet"))
       var stateRows = 0.0
       def run(): Unit = {
-        val cp = java.nio.file.Files.createTempDirectory("graft-bench-click-cp")
+        val cp = scratch("graft-bench-click-cp")
         val ev = graft.streaming.StreamOps.readEventStream(spark, sdir.toString)
         val q = graft.streaming.StreamOps.clickAttributionStream(ev)
           .writeStream.format("noop").option("checkpointLocation", cp.toString)
@@ -470,11 +484,11 @@ object Bench {
         stateRows = lastStateRows(q)
       }
       run()
-      val t0 = System.nanoTime(); run()
-      ((System.nanoTime() - t0) / 1e9, stateRows)
+      (bestOf3(() => run()), stateRows)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] click attribution stream row failed: $e"); (-1.0, -1.0)
     }
+    val calibStreamEnd = calibProbe()
     val reported = results :+ ("capex_bucketed_ctas" -> ctasSec) :+
       ("stream_sessionize_e2e" -> streamSec) :+
       ("stream_index_probe_e2e" -> probeSec) :+
@@ -489,7 +503,9 @@ object Bench {
       ("stream_ann_topk_state_rows" -> annTopkStateRows) :+
       ("stream_click_attr_e2e" -> clickSec) :+
       ("stream_click_attr_state_rows" -> clickStateRows) :+
-      ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max)
+      ("calib" -> calibs.min) :+ ("calib_worst" -> calibs.max) :+
+      ("calib_stream" -> math.min(calibStreamStart, calibStreamEnd)) :+
+      ("calib_stream_worst" -> math.max(calibStreamStart, calibStreamEnd))
     val qs = reported.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     // failed rows (sentinel -1.0) stay visible per-query but must not
     // deflate the round-over-round total

@@ -214,7 +214,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val quality = TextOps.qualityExpr(col("text"))
     val nBpe = size(regexp_extract_all(lower(col("text")),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      lit(TextOps.BpeTokRe), lit(0)))
     val perDoc = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("source"), col("lang"),
         nBpe.as("n_bpe_tokens"),
@@ -237,7 +237,7 @@ object Corpus {
   val corpusReportSql: String =
     s"""WITH per_doc AS (
       SELECT doc_id, source, lang,
-        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+        len(regexp_extract_all(lower(text), '${TextOps.BpeTokReSql}')) AS n_bpe_tokens,
         CAST(round(${TextOps.qualityExprSql("toks")} * 1000000, 0) AS BIGINT) AS q_micros
       FROM (SELECT doc_id, source, lang, text, ${TextOps.toksSql} AS toks FROM documents)),
     w AS (

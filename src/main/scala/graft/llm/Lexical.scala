@@ -201,6 +201,14 @@ object Lexical {
     * per-doc term set, so an arrived doc that is already indexed
     * retrieves exactly its D91b rows — the parity LexicalSpec pins)
     * rare-first against the STORED df, scored under the STORED stats.
+    *
+    * OOV contract (r12): the inner join against the PINNED `_df` drops
+    * query terms absent from the build-time vocabulary — a query doc
+    * whose terms are entirely post-build retrieves zero rows. Documented
+    * (rather than left-joined into a QC column) because the pinned-df
+    * behavior IS the segment-based-engine semantics the index family
+    * exports; the streaming wrapper (StreamOps.lexTopkStream) carries
+    * the operational guidance.
     */
   private[graft] def lexTopkForQueries(spark: SparkSession, table: String,
                                        queryDocs: DataFrame): DataFrame = {

@@ -227,14 +227,41 @@ object Multimodal {
     * drives committed PNG/JPEG fixture FILES through BinarySource into
     * this same decoder).
     */
+  /** Ceiling on decoded raster size (w·h) before the pixel loop runs —
+    * the decompression-bomb guard: a tiny adversarial payload can declare
+    * huge dimensions, and iterating that raster would OOM the executor.
+    * 2^24 px (a 4096×4096 frame) is far above any thumbnail-tier media
+    * and far below executor heap; `graft.mm.maxPixels` overrides.
+    */
+  def MaxDecodePixels: Long = {
+    val p = graft.GraftConfig.int("graft.mm.maxPixels", 1 << 24).toLong
+    require(p >= 1, s"graft.mm.maxPixels must be >= 1, got $p")
+    p
+  }
+
+  /** Decode `payload` fail-OPEN: null for undecodable, oversized, or
+    * adversarial bytes. Catches NonFatal, not just IOException — ImageIO
+    * plugin readers throw RuntimeExceptions on malformed input
+    * (CMMException on broken ICC profiles, ArrayIndexOutOfBounds /
+    * NegativeArraySize in format parsers), and any of those escaping
+    * would fail the whole partition on one corrupt crawl object.
+    */
+  private def readImageSafe(payload: Array[Byte],
+                            maxPixels: Long): java.awt.image.BufferedImage = {
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth.toLong * img.getHeight > maxPixels) null
+    else img
+  }
+
   def decodeImageFeatures(media: Dataset[MediaBin]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
+    val maxPx = MaxDecodePixels
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val img = try {
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-        } catch { case _: java.io.IOException => null }
+        val img = readImageSafe(m.payload, maxPx)
         if (img == null) DecodedImage(m.media_id, -1, -1, 0L, -1)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -286,27 +313,37 @@ object Multimodal {
     */
   def mmResizeReal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val maxPx = MaxDecodePixels
     synthPngFrame(spark, dir).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val mdim = math.max(w, h)
-        val ow = math.max(1, w * RealResizeBox / mdim)
-        val oh = math.max(1, h * RealResizeBox / mdim)
-        var sum = 0L
-        var i = 0
-        while (i < oh) {
-          var j = 0
-          while (j < ow) {
-            sum += img.getRGB(j * w / ow, i * h / oh) & 0xff
-            j += 1
-          }
-          i += 1
-        }
-        ResizedImage(m.media_id, ow, oh, sum)
+        // same fail-open guard as decodeImageFeatures: today the input is
+        // synthPngFrame's own PNGs, but any caller feeding real payloads
+        // (the BinarySource pattern) must degrade, not kill the partition
+        val img = readImageSafe(m.payload, maxPx)
+        if (img == null) ResizedImage(m.media_id, -1, -1, 0L)
+        else resizeOne(m.media_id, img)
       }
     }.toDF()
+  }
+
+  private def resizeOne(mediaId: Long,
+                        img: java.awt.image.BufferedImage): ResizedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val mdim = math.max(w, h)
+    val ow = math.max(1, w * RealResizeBox / mdim)
+    val oh = math.max(1, h * RealResizeBox / mdim)
+    var sum = 0L
+    var i = 0
+    while (i < oh) {
+      var j = 0
+      while (j < ow) {
+        sum += img.getRGB(j * w / ow, i * h / oh) & 0xff
+        j += 1
+      }
+      i += 1
+    }
+    ResizedImage(mediaId, ow, oh, sum)
   }
 
   val mmResizeRealSql: String =

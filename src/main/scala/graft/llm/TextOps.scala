@@ -18,9 +18,43 @@ object TextOps {
   val normTextSql: String =
     "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 
+  // ---------------------------------------------------------------------
+  // Unicode token contract (r12 — SURVEY §4). The historical contract was
+  // ASCII `[a-z0-9]+`, which tokenizes non-Latin text to almost nothing
+  // and silently degrades every token-level operator on a real crawl.
+  // The r12 contract, on lowercased text:
+  //   - a single CJK codepoint (Han / Hiragana / Katakana / Hangul) is a
+  //     token by itself — whitespace-free scripts get codepoint-unigram
+  //     tokens, so the existing word-shingle layer automatically yields
+  //     codepoint n-grams (the Lucene-CJK indexing unit) with no special
+  //     casing downstream;
+  //   - otherwise a token is a maximal run of non-CJK letters (any
+  //     script: Latin, Cyrillic, Greek, Arabic, …) and digits (\p{N}).
+  // On pure-ASCII text this matches `[a-z0-9]+` EXACTLY (property-tested
+  // over the full printable range in UnicodeTextSpec), so every existing
+  // oracle stays hash-stable on the ASCII testdata; the capex family
+  // (functions/TextMatch) keeps its own reference-pinned `[a-z0-9']+`.
+  // Script classes spell differently per engine (Java `\p{IsHan}`, RE2
+  // `\p{Han}`) but denote the same Unicode script property; `[^\P{L}…]`
+  // (letter AND NOT CJK) is the intersection idiom both regex dialects
+  // support inside a character class.
+  // ---------------------------------------------------------------------
+  private val CjkJ = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
+  private val CjkD = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}"
+  val TokRe: String = s"[$CjkJ]|(?:[^\\P{L}$CjkJ]|\\p{N})+"
+  val TokReSql: String = s"[$CjkD]|(?:[^\\P{L}$CjkD]|\\p{N})+"
+  /** BPE-ish pre-segmentation (D10): CJK unigrams, letter runs, digit
+    * runs, single non-alnum marks — ≡ `[a-z]+|[0-9]+|[^a-z0-9\s]` on
+    * lowered ASCII (the same property test). */
+  val BpeTokRe: String = s"[$CjkJ]|[^\\P{L}$CjkJ]+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  val BpeTokReSql: String = s"[$CjkD]|[^\\P{L}$CjkD]+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  /** Complement class for punctuation counting — ≡ `[a-z0-9\s]` on
+    * lowered ASCII. Both engines accept this spelling verbatim. */
+  val AlnumWs = "[\\p{L}\\p{N}\\s]"
+
   def toks(text: Column): Column =
-    regexp_extract_all(lower(coalesce(text, lit(""))), lit("[a-z0-9]+"), lit(0))
-  val toksSql = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+    regexp_extract_all(lower(coalesce(text, lit(""))), lit(TokRe), lit(0))
+  val toksSql = s"regexp_extract_all(lower(coalesce(text, '')), '$TokReSql')"
 
   /** Word 3-gram shingles; empty array below 3 tokens (guarded: Spark's
     * sequence(a,b) runs DESCENDING when b<a, unlike DuckDB range). */
@@ -38,6 +72,17 @@ object TextOps {
   val StopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "auf", "ein")
   val StopFr = Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans")
   val StopEs = Seq("el", "la", "los", "de", "y", "un", "una", "es", "para", "con")
+  // r12 additions — three more Latin-script languages for the stopword
+  // tier (overlapping function words across Romance/Germanic languages
+  // are fine: the ARGMAX decides, and ties resolve in the fixed order).
+  val StopIt = Seq("il", "la", "di", "e", "che", "un", "una", "per", "con", "del")
+  val StopPt = Seq("o", "a", "de", "e", "que", "um", "uma", "para", "com", "do")
+  val StopNl = Seq("de", "het", "een", "en", "van", "is", "voor", "met", "op", "dat")
+
+  /** Stopword-tier languages in tie-break (and argmax-chain) order. */
+  val StopLangs: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopEn, "de" -> StopDe, "fr" -> StopFr, "es" -> StopEs,
+    "it" -> StopIt, "pt" -> StopPt, "nl" -> StopNl)
 
   private[llm] def stopCount(t: Column, stops: Seq[String]): Column = {
     val arr = array(stops.map(lit): _*)
@@ -48,29 +93,105 @@ object TextOps {
     s"len(list_filter($toksExpr, x -> list_contains($arr, x)))"
   }
 
-  /** D8: language ID. Argmax of stopword hits, tie order en>de>fr>es. */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
-      col("doc_id"),
-      stopCount(t, StopEn).as("s_en"), stopCount(t, StopDe).as("s_de"),
-      stopCount(t, StopFr).as("s_fr"), stopCount(t, StopEs).as("s_es"))
-      .withColumn("lang_pred",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-          .when(col("s_fr") >= col("s_es"), "fr")
-          .otherwise("es"))
+  // Script-tier detection (r12): per-script codepoint counts over the RAW
+  // text — the signal for languages the stopword tier cannot see (CJK has
+  // no whitespace-delimited stopwords; Cyrillic/Greek stopwords would need
+  // per-language lists the script already identifies). Script classes are
+  // the same Unicode properties both regex engines support (Java spells
+  // them \p{IsX}, RE2 \p{X}).
+  val ScriptLangs: Seq[(String, String, String, String)] = Seq(
+    // (lang, column, Java class body, RE2 class body)
+    ("ja", "c_kana", "\\p{IsHiragana}\\p{IsKatakana}", "\\p{Hiragana}\\p{Katakana}"),
+    ("zh", "c_han", "\\p{IsHan}", "\\p{Han}"),
+    ("ko", "c_hang", "\\p{IsHangul}", "\\p{Hangul}"),
+    ("ru", "c_cyr", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("el", "c_el", "\\p{IsGreek}", "\\p{Greek}"))
+
+  private def scriptCount(clsJ: String): Column =
+    length(regexp_replace(coalesce(col("text"), lit("")), s"[^$clsJ]", ""))
+  private def scriptCountSql(clsD: String): String =
+    s"length(regexp_replace(coalesce(text, ''), '[^$clsD]', '', 'g'))"
+
+  /** The D8 decision rule over the per-doc signal columns, shared by D8
+    * and D49 (one Column, one SQL CASE — generated from the same tables
+    * so the two engines and the two operators can't drift):
+    *  1. script tier, fixed order ja→zh→ko→ru→el: a script wins iff its
+    *     codepoint count clears an exact integer share of the doc's
+    *     letter codepoints (kana ≥ 10% — Japanese prose is a kanji+kana
+    *     mix, so kana presence at one-tenth of letters already separates
+    *     ja from zh; the others ≥ 30%) and is nonzero;
+    *  2. otherwise the stopword argmax over the 7 Latin-script languages,
+    *     ties in StopLangs order (en first — the historical rule).
+    */
+  private def langPredCol: Column = {
+    ScriptLangs.foldRight(stopChain) {
+      case ((lang, c, _, _), acc) =>
+        val num = if (lang == "ja") 1 else 3
+        when(col(c) > 0 && col(c) * 10 >= col("n_letters") * num, lang)
+          .otherwise(acc)
+    }
   }
+  private def stopChain: Column = {
+    val names = StopLangs.map { case (l, _) => l -> s"s_$l" }
+    names.zipWithIndex.init.foldRight(lit(names.last._1): Column) {
+      case (((lang, c), i), acc) =>
+        val rest = names.drop(i + 1)
+        when(rest.map(r => col(c) >= col(r._2)).reduce(_ && _), lang)
+          .otherwise(acc)
+    }
+  }
+  private def langPredSql: String = {
+    val stopCases = {
+      val names = StopLangs.map { case (l, _) => l -> s"s_$l" }
+      names.zipWithIndex.init.map { case ((lang, c), i) =>
+        val rest = names.drop(i + 1)
+        s"WHEN ${rest.map(r => s"$c >= ${r._2}").mkString(" AND ")} THEN '$lang'"
+      }.mkString(" ") + s" ELSE '${names.last._1}'"
+    }
+    val scriptCases = ScriptLangs.map { case (lang, c, _, _) =>
+      val num = if (lang == "ja") 1 else 3
+      s"WHEN $c > 0 AND $c * 10 >= n_letters * $num THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $scriptCases ELSE (CASE $stopCases END) END"
+  }
+
+  /** The per-doc signal projection D8/D49 share: 7 stopword counts, 5
+    * script counts, total letter codepoints. */
+  private def langSignalCols: Seq[Column] = {
+    val t = toks(col("text"))
+    StopLangs.map { case (l, stops) => stopCount(t, stops).as(s"s_$l") } ++
+      ScriptLangs.map { case (_, c, clsJ, _) => scriptCount(clsJ).as(c) } :+
+      length(regexp_replace(coalesce(col("text"), lit("")), "[^\\p{L}]", ""))
+        .as("n_letters")
+  }
+  private def langSignalSql: String =
+    (StopLangs.map { case (l, stops) => s"${stopCountSql("toks", stops)} AS s_$l" } ++
+      ScriptLangs.map { case (_, c, _, clsD) => s"${scriptCountSql(clsD)} AS $c" } :+
+      s"length(regexp_replace(coalesce(text, ''), '[^\\p{L}]', '', 'g')) AS n_letters")
+      .mkString(",\n      ")
+
+  /** D8: language ID — r12 form: 7 stopword-tier Latin-script languages
+    * (en/de/fr/es/it/pt/nl, token-membership argmax) + 5 script-tier
+    * languages (ja/zh/ko/ru/el, codepoint-share thresholds) in one
+    * deterministic integer decision rule (langPredCol). Still one
+    * map-only scan — the signals are regex counts, the rule a CASE chain.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langidOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  /** Frame-parametric core (spec harnesses feed synthetic docs frames). */
+  private[graft] def langidOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id") +: col("text") +: langSignalCols: _*)
+      .withColumn("lang_pred", langPredCol)
+      .drop("text")
   val textLangidSql: String = {
-    val t = "toks"
-    s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
-      CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-           WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
-    FROM (SELECT doc_id,
-      ${stopCountSql(t, StopEn)} AS s_en, ${stopCountSql(t, StopDe)} AS s_de,
-      ${stopCountSql(t, StopFr)} AS s_fr, ${stopCountSql(t, StopEs)} AS s_es
-      FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""
+    val cols = (StopLangs.map { case (l, _) => s"s_$l" } ++
+      ScriptLangs.map(_._2) :+ "n_letters").mkString(", ")
+    s"""SELECT doc_id, $cols, $langPredSql AS lang_pred
+    FROM (SELECT doc_id, text,
+      $langSignalSql
+      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))"""
   }
 
   /** D49: language-ID confusion matrix — the evaluation pass that keeps
@@ -84,16 +205,9 @@ object TextOps {
     */
   def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = toks(col("text"))
     val pred = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
-      .select(col("lang"),
-        stopCount(t, StopEn).as("s_en"), stopCount(t, StopDe).as("s_de"),
-        stopCount(t, StopFr).as("s_fr"), stopCount(t, StopEs).as("s_es"))
-      .withColumn("lang_pred",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-          .when(col("s_fr") >= col("s_es"), "fr")
-          .otherwise("es"))
+      .select(col("lang") +: col("text") +: langSignalCols: _*)
+      .withColumn("lang_pred", langPredCol)
     pred.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
       .withColumn("lang_total",
         sum(col("n")).over(Window.partitionBy(col("lang"))))
@@ -104,15 +218,79 @@ object TextOps {
     s"""SELECT lang, lang_pred, n,
       CAST(n * 10000 // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_bp
     FROM (SELECT lang, lang_pred, count(*) AS n FROM (
-      SELECT lang,
-        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-             WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
-      FROM (SELECT lang,
-        ${stopCountSql("toks", StopEn)} AS s_en, ${stopCountSql("toks", StopDe)} AS s_de,
-        ${stopCountSql("toks", StopFr)} AS s_fr, ${stopCountSql("toks", StopEs)} AS s_es
-        FROM (SELECT lang, $toksSql AS toks FROM documents)))
+      SELECT lang, $langPredSql AS lang_pred
+      FROM (SELECT lang, text,
+        $langSignalSql
+        FROM (SELECT lang, text, $toksSql AS toks FROM documents)))
       GROUP BY lang, lang_pred)"""
+
+  /** D94 (r12): per-document script-mix profile — the ingest QC gauge
+    * behind multilingual corpus routing: codepoint counts per major
+    * script class (Latin, Cyrillic, Greek, Han, Kana, Hangul), digits,
+    * whitespace, other, and the dominant script (argmax over the six
+    * script counts, fixed tie order latin>cyr>greek>han>kana>hangul;
+    * 'none' when all six are zero). A feed whose profile shifts — or a
+    * doc whose label disagrees with its dominant script — surfaces here
+    * before it degrades the token-level operators. Pure map-side regex
+    * counting, zero shuffles; integer counts so the oracle matches
+    * exactly.
+    */
+  private val ProfileScripts: Seq[(String, String, String)] = Seq(
+    // (column, Java class body, RE2 class body)
+    ("n_latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("n_cyr", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("n_greek", "\\p{IsGreek}", "\\p{Greek}"),
+    ("n_han", "\\p{IsHan}", "\\p{Han}"),
+    ("n_kana", "\\p{IsHiragana}\\p{IsKatakana}", "\\p{Hiragana}\\p{Katakana}"),
+    ("n_hangul", "\\p{IsHangul}", "\\p{Hangul}"))
+
+  def textScriptProfile(spark: SparkSession, dir: String): DataFrame =
+    textScriptProfileOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  /** Frame-parametric core (spec harnesses feed synthetic docs frames). */
+  private[graft] def textScriptProfileOf(docs: DataFrame): DataFrame = {
+    val names = ProfileScripts.map(_._1)
+    val mainScript = names.zipWithIndex.foldRight(lit("none"): Column) {
+      case ((c, i), acc) =>
+        val rest = names.drop(i + 1)
+        when(col(c) > 0 &&
+            rest.map(r => col(c) >= col(r)).foldLeft(lit(true): Column)(_ && _),
+          c.stripPrefix("n_")).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id") +: col("text") +:
+        ProfileScripts.map { case (c, clsJ, _) => scriptCount(clsJ).as(c) } :+
+        length(regexp_replace(coalesce(col("text"), lit("")), "[^\\p{N}]", ""))
+          .as("n_digit") :+
+        length(regexp_replace(coalesce(col("text"), lit("")), "[^\\s]", ""))
+          .as("n_space"): _*)
+      .withColumn("n_other",
+        length(coalesce(col("text"), lit(""))) -
+          ProfileScripts.map(p => col(p._1)).reduce(_ + _) -
+          col("n_digit") - col("n_space"))
+      .withColumn("main_script", mainScript)
+      .drop("text")
+  }
+  val textScriptProfileSql: String = {
+    val names = ProfileScripts.map(_._1)
+    val mainCases = names.zipWithIndex.map { case (c, i) =>
+      val rest = names.drop(i + 1)
+      val geq = (s"$c > 0" +: rest.map(r => s"$c >= $r")).mkString(" AND ")
+      s"WHEN $geq THEN '${c.stripPrefix("n_")}'"
+    }.mkString(" ")
+    val counts = ProfileScripts
+      .map { case (c, _, clsD) => s"${scriptCountSql(clsD)} AS $c" }
+      .mkString(",\n      ")
+    s"""SELECT doc_id, ${names.mkString(", ")}, n_digit, n_space,
+      length(coalesce(text, '')) - ${names.mkString(" - ")} - n_digit - n_space
+        AS n_other,
+      CASE $mainCases ELSE 'none' END AS main_script
+    FROM (SELECT doc_id, text,
+      $counts,
+      length(regexp_replace(coalesce(text, ''), '[^\\p{N}]', '', 'g')) AS n_digit,
+      length(regexp_replace(coalesce(text, ''), '[^\\s]', '', 'g')) AS n_space
+      FROM documents)"""
+  }
 
   /** The D9 quality score as ONE Column expression over a text column —
     * the same shapes textQuality computes via intermediate columns (its
@@ -123,7 +301,7 @@ object TextOps {
     val t = toks(text)
     val nTokens = size(t)
     val nChars = length(text)
-    val nPunct = length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))
+    val nPunct = length(regexp_replace(lower(text), AlnumWs, ""))
     val nStop = stopCount(t, StopEn)
     val stopRatio = when(nTokens === 0, 0.0).otherwise(nStop.cast("double") / nTokens)
     val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars)
@@ -135,7 +313,7 @@ object TextOps {
     s"""((CASE WHEN len($toksExpr) = 0 THEN 0.0
           ELSE CAST(${stopCountSql(toksExpr, StopEn)} AS DOUBLE) / len($toksExpr) END) * 0.5
       + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-          ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
+          ELSE CAST(length(regexp_replace(lower(text), '$AlnumWs', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
       + least(CAST(len($toksExpr) AS DOUBLE) / 100, 1.0) * 0.2)"""
 
   /** D9: quality scoring — length/punctuation/stopword ratios combined into
@@ -149,7 +327,7 @@ object TextOps {
       length(col("text")).as("n_chars"),
       size(t).as("n_tokens"),
       aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sum_tok_len"),
-      length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
+      length(regexp_replace(lower(col("text")), AlnumWs, "")).as("n_punct"),
       stopCount(t, StopEn).as("n_stop"))
       .withColumn("avg_token_len",
         when(col("n_tokens") === 0, 0.0)
@@ -174,7 +352,7 @@ object TextOps {
         + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.2 AS quality_score
     FROM (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS INT) AS sum_tok_len,
-        length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+        length(regexp_replace(lower(text), '$AlnumWs', '', 'g')) AS n_punct,
         ${stopCountSql("toks", StopEn)} AS n_stop
       FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))"""
 
@@ -184,11 +362,11 @@ object TextOps {
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+        lit(BpeTokRe), lit(0))).as("n_bpe_tokens"))
   val textTokensSql: String =
-    """SELECT doc_id,
-      len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
-      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+    s"""SELECT doc_id,
+      len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+      len(regexp_extract_all(lower(text), '$BpeTokReSql')) AS n_bpe_tokens
     FROM documents"""
 
   /** D15: TF-IDF top-3 terms per document. Two aggregations (term counts
@@ -232,7 +410,8 @@ object TextOps {
     SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3"""
 
   /** Char-bigram LM alphabet: a-z + digit-class '0' + space = 28 symbols
-    * (tokens are [a-z0-9]+, digits collapse to '0', tokens join on ' '). */
+    * (ASCII-band tokens only — see lmNorm; digits collapse to '0',
+    * tokens join on ' '). */
   val LmAlphabetSize = 28
   val LmNano = 1000000000L
 
@@ -240,11 +419,21 @@ object TextOps {
     * single spaces, digits collapsed to their class. Built FROM the token
     * array (not raw text) so both engines share one normal form with no
     * regex-dialect drift beyond the already-mirrored tokenizer.
+    *
+    * The LM/BPE char ALPHABET is the ASCII band [a-z0 ] (28 symbols) by
+    * contract; under the r12 Unicode tokenizer, tokens carrying any
+    * out-of-band codepoint are SKIPPED here (token-level filter, both
+    * engines) — the char-statistics family models the ASCII band and
+    * treats other scripts as out-of-alphabet, exactly like a tokenizer
+    * whose byte-fallback tier is not mined. On ASCII text the filter
+    * passes everything, so the stream is byte-identical to r11's.
     */
   private[graft] def lmNorm(text: Column): Column =
-    regexp_replace(array_join(toks(text), " "), "[0-9]", "0")
+    regexp_replace(array_join(
+      filter(toks(text), t => t.rlike("^[a-z0-9]+$")), " "), "[0-9]", "0")
   private[llm] val lmNormSql: String =
-    s"regexp_replace(array_to_string($toksSql, ' '), '[0-9]', '0', 'g')"
+    s"regexp_replace(array_to_string(list_filter($toksSql, " +
+      "t -> regexp_matches(t, '^[a-z0-9]+$')), ' '), '[0-9]', '0', 'g')"
 
   private[llm] def lmBigramsSql(sExpr: String): String =
     s"list_transform(range(1, greatest(length($sExpr) - 1, 0) + 1), " +
@@ -938,7 +1127,7 @@ object TextOps {
     */
   def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
     val n = size(regexp_extract_all(lower(coalesce(col("text"), lit(""))),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("bigint")
+      lit(BpeTokRe), lit(0))).cast("bigint")
     val spans = LengthBucketEdges.zip(LengthBucketEdges.tail)
     // bucket_lo is the largest edge <= n; ceiling = next edge - 1 (the top
     // bucket is open-ended: lo = last edge, zero pad by convention)
@@ -967,7 +1156,7 @@ object TextOps {
       CAST(sum(n) AS BIGINT) AS sum_tokens, CAST(sum(pad) AS BIGINT) AS pad_waste
     FROM (SELECT CASE $loCase END AS bucket_lo, n, CASE $padCase END AS pad
       FROM (SELECT CAST(len(regexp_extract_all(lower(coalesce(text, '')),
-        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n FROM documents))
+        '$BpeTokReSql')) AS BIGINT) AS n FROM documents))
     GROUP BY bucket_lo"""
   }
 }

@@ -464,15 +464,33 @@ object StreamOps {
     * rows are byte-identical to the batch D91b probe — LexicalSpec pins
     * parity, StreamingSkewSpec pins the redelivery burst + state ceiling.
     *
+    * OUT-OF-VOCABULARY semantics (r12, documented like the positional
+    * index's): query terms come from the ARRIVING doc's text but join the
+    * index's PINNED `_df` table, so a term absent from the build-time
+    * vocabulary is silently dropped from the query — an arriving doc
+    * whose vocabulary is entirely post-build retrieves ZERO rows. This is
+    * the pinned-statistics discipline's cost on the streaming ranking
+    * path (the more reachable case than the positional probe): a stale
+    * index degrades arriving-query recall, and the operational signal is
+    * the stored `_df` growing stale vs `bpe_coverage`-style vocabulary
+    * drift gauges — re-ingest (rebuild or appendLexDocs, which extends
+    * postings but NOT `_df`, exactly like segment-based lexical engines
+    * between merges) to refresh the vocabulary.
+    *
     * `sink` receives each micro-batch's ranked frame (the foreachBatch
     * contract); the returned query is already started with an
-    * AvailableNow trigger and a temp checkpoint — callers
-    * processAllAvailable()/stop() it (the runToMemory discipline).
+    * AvailableNow trigger and a scratch checkpoint — callers
+    * processAllAvailable()/stop() it (the runToMemory discipline). Pass
+    * `checkpoint` for a durable location; the default scratch dir is
+    * registered for JVM-exit cleanup (TempDirs — the r11 temp-litter
+    * advice item).
     */
   def lexTopkStream(spark: SparkSession, indexTable: String, docs: DataFrame,
-                    tsCol: String)(sink: DataFrame => Unit)
+                    tsCol: String, checkpoint: Option[String] = None)
+                   (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val cp = java.nio.file.Files.createTempDirectory("graft-lex-topk-cp")
+    val cp = checkpoint.map(java.nio.file.Paths.get(_))
+      .getOrElse(TempDirs.scratch("graft-lex-topk-cp"))
     docs
       .select(col("doc_id"), col("text"), col(tsCol))
       .withWatermark(tsCol, "1 hour")
@@ -498,12 +516,15 @@ object StreamOps {
     * hyperplane bucket for the arriving embedding, equality join into
     * the bucketed index, codegen'd dot fold, top-5). Per-arrived-vector
     * output rows are byte-identical to the batch probe; specs pin parity
-    * and the redelivery burst + state ceiling.
+    * and the redelivery burst + state ceiling. Checkpoint convention as
+    * lexTopkStream: caller-provided or a JVM-exit-cleaned scratch dir.
     */
   def annTopkStream(spark: SparkSession, indexTable: String, vecs: DataFrame,
-                    tsCol: String)(sink: DataFrame => Unit)
+                    tsCol: String, checkpoint: Option[String] = None)
+                   (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val cp = java.nio.file.Files.createTempDirectory("graft-ann-topk-cp")
+    val cp = checkpoint.map(java.nio.file.Paths.get(_))
+      .getOrElse(TempDirs.scratch("graft-ann-topk-cp"))
     vecs
       .select(col("vec_id"), col("embedding"), col(tsCol))
       .withWatermark(tsCol, "1 hour")
