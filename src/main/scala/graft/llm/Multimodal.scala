@@ -360,6 +360,156 @@ object Multimodal {
           1 + (coalesce(n_chars, 0) * 7) % 12 AS h
         FROM documents))"""
 
+  // ---------------------------------------------------------------------
+  // D12g (r12): REAL multi-frame media — animated GIF encode + per-frame
+  // real decode (the r11 verdict's item 5: mm_frame_sample's per-frame
+  // features were still stubs; this path decodes actual container frames)
+  // ---------------------------------------------------------------------
+
+  /** Frames per synthetic container: 1 + n_chars % MaxRealFrames. */
+  val MaxRealFrames = 4
+
+  /** Frame f of media `id`: pixel (x, y) = (id·31 + 7x + 13y + 97f) mod
+    * 256 — the D12e analytic pattern extended by a per-frame phase, so
+    * the oracle recomputes every per-frame statistic with no codec. */
+  private[graft] def framePixel(id: Long, x: Int, y: Int, f: Int): Int =
+    ((id * 31 + 7L * x + 13L * y + 97L * f) % 256).toInt
+
+  case class FrameFeatures(media_id: Long, n_frames: Int, frame_idx: Int,
+                           fr_w: Int, fr_h: Int, px_sum: Long, px00: Int)
+
+  /** REAL animated-GIF bytes (javax.imageio writeToSequence — GIF is the
+    * one multi-frame container the JVM encodes natively): each frame is
+    * a TYPE_BYTE_INDEXED raster over an explicit 256-gray palette, which
+    * makes GIF LOSSLESS here (every gray maps to its own palette index —
+    * no quantization, no dithering). Interlacing is explicitly DISABLED:
+    * the JDK GIF writer defaults to progressive (interlaced) output and
+    * its row interleave garbles small rasters on read-back (observed:
+    * rows shifted with a zero row injected at h=3) — a real-world codec
+    * quirk this pipeline pins down by exactness instead of inheriting
+    * silently.
+    */
+  def synthGifFrame(spark: SparkSession, dir: String): Dataset[MediaBin] = {
+    import spark.implicits._
+    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        it.map { case (id, nChars) =>
+          val (w, h) = patternDims(nChars)
+          val nf = (1 + nChars % MaxRealFrames).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          wr.setOutput(ios)
+          val p = wr.getDefaultWriteParam
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = framePixel(id, x, y, f)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+            f += 1
+          }
+          wr.endWriteSequence()
+          ios.close()
+          wr.dispose()
+          MediaBin(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** The REAL multi-frame decoder: ImageReader.getNumImages(true) +
+    * read(i) per frame over the opaque container bytes — one output row
+    * per DECODED frame with its actual dimensions, gray-channel sum, and
+    * top-left pixel. Fail-open like decodeImageFeatures: undecodable or
+    * oversized payloads degrade to a single (-1, -1, …) row, NonFatal
+    * caught (plugin readers throw RuntimeExceptions on adversarial
+    * bytes), per-frame pixel ceiling enforced before the raster loop.
+    */
+  def decodeFrameFeatures(media: Dataset[MediaBin]): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    val maxPx = MaxDecodePixels
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val fail = Seq(FrameFeatures(m.media_id, -1, -1, -1, -1, 0L, -1))
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) fail
+          else {
+            val rd = readers.next()
+            rd.setInput(iis)
+            // a truncated container can report ZERO frames without
+            // throwing — that is a decode failure, not an empty success
+            val nf = rd.getNumImages(true)
+            if (nf <= 0) { rd.dispose(); fail }
+            else {
+            val out = (0 until nf).map { f =>
+              val img = rd.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              if (w.toLong * h > maxPx)
+                FrameFeatures(m.media_id, nf, f, -1, -1, 0L, -1)
+              else {
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                  y += 1
+                }
+                FrameFeatures(m.media_id, nf, f, w, h, sum, img.getRGB(0, 0) & 0xff)
+              }
+            }
+            rd.dispose()
+            out
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => fail }
+      }
+    }
+  }
+
+  /** D12g query: the full real multi-frame round trip — encode an
+    * animated GIF per media row, decode every frame through the
+    * production frame decoder, emit per-frame statistics. The oracle
+    * recomputes them from the analytic per-frame pattern (GIF with a
+    * full gray palette is lossless), so a broken container encode, frame
+    * count, frame order, or pixel decode all hash-mismatch.
+    */
+  def mmFramesReal(spark: SparkSession, dir: String): DataFrame =
+    decodeFrameFeatures(synthGifFrame(spark, dir)).toDF()
+
+  val mmFramesRealSql: String =
+    s"""SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+      CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS fr_w, CAST(h AS INT) AS fr_h,
+      CAST(list_sum(list_transform(range(w * h),
+        i -> (doc_id * 31 + 7 * (i % w) + 13 * (i // w) + 97 * f) % 256)) AS BIGINT)
+        AS px_sum,
+      CAST((doc_id * 31 + 97 * f) % 256 AS INT) AS px00
+    FROM (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f
+      FROM (SELECT doc_id,
+          1 + coalesce(n_chars, 0) % 16 AS w,
+          1 + (coalesce(n_chars, 0) * 7) % 12 AS h,
+          1 + coalesce(n_chars, 0) % $MaxRealFrames AS nf
+        FROM documents))"""
+
   /** D12d: media exact dedup — content-hash dedup over the opaque binary
     * payload, the first dedup every multimodal ingest runs (byte-identical
     * images re-crawled under different ids; run BEFORE any decode because

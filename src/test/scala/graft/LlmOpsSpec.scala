@@ -6,6 +6,47 @@ import graft.llm.{Ann, Dedup, Multimodal, Packing, Sampling, TextOps}
 /** Specs for the LLM-training-data operators (SURVEY.md §2.D) at sf0.001. */
 class LlmOpsSpec extends SparkSpecBase {
 
+  test("dedup_spans_multi: width-12 rung == dedup_spans; rungs read as a repeat-length histogram") {
+    import spark.implicits._
+    // multi's width-12 slice must equal the single-width D26 census
+    val multi12 = Dedup.dedupSpansMulti(spark, sfDir)
+      .filter(col("width") === Dedup.SpanWindow)
+      .select("span_hash", "n_docs", "n_occurrences", "first_doc")
+    val single = Dedup.dedupSpans(spark, sfDir)
+      .select("span_hash", "n_docs", "n_occurrences", "first_doc")
+    assert(multi12.exceptAll(single).count() == 0 &&
+      single.exceptAll(multi12).count() == 0)
+    // a known 16-token repeat surfaces at rungs 8/12/16 and NOT at 24/32
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon zeta"),
+      (3L, "unrelated words only here nothing shared at all among docs"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.TextOps.toks(col("text")).as("toks"))
+    val rungs = Dedup.dedupSpansMultiOn(docs)
+      .select("width").distinct().collect().map(_.getInt(0)).toSet
+    assert(rungs == Set(8, 12, 16))
+  }
+
+  test("mm_frames_real: real GIF frames decode exactly; corrupt bytes fail open") {
+    import spark.implicits._
+    val r = Multimodal.mmFramesReal(spark, sfDir)
+    // one row per (media, frame); frame counts follow 1 + n_chars % 4
+    val perDoc = r.groupBy("media_id").agg(
+      count(lit(1)).as("rows"), max(col("n_frames")).as("nf"))
+    assert(perDoc.filter(col("rows") =!= col("nf")).count() == 0)
+    // per-frame phase: px00 = (id*31 + 97*f) % 256 — spot-check via SQL
+    assert(r.filter(col("px00") =!=
+      pmod(col("media_id") * 31 + lit(97) * col("frame_idx"), lit(256))).count() == 0)
+    // fail-open: corrupt payloads degrade to a single (-1, -1) row
+    val corrupt = Seq(
+      Multimodal.MediaBin(1L, Array[Byte](1, 2, 3)),
+      Multimodal.MediaBin(2L, "GIF89a totally not a gif".getBytes)).toDS()
+    val bad = Multimodal.decodeFrameFeatures(corrupt).collect()
+    assert(bad.length == 2 && bad.forall(f => f.n_frames == -1 && f.frame_idx == -1))
+  }
+
   test("dedup_exact groups all docs and keeps min ids") {
     val d = Dedup.dedupExact(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()
