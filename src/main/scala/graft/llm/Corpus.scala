@@ -173,6 +173,167 @@ object Corpus {
     FROM clean c JOIN packed p USING (doc_id)"""
   }
 
+  // ---------------------------------------------------------------------
+  // D64b (r12): INCREMENTAL corpus flagship — the daily-ingest form
+  // ---------------------------------------------------------------------
+
+  /** Per-doc clean-stage signals over an arbitrary docs frame, computed
+    * under DIR's pinned artifacts (the full-corpus-mined BPE merge table;
+    * the `bench` shingle-hash blocklist): (doc_id, lang, th, quality,
+    * n_ws_tokens, n_bpe_tokens, contaminated). This is the row the state
+    * table stores per corpus doc at ingest and the batch computes per
+    * arrival — everything the flagship's stages need, WITHOUT the text.
+    */
+  private def docSignals(spark: SparkSession, dir: String, docs0: DataFrame,
+                         bench: DataFrame): DataFrame = {
+    val base = docs0.select(col("doc_id"), col("lang"),
+      md5(TextOps.normText(col("text")).cast("binary")).as("th"),
+      TextOps.qualityExpr(col("text")).as("quality_score"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("bigint").as("n_ws_tokens"))
+    val bpe = TextOps.bpeIdsFrameOf(spark, dir, docs0)
+      .select(col("doc_id"), size(col("ids")).cast("bigint").as("n_bpe_tokens"))
+    val toks = graft.Checkpoints.cp(
+      docs0.select(col("doc_id"), TextOps.toks(col("text")).as("toks")))
+    val hits = toks
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("toks")))).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    base.join(bpe, Seq("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("n_hits"), lit(0L)) > 0 &&
+          !(col("doc_id") % Dedup.BenchMod === 0))
+      .drop("n_hits")
+  }
+
+  private val StateBuckets = 32
+
+  /** Pay-at-ingest corpus state for the incremental flagship: per-doc
+    * clean-stage signals for the NON-batch slice (doc_id %
+    * IncrementalBatchMod != 0), bucketed by doc_id, plus the benchmark
+    * shingle-hash blocklist as `<t>_bench` (the eval suite is a static
+    * pinned artifact, like the tokenizer). Content-fingerprinted name;
+    * the BPE width is a build-time lever so it IS in the name.
+    */
+  private[graft] def ensureCorpusState(spark: SparkSession, dir: String): String = {
+    val S = graft.sources.BucketedSink
+    val fp = S.contentFingerprint(Seq(s"$dir/documents.parquet"))
+    val table = "corpus_state_" +
+      S.nameHash(s"$dir\n$fp\nbpe=${TextOps.BpeTopMerges}")
+    if (!spark.catalog.tableExists(table)) {
+      Seq(table, table + "_bench", S.tombTableOf(table))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val docs = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      S.ensureTable(spark, table + "_bench") {
+        Dedup.shingleHashes(spark, dir)
+          .filter(col("doc_id") % Dedup.BenchMod === 0)
+          .select(col("h")).distinct()
+          .write.format("parquet").saveAsTable(table + "_bench")
+      }
+      S.ensureTable(spark, table) {
+        val corpusDocs = docs.filter(col("doc_id") % Dedup.IncrementalBatchMod =!= 0)
+        S.writeBucketed(
+          docSignals(spark, dir, corpusDocs, spark.table(table + "_bench")),
+          table, "doc_id", StateBuckets)
+      }
+    }
+    table
+  }
+
+  /** The batch-slice signature index (D22's writeSignatureIndex slice —
+    * band rows for doc_id % IncrementalBatchMod != 0), fingerprint-named
+    * like the full index. */
+  private[graft] def ensureIncSignatureIndex(spark: SparkSession, dir: String): String = {
+    val S = graft.sources.BucketedSink
+    val fp = S.contentFingerprint(Seq(s"$dir/documents.parquet"))
+    val table = "sig_idx_inc_" + S.nameHash(s"$dir\n$fp")
+    S.ensureTable(spark, table) {
+      graft.sources.IndexSink.writeSignatureIndex(spark, dir, table, StateBuckets)
+    }
+    table
+  }
+
+  /** D64b (r12): corpus_pipeline INCREMENTAL — the composition a DAILY
+    * ingest actually runs (the r11 verdict's item 6: D22's probe + E17's
+    * merge discipline applied to the whole flagship). The corpus slice
+    * (doc_id % 5 != 0) was processed at ingest: its per-doc clean-stage
+    * signals live in the persisted state table and its near-dup band
+    * rows in the persisted signature index. The arriving batch (doc_id %
+    * 5 == 0) is the ONLY text that gets tokenized, shingled, signed, or
+    * BPE-encoded in this query; everything else is joins and bounded
+    * aggregates over compact stored state:
+    *   - exact keepers: one hash-groupBy over stored + batch `th` digests
+    *     (digests travel, text does not) — and keeper identity can move
+    *     ACROSS the boundary (a batch arrival with a smaller doc_id
+    *     evicts a stored keeper, exactly as a full recompute would);
+    *   - near-dup components: corpus-corpus pairs from the stored index's
+    *     band self-join (zero signature CPU), batch-corpus pairs from the
+    *     D22 probe, batch-batch pairs from the batch's own band join —
+    *     the three quadrants union to EXACTLY dedupMinhash's full pair
+    *     set (same expressions, same ≥ 0.5 confirm);
+    *   - contamination: the batch probes the stored benchmark blocklist;
+    *   - mixture rates / packing: the bounded rate aggregate and the one
+    *     pack window rerun over stored per-doc counts (rates and pack
+    *     addresses are GLOBAL properties — a batch changes them for
+    *     stored docs too, so these must rerun; they are exchanges over
+    *     (doc_id, lang, count) rows, never over text).
+    * OUTPUT ≡ corpusPipeline(dir) row-for-row (the full recompute IS the
+    * oracle — corpusPipelineSql verbatim), which is the gate that makes
+    * "incremental" mean something: same answer, batch-sized text cost.
+    */
+  def corpusPipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val M = Dedup.IncrementalBatchMod
+    val stateTbl = ensureCorpusState(spark, dir)
+    val sigTbl = ensureIncSignatureIndex(spark, dir)
+    val S = graft.sources.BucketedSink
+    val cols = Seq("doc_id", "lang", "th", "quality_score",
+      "n_ws_tokens", "n_bpe_tokens", "contaminated")
+    val stored = S.readServing(spark, stateTbl, "doc_id")
+      .select(cols.map(col): _*)
+    val batchDocs = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+      .filter(col("doc_id") % M === 0)
+    val batchState = docSignals(spark, dir, batchDocs, spark.table(stateTbl + "_bench"))
+      .select(cols.map(col): _*)
+    // the union state feeds four consumers (exact agg, clean joins,
+    // mixture mass, pack counts) — materialize once
+    val all = graft.Checkpoints.cp(stored.unionByName(batchState))
+    // exact-dedup keepers over digests
+    val exactKeep = all.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    // near-dup components from the three pair quadrants
+    val corpusPairs = graft.sources.IndexSink.pairsFromIndex(spark, sigTbl)
+      .select(col("doc_a"), col("doc_b"))
+    val batchSigs = graft.Checkpoints.cp(
+      Dedup.minhashSignatures(spark, dir).filter(col("doc_id") % M === 0))
+    val probePairs = graft.sources.IndexSink.probe(spark, sigTbl, batchSigs)
+      .select(col("index_id").as("doc_a"), col("batch_id").as("doc_b"))
+    val batchPairs = Dedup.pairsOfSignatures(batchSigs)
+      .select(col("doc_a"), col("doc_b"))
+    val comps = Dedup.componentsOfPairs(
+      corpusPairs.unionByName(probePairs).unionByName(batchPairs))
+    val ccDrop = comps.filter(!col("is_keeper")).select("doc_id")
+    // the clean composition over signals (corpusCleanWith's rules)
+    val kept = graft.Checkpoints.cp(all
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(ccDrop, Seq("doc_id"), "left_anti")
+      .join(all.filter(col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= QualityFloor))
+    val mixKeep = Sampling.corpusMixtureOfCounts(
+        kept.select(col("doc_id"), col("lang"), col("n_ws_tokens")))
+      .select(col("doc_id"))
+    val counts = all.select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+      .join(mixKeep, Seq("doc_id"), "left_semi")
+    val packed = Packing.packOfCounts(counts)
+    kept.join(packed, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        round(col("quality_score"), 4).as("quality_score"),
+        col("n_tokens"), col("shard"), col("seq_id"), col("seq_offset"))
+  }
+
   /** D67 (r8): shard manifest — the per-shard summary a shard WRITER
     * consumes from the flagship's per-doc manifest: docs, languages,
     * total BPE tokens, distinct start-sequences, and the last sequence id

@@ -149,11 +149,16 @@ object Dedup {
   /** D2: MinHash+LSH near-dup candidate pairs: equality-join on
     * (band_idx, band_hash) buckets; est_sim = matching signature fraction.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     // materialize signatures once: both sides of the bucket self-join (and
     // AQE's broadcast probes) reuse the computed partitions instead of
     // re-deriving the hash pipeline per reference
-    val b = minhashSignatures(spark, dir).transform(graft.Checkpoints.cp)
+    pairsOfSignatures(minhashSignatures(spark, dir).transform(graft.Checkpoints.cp))
+
+  /** D2's banded pair generation over an explicit signature frame —
+    * shared by the full-corpus query and the incremental flagship's
+    * batch-batch quadrant. */
+  private[graft] def pairsOfSignatures(b: DataFrame): DataFrame = {
     val a = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_hash"))
     val c = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -574,11 +579,21 @@ object Dedup {
     * Shuffle is the per-doc hit aggregate, bounded by matching
     * (doc, shingle) pairs — the corpus is never joined to itself.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docsWithShingles(spark, dir)
+  /** Per-doc distinct shingle hashes (doc_id, h) — decontamination's
+    * probe unit, shared with the incremental flagship's state build. */
+  private[graft] def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    docsWithShingles(spark, dir)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
       .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-    val isBench = col("doc_id") % 50 === 0
+
+  /** Benchmark-membership predicate (D20): every doc_id % 50 == 0 is an
+    * eval-suite stand-in. A multiple of IncrementalBatchMod, so the
+    * benchmark set always arrives WITH the incremental batch slice. */
+  private[graft] val BenchMod = 50
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val isBench = col("doc_id") % BenchMod === 0
     val bench = sh.filter(isBench).select(col("h")).distinct()
     val hits = sh.filter(!isBench).join(broadcast(bench), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))

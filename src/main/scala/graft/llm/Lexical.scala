@@ -472,19 +472,69 @@ object Lexical {
     * a row predicate, not a window), stats are baked literals, and the
     * only exchange is the final pair distinct, bounded by emitted pairs.
     */
-  def lexicalRadius(spark: SparkSession, dir: String): DataFrame =
-    lexRadiusFromStore(spark, ensureLexIndex(spark, dir))
+  /** The catalog D91c key (r12 form): the standard first-NQueries query
+    * set PLUS the guaranteed-emission GUARD query — the r11 verdict's
+    * item 8: at sf0.1 the first-10 queries happened to share no
+    * radius-clearing rare term with anything, so the key was green on an
+    * EMPTY result, which a gate cannot distinguish from "the radius
+    * machinery is broken". The guard picks, deterministically in both
+    * engines, the rarest qualifying posting row corpus-wide (df in
+    * [2, maxDf], contribution clears the radius; ties df → term →
+    * doc_id) and adds the SMALLEST OTHER doc holding that term as an
+    * extra query on that one term — so whenever ANY radius-clearing
+    * rare-term pair exists in the corpus, the output is provably
+    * non-empty, and an empty output now MEANS no qualifying pair exists.
+    * Cost: one TakeOrdered over the already-computed candidate rows.
+    */
+  def lexicalRadius(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensureLexIndex(spark, dir)
+    val st = spark.table(table + "_stats").head()
+    val (n, total) = (st.getLong(0), st.getLong(1))
+    radiusHits(spark, table, n, total,
+      radiusQsel(spark, table, n).unionByName(guardQsel(spark, table, n, total))
+        .distinct())
+  }
 
+  /** The first-NQueries radius form the streaming twin mirrors
+    * (LexicalSpec pins lexRadiusStream ≡ this, pair-for-pair). */
   private[graft] def lexRadiusFromStore(spark: SparkSession, table: String): DataFrame = {
     val st = spark.table(table + "_stats").head()
     val (n, total) = (st.getLong(0), st.getLong(1))
+    radiusHits(spark, table, n, total, radiusQsel(spark, table, n))
+  }
+
+  private def radiusQsel(spark: SparkSession, table: String, n: Long): DataFrame = {
     val maxDf = n * MaxDfBp / 10000
     val post = graft.sources.BucketedSink.readServing(spark, table, "doc_id")
-    val qsel = broadcast(post.filter(col("doc_id") < NQueries)
-        .select(col("doc_id").as("q_id"), col("term"))
-        .join(spark.table(table + "_df").filter(col("df") <= maxDf), Seq("term"))
-        .select(col("q_id"), col("term"), col("df")))
-    post.join(qsel, Seq("term"))
+    post.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("term"))
+      .join(spark.table(table + "_df").filter(col("df") <= maxDf), Seq("term"))
+      .select(col("q_id"), col("term"), col("df"))
+  }
+
+  /** The guard query: rarest qualifying (doc, term) posting row →
+    * the smallest other doc with that term, querying that term only. */
+  private def guardQsel(spark: SparkSession, table: String,
+                        n: Long, total: Long): DataFrame = {
+    val maxDf = n * MaxDfBp / 10000
+    val post = graft.sources.BucketedSink.readServing(spark, table, "doc_id")
+    val qual = post
+      .join(spark.table(table + "_df")
+        .filter(col("df") >= 2 && col("df") <= maxDf), Seq("term"))
+      .filter(contribE10(n, total) >= lit(RadiusE4.toLong) * 1000000L)
+      .orderBy(col("df").asc, col("term").asc, col("doc_id").asc).limit(1)
+      .select(col("term").as("qt"), col("doc_id").as("qd"), col("df").as("qdf"))
+    post.join(broadcast(qual),
+        col("term") === col("qt") && col("doc_id") =!= col("qd"))
+      .groupBy(col("qt"), col("qdf"))
+      .agg(min(col("doc_id")).as("q_id"))
+      .select(col("q_id"), col("qt").as("term"), col("qdf").as("df"))
+  }
+
+  private def radiusHits(spark: SparkSession, table: String, n: Long,
+                         total: Long, qsel: DataFrame): DataFrame = {
+    val post = graft.sources.BucketedSink.readServing(spark, table, "doc_id")
+    post.join(broadcast(qsel), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .filter(contribE10(n, total) >= lit(RadiusE4.toLong) * 1000000L)
       .select(col("q_id"), col("doc_id").as("nb_id"))
@@ -497,11 +547,27 @@ object Lexical {
       SELECT p.doc_id AS q_id, p.term, d.df
       FROM lpost p JOIN ldf d USING (term), lstats s
       WHERE p.doc_id < $NQueries AND d.df <= (s.n * $MaxDfBp) // 10000),
+    qual AS (
+      SELECT p.doc_id, p.term, d.df
+      FROM lpost p JOIN ldf d USING (term), lstats s
+      WHERE d.df >= 2 AND d.df <= (s.n * $MaxDfBp) // 10000
+        AND ((10000 * (2 * (s.n - d.df) + 1)) // (2 * d.df + 1))
+          * ((CAST(22 AS HUGEINT) * p.tf * s.total * 1000000) //
+             (CAST(10 AS HUGEINT) * p.tf * s.total + 3 * s.total + 9 * p.len * s.n))
+          >= CAST($RadiusE4 AS HUGEINT) * 1000000
+      ORDER BY d.df ASC, p.term ASC, p.doc_id ASC LIMIT 1),
+    xq AS (
+      SELECT min(p.doc_id) AS q_id, q.term, q.df
+      FROM lpost p, qual q
+      WHERE p.term = q.term AND p.doc_id != q.doc_id
+      GROUP BY q.term, q.df),
+    rq2 AS (SELECT q_id, term, df FROM rq
+            UNION SELECT q_id, term, df FROM xq),
     hits AS (
-      SELECT rq.q_id, p.doc_id AS nb_id
-      FROM rq JOIN lpost p USING (term), lstats s
-      WHERE p.doc_id != rq.q_id
-        AND ((10000 * (2 * (s.n - rq.df) + 1)) // (2 * rq.df + 1))
+      SELECT rq2.q_id, p.doc_id AS nb_id
+      FROM rq2 JOIN lpost p USING (term), lstats s
+      WHERE p.doc_id != rq2.q_id
+        AND ((10000 * (2 * (s.n - rq2.df) + 1)) // (2 * rq2.df + 1))
           * ((CAST(22 AS HUGEINT) * p.tf * s.total * 1000000) //
              (CAST(10 AS HUGEINT) * p.tf * s.total + 3 * s.total + 9 * p.len * s.n))
           >= CAST($RadiusE4 AS HUGEINT) * 1000000)

@@ -263,11 +263,16 @@ object Sampling {
     * mixture rates are computed from the mass the trainer actually
     * samples, not the raw crawl's.
     */
-  private[graft] def corpusMixtureOf(docs: DataFrame): DataFrame = {
-    val d = docs.select(
+  private[graft] def corpusMixtureOf(docs: DataFrame): DataFrame =
+    corpusMixtureOfCounts(docs.select(
       col("doc_id"), col("lang"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-        .cast("bigint").as("n_ws_tokens"))
+        .cast("bigint").as("n_ws_tokens")))
+
+  /** D24 over precomputed (doc_id, lang, n_ws_tokens) — the stored-state
+    * form the incremental flagship feeds (token counts computed once at
+    * ingest; only the bounded rate aggregate reruns per batch). */
+  private[graft] def corpusMixtureOfCounts(d: DataFrame): DataFrame = {
     val lt = d.groupBy(col("lang"))
       .agg(sum(col("n_ws_tokens")).as("lang_toks"))
     val tot = lt.agg(sum(col("lang_toks")).as("total_toks"))

@@ -891,14 +891,24 @@ object TextOps {
     * parallel at 100 TB, and the width now scales to real vocabularies
     * (hundreds of merges) instead of the A-Z placeholder band's 26.
     */
-  private def bpeIdsFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def bpeIdsFrame(spark: SparkSession, dir: String): DataFrame =
+    bpeIdsFrameOf(spark, dir,
+      Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
+
+  /** Frame-parametric form: encodes `docs0` (needs doc_id, source, text)
+    * under the merge table mined from DIR's full corpus — the pinned-
+    * vocabulary discipline the incremental flagship leans on (a tokenizer
+    * is a versioned artifact trained before the ingest, never retrained
+    * per batch). */
+  private[graft] def bpeIdsFrameOf(spark: SparkSession, dir: String,
+                                   docs0: DataFrame): DataFrame = {
     import spark.implicits._
     val merges = minedMerges(spark, dir)
     val codeArr = transform(
       filter(split(lmNorm(col("text")), ""), c => length(c) === 1),
       c => when(c === " ", 27).when(c === "0", 26)
         .otherwise(ascii(c) - 97).cast("int"))
-    Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
+    docs0
       .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
         codeArr.as("codes"))
       .as[(Long, String, Array[Int])]

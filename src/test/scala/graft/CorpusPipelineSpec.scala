@@ -74,6 +74,22 @@ class CorpusPipelineSpec extends SparkSpecBase {
     Checkpoints.releaseAll()
   }
 
+  test("incremental flagship is row-identical to the full recompute (r12)") {
+    val full = Corpus.corpusPipeline(spark, sfDir)
+    val inc = Corpus.corpusPipelineIncremental(spark, sfDir)
+    assert(rows(inc) == rows(full))
+    // incrementality is real: both batch and corpus slices are non-empty
+    // at spec scale, and BOTH contribute rows to the output
+    val m = Dedup.IncrementalBatchMod
+    val bysSide = inc.groupBy((col("doc_id") % m === 0).as("is_batch")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(bysSide.getOrElse(true, 0L) > 0 && bysSide.getOrElse(false, 0L) > 0)
+    // warm state: a second run finds the persisted tables (no rebuild)
+    val stateTbl = Corpus.ensureCorpusState(spark, sfDir)
+    assert(spark.catalog.tableExists(stateTbl) &&
+      spark.catalog.tableExists(stateTbl + "_bench"))
+  }
+
   test("mixture rates in the pipeline come from the CLEANED mass") {
     // a language whose mass is entirely near-dup droppable would get a
     // different keep rate against raw vs cleaned totals; assert the

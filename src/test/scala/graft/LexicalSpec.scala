@@ -231,6 +231,22 @@ class LexicalSpec extends SparkSpecBase {
     dropIdx(tbl)
   }
 
+  test("guarded radius key is never green-on-empty when a qualifying pair exists (r12)") {
+    // the catalog key (first-10 queries + the guard query) must emit at
+    // EVERY testdata scale — sf0.1 is where the unguarded form was empty
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val out = Lexical.lexicalRadius(spark, d)
+      assert(out.count() > 0, s"guarded radius empty at $d")
+      // guard rows are honest radius pairs: q != nb, distinct
+      assert(out.filter(col("q_id") === col("nb_id")).count() == 0)
+    }
+    // the guard is a SUPERSET of the first-10 form over the same index
+    val tbl = Lexical.ensureLexIndex(spark, sfDir)
+    val base = rows(Lexical.lexRadiusFromStore(spark, tbl))
+    val guarded = rows(Lexical.lexicalRadius(spark, sfDir))
+    assert(base.subsetOf(guarded))
+  }
+
   test("rank agreement vs textbook log BM25: overlap@k and pair agreement floors") {
     // the documented RSJ-ratio-for-log substitution, quantified (VERDICT
     // r10 watch item 1): same candidates, same tf saturation, only the
