@@ -101,7 +101,17 @@ object Bench {
     // row — the heaviest new map-only pass), the full k-token phrase
     // over live positional postings, and its pay-at-ingest twin over the
     // persisted positional index (index built in the untimed warmup)
-    "mm_decode_real", "lexical_phrase_k", "lexical_phrase_indexed")
+    "mm_decode_real", "lexical_phrase_k", "lexical_phrase_indexed",
+    // r12 additions with real scan/decode/shuffle cost: the hierarchical
+    // 5000-merge tokenizer round trip (driver-side train paid once +
+    // map-only heap encode/decode — the heaviest per-row text pass), the
+    // five-width span sweep (one explode, 5x window volume), the real
+    // animated-GIF frame round trip, and the incremental flagship (state
+    // + signature index built in the untimed warmup, pay-at-ingest — the
+    // tracked number is the batch-sized recurring cost vs
+    // corpus_pipeline's full recompute)
+    "bpe_roundtrip_hier", "dedup_spans_multi", "mm_frames_real",
+    "corpus_pipeline_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,6 +69,23 @@ class PlanBudgetSpec extends SparkSpecBase {
     // r11 tokenizer round-trip gate: the merge-mine aggregate + the
     // map-only encode/decode pass (observed 3)
     "bpe_roundtrip" -> B(5, 0),
+    // r12 hierarchical BPE: train is a bounded driver-side sample collect
+    // (observed 0 distributed stages; 2 covers a spread scan), the
+    // round-trip gate is the map-only heap encode/decode (observed 1)
+    "bpe_train_hier" -> B(2, 0),
+    "bpe_roundtrip_hier" -> B(3, 0),
+    // r12 script-mix profile: one map-side regex-count scan (observed 1)
+    "text_script_profile" -> B(3, 0),
+    // r12 five-width span sweep: one explode + one (width, hash) partial
+    // agg; countDistinct expands two-stage (observed 3)
+    "dedup_spans_multi" -> B(5, 0),
+    // r12 real GIF frame round trip: map-only encode+decode (observed 1)
+    "mm_frames_real" -> B(3, 0),
+    // r12 incremental flagship: ceiling covers the COLD path (state table
+    // + bench blocklist + signature index builds; observed 37) plus the
+    // CC loop's convergence-dependent rounds (+4, the iterative-family
+    // slack); the 4 BNLJs are the mixture/pack 1-row totals broadcasts
+    "corpus_pipeline_incremental" -> B(41, 4),
     "lexical_phrase_slop" -> B(6, 0),
     // r11 persisted positional probes: warm probes are broadcast-only
     // (observed 0-2 stages); the ceiling covers the cold ensure-build
