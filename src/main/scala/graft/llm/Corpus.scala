@@ -374,8 +374,7 @@ object Corpus {
   def corpusReport(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quality = TextOps.qualityExpr(col("text"))
-    val nBpe = size(regexp_extract_all(lower(col("text")),
-      lit(TextOps.BpeTokRe), lit(0)))
+    val nBpe = size(TextOps.bpeSegs(lower(col("text"))))
     val perDoc = Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("source"), col("lang"),
         nBpe.as("n_bpe_tokens"),

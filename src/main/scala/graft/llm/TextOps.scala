@@ -39,22 +39,59 @@ object TextOps {
   // (letter AND NOT CJK) is the intersection idiom both regex dialects
   // support inside a character class.
   // ---------------------------------------------------------------------
+  // Java spellings carry an ASCII fast path INSIDE the classes (members
+  // evaluate left-to-right, so `a-z`/`0-9` range checks short-circuit the
+  // Unicode property lookups for ASCII chars — measured 3-4× on the
+  // java.util.regex hot loop; a-z ⊂ L∖CJK and 0-9 ⊂ N, so the language is
+  // unchanged). RE2 compiles properties into its DFA and needs no such
+  // help, and it also does not support nested classes — the two spellings
+  // denote the SAME token language (property-tested), not the same bytes.
   private val CjkJ = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
   private val CjkD = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}"
-  val TokRe: String = s"[$CjkJ]|(?:[^\\P{L}$CjkJ]|\\p{N})+"
+  val TokRe: String = s"[a-z0-9\\p{N}[^\\P{L}$CjkJ]]+|[$CjkJ]"
   val TokReSql: String = s"[$CjkD]|(?:[^\\P{L}$CjkD]|\\p{N})+"
   /** BPE-ish pre-segmentation (D10): CJK unigrams, letter runs, digit
     * runs, single non-alnum marks — ≡ `[a-z]+|[0-9]+|[^a-z0-9\s]` on
     * lowered ASCII (the same property test). */
-  val BpeTokRe: String = s"[$CjkJ]|[^\\P{L}$CjkJ]+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  val BpeTokRe: String =
+    s"[a-z[^\\P{L}$CjkJ]]+|[0-9\\p{N}]+|[$CjkJ]|[^\\p{L}\\p{N}\\s]"
   val BpeTokReSql: String = s"[$CjkD]|[^\\P{L}$CjkD]+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
   /** Complement class for punctuation counting — ≡ `[a-z0-9\s]` on
     * lowered ASCII. Both engines accept this spelling verbatim. */
-  val AlnumWs = "[\\p{L}\\p{N}\\s]"
+  val AlnumWs = "[a-z0-9\\s\\p{L}\\p{N}]"
+  val AlnumWsSql = "[\\p{L}\\p{N}\\s]"
+
+  // ASCII-row dispatch (r12 perf): java.util.regex pays per-char Unicode
+  // property lookups even with the in-class fast path, and tokenization
+  // is the engine's hottest inner loop — the r12 Unicode lift initially
+  // inflated every tokenize-heavy bench row 30-100%. One cheap guard scan
+  // (single negated-range class) routes pure-ASCII rows — the common case
+  // on any Latin-dominant corpus — to the historical ASCII regexes, which
+  // are EXACTLY the Unicode forms' restriction to ASCII (the
+  // UnicodeTextSpec property). Branches evaluate lazily per row
+  // (CaseWhen), so ASCII rows never touch a property class. The DuckDB
+  // oracle keeps the single Unicode spelling: RE2's DFA pays no property
+  // penalty, and the two sides agree by the same property.
+  private val NonAsciiRe = "[^\\x00-\\x7F]"
+  private def dispatchExtract(lowered: Column, uniRe: String,
+                              asciiRe: String): Column =
+    when(lowered.rlike(NonAsciiRe),
+      regexp_extract_all(lowered, lit(uniRe), lit(0)))
+      .otherwise(regexp_extract_all(lowered, lit(asciiRe), lit(0)))
 
   def toks(text: Column): Column =
-    regexp_extract_all(lower(coalesce(text, lit(""))), lit(TokRe), lit(0))
+    dispatchExtract(lower(coalesce(text, lit(""))), TokRe, "[a-z0-9]+")
   val toksSql = s"regexp_extract_all(lower(coalesce(text, '')), '$TokReSql')"
+
+  /** BPE-ish segmentation over an already-lowered column (the D10 family
+    * sites differ in null handling, so they pass their own input). */
+  private[graft] def bpeSegs(lowered: Column): Column =
+    dispatchExtract(lowered, BpeTokRe, "[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+  /** Non-alnum-or-ws chars of an already-lowered column (punct counting). */
+  private[graft] def punctOnly(lowered: Column): Column =
+    when(lowered.rlike(NonAsciiRe), regexp_replace(lowered, AlnumWs, ""))
+      .otherwise(regexp_replace(lowered, "[a-z0-9\\s]", ""))
 
   /** Word 3-gram shingles; empty array below 3 tokens (guarded: Spark's
     * sequence(a,b) runs DESCENDING when b<a, unlike DuckDB range). */
@@ -301,7 +338,7 @@ object TextOps {
     val t = toks(text)
     val nTokens = size(t)
     val nChars = length(text)
-    val nPunct = length(regexp_replace(lower(text), AlnumWs, ""))
+    val nPunct = length(punctOnly(lower(text)))
     val nStop = stopCount(t, StopEn)
     val stopRatio = when(nTokens === 0, 0.0).otherwise(nStop.cast("double") / nTokens)
     val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars)
@@ -313,7 +350,7 @@ object TextOps {
     s"""((CASE WHEN len($toksExpr) = 0 THEN 0.0
           ELSE CAST(${stopCountSql(toksExpr, StopEn)} AS DOUBLE) / len($toksExpr) END) * 0.5
       + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-          ELSE CAST(length(regexp_replace(lower(text), '$AlnumWs', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
+          ELSE CAST(length(regexp_replace(lower(text), '$AlnumWsSql', '', 'g')) AS DOUBLE) / length(text) END) * 0.3
       + least(CAST(len($toksExpr) AS DOUBLE) / 100, 1.0) * 0.2)"""
 
   /** D9: quality scoring — length/punctuation/stopword ratios combined into
@@ -327,7 +364,7 @@ object TextOps {
       length(col("text")).as("n_chars"),
       size(t).as("n_tokens"),
       aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sum_tok_len"),
-      length(regexp_replace(lower(col("text")), AlnumWs, "")).as("n_punct"),
+      length(punctOnly(lower(col("text")))).as("n_punct"),
       stopCount(t, StopEn).as("n_stop"))
       .withColumn("avg_token_len",
         when(col("n_tokens") === 0, 0.0)
@@ -352,7 +389,7 @@ object TextOps {
         + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.2 AS quality_score
     FROM (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS INT) AS sum_tok_len,
-        length(regexp_replace(lower(text), '$AlnumWs', '', 'g')) AS n_punct,
+        length(regexp_replace(lower(text), '$AlnumWsSql', '', 'g')) AS n_punct,
         ${stopCountSql("toks", StopEn)} AS n_stop
       FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))"""
 
@@ -361,8 +398,7 @@ object TextOps {
     Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
-      size(regexp_extract_all(lower(col("text")),
-        lit(BpeTokRe), lit(0))).as("n_bpe_tokens"))
+      size(bpeSegs(lower(col("text")))).as("n_bpe_tokens"))
   val textTokensSql: String =
     s"""SELECT doc_id,
       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
@@ -1136,8 +1172,7 @@ object TextOps {
     * COUNT (8 rows) — nothing here scales with the corpus but the scan.
     */
   def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val n = size(regexp_extract_all(lower(coalesce(col("text"), lit(""))),
-      lit(BpeTokRe), lit(0))).cast("bigint")
+    val n = size(bpeSegs(lower(coalesce(col("text"), lit(""))))).cast("bigint")
     val spans = LengthBucketEdges.zip(LengthBucketEdges.tail)
     // bucket_lo is the largest edge <= n; ceiling = next edge - 1 (the top
     // bucket is open-ended: lo = last edge, zero pad by convention)

@@ -49,6 +49,30 @@ class UnicodeTextSpec extends SparkSpecBase {
     assert(cmp.filter(col("uni") =!= col("ascii")).count() == 0)
   }
 
+  test("ASCII-dispatch fast path ≡ the raw Unicode regex on a mixed corpus") {
+    // toks() routes ASCII rows to the historical regex and others to the
+    // Unicode form — both must equal the raw Unicode extraction everywhere
+    val docs = ((0 until 200).map(i => (i.toLong, randPrintable(60))) ++ Seq(
+      (900L, "mixed漢abc 12"), (901L, "café ñandú 7"), (902L, "привет mir"),
+      (903L, "深層学習の訓練"), (904L, ""), (905L, "ONLY UPPER ASCII 99")))
+      .toDF("doc_id", "text")
+    val cmp = docs.select(
+      TextOps.toks(col("text")).as("dispatched"),
+      regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+        lit(TextOps.TokRe), lit(0)).as("raw"))
+    assert(cmp.filter(col("dispatched") =!= col("raw")).count() == 0)
+    val cmp2 = docs.select(
+      TextOps.bpeSegs(lower(coalesce(col("text"), lit("")))).as("dispatched"),
+      regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+        lit(TextOps.BpeTokRe), lit(0)).as("raw"))
+    assert(cmp2.filter(col("dispatched") =!= col("raw")).count() == 0)
+    val cmp3 = docs.select(
+      TextOps.punctOnly(lower(coalesce(col("text"), lit("")))).as("dispatched"),
+      regexp_replace(lower(coalesce(col("text"), lit(""))),
+        TextOps.AlnumWs, "").as("raw"))
+    assert(cmp3.filter(col("dispatched") =!= col("raw")).count() == 0)
+  }
+
   test("CJK docs tokenize to codepoint unigrams; mixed script splits correctly") {
     val t = Seq((1L, "漢字テスト"), (2L, "mixed漢abc 12"), (3L, "한국어 텍스트"))
       .toDF("doc_id", "text")
