@@ -205,6 +205,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorOps.DotEntry)
     ext.injectFunction(VectorOps.IntDotEntry)
+    ext.injectFunction(TextTokens.TokensEntry)
+    ext.injectFunction(TextTokens.BpeSegsEntry)
+    ext.injectFunction(TextTokens.PunctCountEntry)
     ext.injectFunction(BloomOps.AggEntry)
     ext.injectFunction(BloomOps.ContainsEntry)
     ext.injectPlannerStrategy(_ => graft.plans.FenceStrategy)

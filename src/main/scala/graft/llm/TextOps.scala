@@ -72,26 +72,30 @@ object TextOps {
   // (CaseWhen), so ASCII rows never touch a property class. The DuckDB
   // oracle keeps the single Unicode spelling: RE2's DFA pays no property
   // penalty, and the two sides agree by the same property.
-  private val NonAsciiRe = "[^\\x00-\\x7F]"
-  private def dispatchExtract(lowered: Column, uniRe: String,
-                              asciiRe: String): Column =
-    when(lowered.rlike(NonAsciiRe),
-      regexp_extract_all(lowered, lit(uniRe), lit(0)))
-      .otherwise(regexp_extract_all(lowered, lit(asciiRe), lit(0)))
-
+  // The Spark side evaluates the token LANGUAGE through native codegen'd
+  // kernels (functions/TextTokens.scala — the FloatVecDot convention):
+  // java.util.regex pays per-char Unicode property lookups (13-17× the
+  // historical ASCII regex, measured), a CaseWhen dispatch around two
+  // extractions breaks common-subexpression elimination (conditional
+  // branches are CSE-exempt and consumers reference the token array ~5×
+  // — measured text_novelty 1.1 s → 12 s), and a per-row pattern argument
+  // recompiles the regex every row under codegen. The kernels are
+  // property-tested ≡ the regex spellings above on arbitrary
+  // mixed-script input (UnicodeTextSpec); the DuckDB oracle keeps the
+  // RE2 spelling, whose DFA pays no property penalty.
   def toks(text: Column): Column =
-    dispatchExtract(lower(coalesce(text, lit(""))), TokRe, "[a-z0-9]+")
+    graft.functions.TextTokens.tokens(lower(coalesce(text, lit(""))))
   val toksSql = s"regexp_extract_all(lower(coalesce(text, '')), '$TokReSql')"
 
   /** BPE-ish segmentation over an already-lowered column (the D10 family
     * sites differ in null handling, so they pass their own input). */
   private[graft] def bpeSegs(lowered: Column): Column =
-    dispatchExtract(lowered, BpeTokRe, "[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    graft.functions.TextTokens.bpeSegs(lowered)
 
-  /** Non-alnum-or-ws chars of an already-lowered column (punct counting). */
-  private[graft] def punctOnly(lowered: Column): Column =
-    when(lowered.rlike(NonAsciiRe), regexp_replace(lowered, AlnumWs, ""))
-      .otherwise(regexp_replace(lowered, "[a-z0-9\\s]", ""))
+  /** Count of non-alnum-non-ws codepoints of an already-lowered column
+    * (≡ length(regexp_replace(lowered, AlnumWs, ''))). */
+  private[graft] def punctCount(lowered: Column): Column =
+    graft.functions.TextTokens.punctCount(lowered)
 
   /** Word 3-gram shingles; empty array below 3 tokens (guarded: Spark's
     * sequence(a,b) runs DESCENDING when b<a, unlike DuckDB range). */
@@ -338,7 +342,7 @@ object TextOps {
     val t = toks(text)
     val nTokens = size(t)
     val nChars = length(text)
-    val nPunct = length(punctOnly(lower(text)))
+    val nPunct = punctCount(lower(text))
     val nStop = stopCount(t, StopEn)
     val stopRatio = when(nTokens === 0, 0.0).otherwise(nStop.cast("double") / nTokens)
     val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars)
@@ -364,7 +368,7 @@ object TextOps {
       length(col("text")).as("n_chars"),
       size(t).as("n_tokens"),
       aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sum_tok_len"),
-      length(punctOnly(lower(col("text")))).as("n_punct"),
+      punctCount(lower(col("text"))).as("n_punct"),
       stopCount(t, StopEn).as("n_stop"))
       .withColumn("avg_token_len",
         when(col("n_tokens") === 0, 0.0)

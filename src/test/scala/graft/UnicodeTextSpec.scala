@@ -49,28 +49,37 @@ class UnicodeTextSpec extends SparkSpecBase {
     assert(cmp.filter(col("uni") =!= col("ascii")).count() == 0)
   }
 
-  test("ASCII-dispatch fast path ≡ the raw Unicode regex on a mixed corpus") {
-    // toks() routes ASCII rows to the historical regex and others to the
-    // Unicode form — both must equal the raw Unicode extraction everywhere
-    val docs = ((0 until 200).map(i => (i.toLong, randPrintable(60))) ++ Seq(
+  test("native tokenizer kernels ≡ the regex spellings on mixed-script input") {
+    // the codegen'd kernels (functions/TextTokens) ARE the token contract's
+    // hot-path implementation; this property pins them to the regex forms
+    // over random strings drawn from ASCII + Latin-1 + Greek + Cyrillic +
+    // CJK + punctuation ranges, plus the nasty corners (U+3007 is
+    // script-Han AND \p{N} — it must JOIN runs, not split as a unigram;
+    // surrogate-pair codepoints; empty; uppercase)
+    val ranges = Seq((32, 126), (0xC0, 0xFF), (0x391, 0x3C9), (0x410, 0x44F),
+      (0x4E00, 0x4E80), (0x3040, 0x30FF), (0xAC00, 0xAC7F), (0x2000, 0x206F))
+    def randMixed(n: Int): String = (0 until n).map { _ =>
+      val (lo, hi) = ranges(rng.nextInt(ranges.length))
+      (lo + rng.nextInt(hi - lo + 1)).toChar
+    }.mkString
+    val docs = ((0 until 300).map(i => (i.toLong, randMixed(50))) ++ Seq(
       (900L, "mixed漢abc 12"), (901L, "café ñandú 7"), (902L, "привет mir"),
-      (903L, "深層学習の訓練"), (904L, ""), (905L, "ONLY UPPER ASCII 99")))
+      (903L, "〇三漢12abc〇"), (904L, ""), (905L, "ONLY UPPER ASCII 99"),
+      (906L, new String(Character.toChars(0x1F600)) + " emoji 𝔘𝔫𝔦")))
       .toDF("doc_id", "text")
+    val lowered = lower(coalesce(col("text"), lit("")))
     val cmp = docs.select(
-      TextOps.toks(col("text")).as("dispatched"),
-      regexp_extract_all(lower(coalesce(col("text"), lit(""))),
-        lit(TextOps.TokRe), lit(0)).as("raw"))
-    assert(cmp.filter(col("dispatched") =!= col("raw")).count() == 0)
+      TextOps.toks(col("text")).as("native"),
+      regexp_extract_all(lowered, lit(TextOps.TokRe), lit(0)).as("re"))
+    assert(cmp.filter(col("native") =!= col("re")).count() == 0)
     val cmp2 = docs.select(
-      TextOps.bpeSegs(lower(coalesce(col("text"), lit("")))).as("dispatched"),
-      regexp_extract_all(lower(coalesce(col("text"), lit(""))),
-        lit(TextOps.BpeTokRe), lit(0)).as("raw"))
-    assert(cmp2.filter(col("dispatched") =!= col("raw")).count() == 0)
+      TextOps.bpeSegs(lowered).as("native"),
+      regexp_extract_all(lowered, lit(TextOps.BpeTokRe), lit(0)).as("re"))
+    assert(cmp2.filter(col("native") =!= col("re")).count() == 0)
     val cmp3 = docs.select(
-      TextOps.punctOnly(lower(coalesce(col("text"), lit("")))).as("dispatched"),
-      regexp_replace(lower(coalesce(col("text"), lit(""))),
-        TextOps.AlnumWs, "").as("raw"))
-    assert(cmp3.filter(col("dispatched") =!= col("raw")).count() == 0)
+      TextOps.punctCount(lowered).as("native"),
+      length(regexp_replace(lowered, TextOps.AlnumWs, "")).as("re"))
+    assert(cmp3.filter(col("native") =!= col("re")).count() == 0)
   }
 
   test("CJK docs tokenize to codepoint unigrams; mixed script splits correctly") {
