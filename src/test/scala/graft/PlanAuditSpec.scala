@@ -532,7 +532,9 @@ class PlanAuditSpec extends SparkSpecBase {
     for (df <- Seq(llm.Lexical.lexPhraseFromStore(spark, tbl),
                    llm.Lexical.lexPhraseSlopFromStore(spark, tbl))) {
       val p = planOf(df)
-      assert(!p.contains("regexp_extract_all"),
+      // r12: the tokenizer is the native graft_tokens kernel; the regex
+      // spelling stays covered so a revert can't dodge the audit
+      assert(!p.contains("regexp_extract_all") && !p.contains("graft_tokens"),
         "warm phrase probe re-tokenized the corpus:\n" + p.take(500))
       assert(!p.contains("posexplode"),
         "warm phrase probe re-exploded positions:\n" + p.take(500))
@@ -542,6 +544,6 @@ class PlanAuditSpec extends SparkSpecBase {
     // and the live form (the recompute twin) DOES tokenize — the contrast
     // that proves the assertion bites
     val live = planOf(llm.Lexical.lexicalPhraseK(spark, sfDir))
-    assert(live.contains("regexp_extract_all"))
+    assert(live.contains("graft_tokens") || live.contains("regexp_extract_all"))
   }
 }
