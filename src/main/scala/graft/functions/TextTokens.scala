@@ -44,9 +44,15 @@ object TextLang {
 
   import java.lang.Character.{UnicodeScript => US}
 
+  /** Unigram-script class (kept under the historical name): CJK plus the
+    * other whitespace-free scripts Thai/Lao/Khmer/Myanmar (r13) — ≡ the
+    * `CjkJ`/`CjkD` regex class bodies in TextOps.
+    */
   def isCjk(cp: Int): Boolean = {
     val s = US.of(cp)
-    (s eq US.HAN) || (s eq US.HIRAGANA) || (s eq US.KATAKANA) || (s eq US.HANGUL)
+    (s eq US.HAN) || (s eq US.HIRAGANA) || (s eq US.KATAKANA) ||
+      (s eq US.HANGUL) || (s eq US.THAI) || (s eq US.LAO) ||
+      (s eq US.KHMER) || (s eq US.MYANMAR)
   }
 
   /** \p{N}: Nd, Nl, No. */

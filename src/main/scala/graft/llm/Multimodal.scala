@@ -448,20 +448,26 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { m =>
         val fail = Seq(FrameFeatures(m.media_id, -1, -1, -1, -1, 0L, -1))
+        // iis/rd hold per-payload native+heap resources; release them on
+        // EVERY path (including rd.read throwing mid-frame-loop) — a
+        // large corpus with many corrupt containers would otherwise
+        // accumulate un-disposed readers across the partition (r12
+        // ADVICE).
+        var iis: javax.imageio.stream.ImageInputStream = null
+        var rd: javax.imageio.ImageReader = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(m.payload))
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) fail
           else {
-            val rd = readers.next()
+            rd = readers.next()
             rd.setInput(iis)
             // a truncated container can report ZERO frames without
             // throwing — that is a decode failure, not an empty success
             val nf = rd.getNumImages(true)
-            if (nf <= 0) { rd.dispose(); fail }
-            else {
-            val out = (0 until nf).map { f =>
+            if (nf <= 0) fail
+            else (0 until nf).map { f =>
               val img = rd.read(f)
               val (w, h) = (img.getWidth, img.getHeight)
               if (w.toLong * h > maxPx)
@@ -477,11 +483,17 @@ object Multimodal {
                 FrameFeatures(m.media_id, nf, f, w, h, sum, img.getRGB(0, 0) & 0xff)
               }
             }
-            rd.dispose()
-            out
-            }
           }
-        } catch { case scala.util.control.NonFatal(_) => fail }
+        } catch {
+          case scala.util.control.NonFatal(_) => fail
+        } finally {
+          if (rd != null)
+            try rd.dispose()
+            catch { case scala.util.control.NonFatal(_) => () }
+          if (iis != null)
+            try iis.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
   }

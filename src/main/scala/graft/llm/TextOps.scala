@@ -23,7 +23,8 @@ object TextOps {
   // ASCII `[a-z0-9]+`, which tokenizes non-Latin text to almost nothing
   // and silently degrades every token-level operator on a real crawl.
   // The r12 contract, on lowercased text:
-  //   - a single CJK codepoint (Han / Hiragana / Katakana / Hangul) is a
+  //   - a single codepoint of a whitespace-free script (Han / Hiragana /
+  //     Katakana / Hangul, and — r13 — Thai / Lao / Khmer / Myanmar) is a
   //     token by itself — whitespace-free scripts get codepoint-unigram
   //     tokens, so the existing word-shingle layer automatically yields
   //     codepoint n-grams (the Lucene-CJK indexing unit) with no special
@@ -46,16 +47,34 @@ object TextOps {
   // unchanged). RE2 compiles properties into its DFA and needs no such
   // help, and it also does not support nested classes — the two spellings
   // denote the SAME token language (property-tested), not the same bytes.
-  private val CjkJ = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
-  private val CjkD = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}"
+  // r13: the unigram-script class grows beyond CJK — Thai, Lao, Khmer,
+  // and Myanmar are also whitespace-free scripts, so the same
+  // codepoint-unigram fallback (word-shingles become codepoint n-grams)
+  // is the right segmentation unit there too. Script classes include the
+  // scripts' combining marks/digits; digits stay in \p{N} runs by the
+  // leftmost-first order above, marks fall through to the unigram
+  // alternative in BOTH engines (single-codepoint token either way).
+  private val CjkJ = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}" +
+    "\\p{IsThai}\\p{IsLao}\\p{IsKhmer}\\p{IsMyanmar}"
+  private val CjkD = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}" +
+    "\\p{Thai}\\p{Lao}\\p{Khmer}\\p{Myanmar}"
+  // ALTERNATION ORDER MATTERS in the RE2 spellings: RE2 (like Java) is
+  // leftmost-FIRST, and a handful of codepoints are CJK-script AND \p{N}
+  // (U+3007 IDEOGRAPHIC NUMBER ZERO, the Hangzhou numerals U+3021-3029 /
+  // U+3038-303A). The Java forms put the RUN alternative first, so those
+  // codepoints join \p{N} runs ('二〇〇八年' → [二, 〇〇, 八, 年]); the RE2
+  // spellings must list the run alternative first too, or the oracle
+  // splits them as unigrams and every toks-derived hash silently
+  // diverges on CJK corpora (r12 ADVICE, verified vs duckdb 1.0.0;
+  // UnicodeTextSpec pins Java-compiled RE2 spelling ≡ native kernel).
   val TokRe: String = s"[a-z0-9\\p{N}[^\\P{L}$CjkJ]]+|[$CjkJ]"
-  val TokReSql: String = s"[$CjkD]|(?:[^\\P{L}$CjkD]|\\p{N})+"
+  val TokReSql: String = s"(?:[^\\P{L}$CjkD]|\\p{N})+|[$CjkD]"
   /** BPE-ish pre-segmentation (D10): CJK unigrams, letter runs, digit
     * runs, single non-alnum marks — ≡ `[a-z]+|[0-9]+|[^a-z0-9\s]` on
     * lowered ASCII (the same property test). */
   val BpeTokRe: String =
     s"[a-z[^\\P{L}$CjkJ]]+|[0-9\\p{N}]+|[$CjkJ]|[^\\p{L}\\p{N}\\s]"
-  val BpeTokReSql: String = s"[$CjkD]|[^\\P{L}$CjkD]+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  val BpeTokReSql: String = s"[^\\P{L}$CjkD]+|\\p{N}+|[$CjkD]|[^\\p{L}\\p{N}\\s]"
   /** Complement class for punctuation counting — ≡ `[a-z0-9\s]` on
     * lowered ASCII. Both engines accept this spelling verbatim. */
   val AlnumWs = "[a-z0-9\\s\\p{L}\\p{N}]"
@@ -146,7 +165,17 @@ object TextOps {
     ("zh", "c_han", "\\p{IsHan}", "\\p{Han}"),
     ("ko", "c_hang", "\\p{IsHangul}", "\\p{Hangul}"),
     ("ru", "c_cyr", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
-    ("el", "c_el", "\\p{IsGreek}", "\\p{Greek}"))
+    ("el", "c_el", "\\p{IsGreek}", "\\p{Greek}"),
+    // r13 widening: four more script-identified languages. Arabic/Hebrew/
+    // Devanagari/Thai are each dominated by one script in practice, so the
+    // same ≥30%-of-letters share rule applies (Arabic script also writes
+    // Persian/Urdu and Devanagari also writes Marathi etc. — 'ar'/'hi'
+    // are the majority-language labels of the script tier, same coarse
+    // contract as 'zh' for Han).
+    ("ar", "c_arab", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("he", "c_heb", "\\p{IsHebrew}", "\\p{Hebrew}"),
+    ("hi", "c_deva", "\\p{IsDevanagari}", "\\p{Devanagari}"),
+    ("th", "c_thai", "\\p{IsThai}", "\\p{Thai}"))
 
   private def scriptCount(clsJ: String): Column =
     length(regexp_replace(coalesce(col("text"), lit("")), s"[^$clsJ]", ""))
@@ -156,7 +185,8 @@ object TextOps {
   /** The D8 decision rule over the per-doc signal columns, shared by D8
     * and D49 (one Column, one SQL CASE — generated from the same tables
     * so the two engines and the two operators can't drift):
-    *  1. script tier, fixed order ja→zh→ko→ru→el: a script wins iff its
+    *  1. script tier, fixed order ja→zh→ko→ru→el→ar→he→hi→th: a script
+    *     wins iff its
     *     codepoint count clears an exact integer share of the doc's
     *     letter codepoints (kana ≥ 10% — Japanese prose is a kanji+kana
     *     mix, so kana presence at one-tenth of letters already separates
@@ -196,8 +226,8 @@ object TextOps {
     s"CASE $scriptCases ELSE (CASE $stopCases END) END"
   }
 
-  /** The per-doc signal projection D8/D49 share: 7 stopword counts, 5
-    * script counts, total letter codepoints. */
+  /** The per-doc signal projection D8/D49 share: 7 stopword counts, 9
+    * script counts (r13: +ar/he/hi/th), total letter codepoints. */
   private def langSignalCols: Seq[Column] = {
     val t = toks(col("text"))
     StopLangs.map { case (l, stops) => stopCount(t, stops).as(s"s_$l") } ++
@@ -212,8 +242,8 @@ object TextOps {
       .mkString(",\n      ")
 
   /** D8: language ID — r12 form: 7 stopword-tier Latin-script languages
-    * (en/de/fr/es/it/pt/nl, token-membership argmax) + 5 script-tier
-    * languages (ja/zh/ko/ru/el, codepoint-share thresholds) in one
+    * (en/de/fr/es/it/pt/nl, token-membership argmax) + 9 script-tier
+    * languages (ja/zh/ko/ru/el/ar/he/hi/th, codepoint-share thresholds) in one
     * deterministic integer decision rule (langPredCol). Still one
     * map-only scan — the signals are regex counts, the rule a CASE chain.
     */
@@ -267,23 +297,30 @@ object TextOps {
 
   /** D94 (r12): per-document script-mix profile — the ingest QC gauge
     * behind multilingual corpus routing: codepoint counts per major
-    * script class (Latin, Cyrillic, Greek, Han, Kana, Hangul), digits,
-    * whitespace, other, and the dominant script (argmax over the six
-    * script counts, fixed tie order latin>cyr>greek>han>kana>hangul;
-    * 'none' when all six are zero). A feed whose profile shifts — or a
+    * script class (Latin, Cyrillic, Greek, Han, Kana, Hangul, and — r13 —
+    * Arabic, Hebrew, Devanagari, Thai), digits, whitespace, other, and
+    * the dominant script (argmax over the ten script counts, fixed tie
+    * order latin>cyr>greek>han>kana>hangul>arab>heb>deva>thai; 'none'
+    * when all ten are zero). Buckets are DISJOINT (script counts exclude
+    * \p{N}) so they partition length(text) and n_other ≥ 0. A feed whose profile shifts — or a
     * doc whose label disagrees with its dominant script — surfaces here
     * before it degrades the token-level operators. Pure map-side regex
     * counting, zero shuffles; integer counts so the oracle matches
     * exactly.
     */
   private val ProfileScripts: Seq[(String, String, String)] = Seq(
-    // (column, Java class body, RE2 class body)
+    // (column, Java class body, RE2 class body). r13: +arab/heb/deva/thai
+    // to match the widened langid script tier.
     ("n_latin", "\\p{IsLatin}", "\\p{Latin}"),
     ("n_cyr", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
     ("n_greek", "\\p{IsGreek}", "\\p{Greek}"),
     ("n_han", "\\p{IsHan}", "\\p{Han}"),
     ("n_kana", "\\p{IsHiragana}\\p{IsKatakana}", "\\p{Hiragana}\\p{Katakana}"),
-    ("n_hangul", "\\p{IsHangul}", "\\p{Hangul}"))
+    ("n_hangul", "\\p{IsHangul}", "\\p{Hangul}"),
+    ("n_arab", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("n_heb", "\\p{IsHebrew}", "\\p{Hebrew}"),
+    ("n_deva", "\\p{IsDevanagari}", "\\p{Devanagari}"),
+    ("n_thai", "\\p{IsThai}", "\\p{Thai}"))
 
   def textScriptProfile(spark: SparkSession, dir: String): DataFrame =
     textScriptProfileOf(Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id"))
@@ -298,9 +335,20 @@ object TextOps {
             rest.map(r => col(c) >= col(r)).foldLeft(lit(true): Column)(_ && _),
           c.stripPrefix("n_")).otherwise(acc)
     }
+    // DISJOINT buckets (r13): a few codepoints are script-class AND
+    // \p{N} (U+3007 is Han+Nl, Roman numerals U+2160-2188 are Latin+Nl,
+    // Thai/Myanmar digits are Nd in their scripts), and counting them in
+    // both a script column and n_digit drove n_other NEGATIVE (text "〇"
+    // → n_other = -1). Script counts therefore run over the text with
+    // \p{N} stripped first — every codepoint lands in exactly one of
+    // {script…, digit, space, other}, so the buckets sum to length(text)
+    // and n_other ≥ 0 by construction.
+    val noNum = regexp_replace(coalesce(col("text"), lit("")), "\\p{N}", "")
     docs
       .select(col("doc_id") +: col("text") +:
-        ProfileScripts.map { case (c, clsJ, _) => scriptCount(clsJ).as(c) } :+
+        ProfileScripts.map { case (c, clsJ, _) =>
+          length(regexp_replace(noNum, s"[^$clsJ]", "")).as(c)
+        } :+
         length(regexp_replace(coalesce(col("text"), lit("")), "[^\\p{N}]", ""))
           .as("n_digit") :+
         length(regexp_replace(coalesce(col("text"), lit("")), "[^\\s]", ""))
@@ -319,8 +367,12 @@ object TextOps {
       val geq = (s"$c > 0" +: rest.map(r => s"$c >= $r")).mkString(" AND ")
       s"WHEN $geq THEN '${c.stripPrefix("n_")}'"
     }.mkString(" ")
+    // mirror of the Spark side's strip-\p{N}-first disjoint counting
+    val noNumSql = "regexp_replace(coalesce(text, ''), '\\p{N}', '', 'g')"
     val counts = ProfileScripts
-      .map { case (c, _, clsD) => s"${scriptCountSql(clsD)} AS $c" }
+      .map { case (c, _, clsD) =>
+        s"length(regexp_replace($noNumSql, '[^$clsD]', '', 'g')) AS $c"
+      }
       .mkString(",\n      ")
     s"""SELECT doc_id, ${names.mkString(", ")}, n_digit, n_space,
       length(coalesce(text, '')) - ${names.mkString(" - ")} - n_digit - n_space

@@ -82,6 +82,133 @@ class UnicodeTextSpec extends SparkSpecBase {
     assert(cmp3.filter(col("native") =!= col("re")).count() == 0)
   }
 
+  test("RE2 oracle spellings ≡ native kernels under leftmost-first alternation") {
+    // r13 (r12 ADVICE, high): RE2 — like java.util.regex — takes the
+    // FIRST matching alternative, and a handful of codepoints are
+    // CJK-script AND \p{N} (U+3007, U+3021-3029, U+3038-303A). The SQL
+    // spellings must therefore list the run alternative first, or the
+    // DuckDB oracle splits those codepoints as unigrams while the Spark
+    // kernel joins them into runs. This property compiles the RE2
+    // spellings IN java.util.regex (same leftmost-first semantics; only
+    // the script-name spelling differs: \p{Han} → \p{IsHan}) and pins
+    // them to the native kernels over mixed-script strings salted with
+    // the Han-numeric corners in run-initial/medial/final positions.
+    def j(re2: String): java.util.regex.Pattern =
+      java.util.regex.Pattern.compile(
+        re2.replaceAll("""\\(p|P)\{([A-Z][a-z]+)\}""", """\\$1{Is$2}"""))
+    def findAll(p: java.util.regex.Pattern, s: String): Seq[String] = {
+      val m = p.matcher(s); val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(); b.result()
+    }
+    val tokP = j(TextOps.TokReSql)
+    val bpeP = j(TextOps.BpeTokReSql)
+    val hanNums = "〇" + new String((0x3021 to 0x3029).map(_.toChar).toArray) +
+      new String((0x3038 to 0x303A).map(_.toChar).toArray)
+    val ranges = Seq((32, 126), (0x391, 0x3C9), (0x410, 0x44F),
+      (0x4E00, 0x4E20), (0x3040, 0x30FF), (0xE00, 0xE5B), (0xE80, 0xEDF),
+      (0x1780, 0x17DD), (0x1000, 0x109F))
+    def randMixed(n: Int): String = (0 until n).map { _ =>
+      if (rng.nextInt(5) == 0) hanNums(rng.nextInt(hanNums.length))
+      else {
+        val (lo, hi) = ranges(rng.nextInt(ranges.length))
+        (lo + rng.nextInt(hi - lo + 1)).toChar
+      }
+    }.mkString
+    val corners = Seq("二〇〇八年", "〇", "〇〇", "a〇b", "〇三漢12abc〇",
+      "๕๕ไทย", "໑ລາວ", "၁၂မြန်မာ", "year〇", "〇year", "漢〇漢")
+    val inputs = (0 until 400).map(_ => randMixed(60)) ++ corners
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s0 <- inputs) {
+      val s = s0.toLowerCase
+      val nat = graft.functions.TextLang.tokens(UTF8String.fromString(s))
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+      assert(nat == findAll(tokP, s), s"TokReSql diverges on: $s")
+      val natB = graft.functions.TextLang.bpeSegs(UTF8String.fromString(s))
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+      assert(natB == findAll(bpeP, s), s"BpeTokReSql diverges on: $s")
+    }
+  }
+
+  test("Thai/Lao/Khmer/Myanmar tokenize as codepoint unigrams; digits join runs") {
+    val t = Seq(
+      (1L, "สวัสดีไทย"), (2L, "ເມືອງລາວ"), (3L, "ខ្មែរ"), (4L, "မြန်မာ"),
+      (5L, "ไทย abc ๔๕"), (6L, "พ.ศ. ๒๕๖๗"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(t(1L) == "สวัสดีไทย".map(_.toString))
+    assert(t(2L) == "ເມືອງລາວ".map(_.toString))
+    assert(t(3L) == "ខ្មែរ".map(_.toString))
+    assert(t(4L) == "မြန်မာ".map(_.toString))
+    // Thai digits are \p{N} AND script-Thai — the run alternative wins
+    // (leftmost-first), so ๔๕ is ONE token in both engines
+    assert(t(5L) == Seq("ไ", "ท", "ย", "abc", "๔๕"))
+    assert(t(6L).contains("๒๕๖๗"))
+    // shingles over the unigrams are codepoint 3-grams — non-degenerate
+    val ns = Seq((1L, "ตัวอย่างข้อความภาษาไทยที่ยาวพอ")).toDF("doc_id", "text")
+      .select(size(TextOps.shingles(TextOps.toks(col("text")))).as("ns"))
+      .head().getInt(0)
+    assert(ns > 10)
+  }
+
+  test("BM25 retrieval is non-degenerate on Thai and Arabic corpora") {
+    val docs = Seq(
+      (0L, "ข้อมูลการฝึกอบรมขนาดใหญ่"),
+      (1L, "ข้อมูลการฝึกอบรมคุณภาพสูง"),
+      (2L, "เรื่องอื่นที่แตกต่างกันมาก"),
+      (3L, "بيانات التدريب واسعة النطاق هنا"),
+      (4L, "بيانات التدريب عالية الجودة هنا")).toDF("doc_id", "text")
+    val topk = graft.llm.Lexical.lexicalTopkOf(docs)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("nb_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(topk(0L) == 1L && topk(1L) == 0L)
+    assert(topk(3L) == 4L && topk(4L) == 3L)
+  }
+
+  test("widened langid identifies ar/he/hi/th script-tier samples") {
+    val docs = Seq(
+      (1L, "مرحبا بالعالم كيف حالك اليوم", "ar"),
+      (2L, "שלום עולם מה שלומך היום", "he"),
+      (3L, "नमस्ते दुनिया आप कैसे हैं", "hi"),
+      (4L, "สวัสดีชาวโลกวันนี้เป็นอย่างไร", "th"),
+      // regression: the original five script langs still win their docs
+      (5L, "привет мир как дела сегодня вечером", "ru"),
+      (6L, "深度学习训练数据的大规模去重处理系统", "zh")).toDF("doc_id", "text", "want")
+    val pred = graft.llm.TextOps.langidOf(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("lang_pred"))
+      .join(docs.select(col("doc_id"), col("want")), Seq("doc_id"))
+    val wrong = pred.filter(col("lang_pred") =!= col("want")).collect()
+    assert(wrong.isEmpty, s"mispredicted: ${wrong.mkString(", ")}")
+  }
+
+  test("script profile buckets are disjoint and partition the text length") {
+    // r13 (r12 ADVICE): U+3007 is Han+Nl, Ⅷ is Latin+Nl — they belong to
+    // the DIGIT bucket only; n_other must never go negative, and the
+    // buckets must sum to length(text)
+    val docs = Seq(
+      (1L, "〇"), (2L, "Ⅷ漢〇"), (3L, "abcⅧ๕"), (4L, "مرحبا שלום नमस्ते ไทย"))
+      .toDF("doc_id", "text")
+    val p = graft.llm.TextOps.textScriptProfileOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getAs[Int]("n_digit") == 1 && p(1L).getAs[Int]("n_han") == 0 &&
+      p(1L).getAs[Int]("n_other") == 0)
+    assert(p(2L).getAs[Int]("n_digit") == 2 && p(2L).getAs[Int]("n_han") == 1 &&
+      p(2L).getAs[Int]("n_latin") == 0 && p(2L).getAs[Int]("n_other") == 0)
+    assert(p(3L).getAs[Int]("n_latin") == 3 && p(3L).getAs[Int]("n_digit") == 2)
+    val r4 = p(4L)
+    assert(r4.getAs[Int]("n_arab") == 5 && r4.getAs[Int]("n_heb") == 4 &&
+      r4.getAs[Int]("n_deva") == 6 && r4.getAs[Int]("n_thai") == 3 &&
+      r4.getAs[String]("main_script") == "deva")
+    for ((id, r) <- p) {
+      val sum = Seq("n_latin", "n_cyr", "n_greek", "n_han", "n_kana",
+        "n_hangul", "n_arab", "n_heb", "n_deva", "n_thai", "n_digit",
+        "n_space", "n_other").map(r.getAs[Int](_)).sum
+      val len = Seq((1L, 1), (2L, 3), (3L, 5), (4L, 21)).toMap.apply(id)
+      assert(sum == len, s"doc $id buckets sum $sum != len $len")
+    }
+  }
+
   test("CJK docs tokenize to codepoint unigrams; mixed script splits correctly") {
     val t = Seq((1L, "漢字テスト"), (2L, "mixed漢abc 12"), (3L, "한국어 텍스트"))
       .toDF("doc_id", "text")
