@@ -4,41 +4,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Production-scale HIERARCHICAL BPE (r12 — the r11 verdict's item 2).
+/** Production-scale BYTE-LEVEL hierarchical BPE (r12 built the
+  * hierarchical trainer; r13 lifts it off the ASCII band onto UTF-8
+  * bytes — GPT-2-style, alphabet 256).
   *
   * The D46/D54 family is single-level by construction: merge pairs are
-  * base-alphabet chars, so its width is bounded by the 28² pair universe
-  * (648 by the oracle band, ~200 by this corpus's occupied pairs) — three
-  * orders of magnitude short of a production vocabulary (32k-100k). This
-  * family is TRUE iterative BPE (Sennrich et al. 2016): each merge mints a
-  * fresh symbol that later merges can consume, so the vocabulary grows
+  * base-alphabet chars, so its width is bounded by the pair universe —
+  * three orders of magnitude short of a production vocabulary. This
+  * family is TRUE iterative BPE (Sennrich et al. 2016): each merge mints
+  * a fresh symbol that later merges can consume, so the vocabulary grows
   * past the base alphabet without bound (config-capped at 17000 by the
   * oracle's fixed-width 3-char token band, 26·26·26 ids).
   *
+  * BYTE LEVEL (r13): the symbol stream is the UTF-8 byte sequence of the
+  * shared whitespace-collapsed lowercase normal form (TextOps.normText)
+  * — ids 0-255 are byte values, merges mint 256+rank. Every script costs
+  * its real byte length (CJK 3/codepoint, Cyrillic/Arabic 2, emoji 4),
+  * so token counts — the quantity a training budget is denominated in —
+  * are honest for a multilingual crawl, not just the ASCII band; and the
+  * byte alphabet is closed (any input encodes, nothing is out-of-band).
+  * Bytes are derived from CODEPOINTS by the UTF-8 arithmetic (identical
+  * CASE ladder in both engines) rather than an engine's own encoder, so
+  * the two sides agree by construction. Decode is lossless to the byte
+  * stream (every minted id expands to exactly its source bytes), and the
+  * byte stream determines the normalized string, so the round trip
+  * bytes→string holds wherever the byte arrays match.
+  *
   * TRAINING runs over a deterministic bounded sample — the first
-  * `graft.bpe.trainDocs` documents by doc_id of the corpus's ASCII-band
-  * char stream (TextOps.lmNorm) — exactly how production tokenizers are
-  * trained (a bounded sample of the corpus, never the 100 TB crawl; the
-  * sample is the §5 contract-bounded driver collect, ~56 KB at the
-  * default 192 docs). Each round counts all adjacent symbol pairs
-  * (per-position, so "aaa" counts (a,a) twice), merges the most frequent
-  * (ties: smallest (left,right)) at ALL its occurrences leftmost-first
-  * non-overlapping, and mints id 28+rank. Training stops at
-  * `graft.bpe.hierMerges` rounds or when no pairs remain (every sample
-  * doc a single symbol). The default 5000 rounds is reachable at every
-  * testdata scale (the sample yields 6400+ rules).
+  * `graft.bpe.trainDocs` documents by doc_id — exactly how production
+  * tokenizers are trained (a bounded sample of the corpus, never the
+  * 100 TB crawl; the sample is the §5 contract-bounded driver collect).
+  * Each round counts all adjacent symbol pairs (per-position, so "aaa"
+  * counts (a,a) twice), merges the most frequent (ties: smallest
+  * (left,right)) at ALL its occurrences leftmost-first non-overlapping,
+  * and mints id 256+rank. Training stops at `graft.bpe.hierMerges`
+  * rounds or when no pairs remain.
   *
   * ENCODING is the classic tokenizer apply — repeatedly merge the
   * lowest-rank rule present in the doc — implemented with a linked-list +
   * lazy-invalidation priority queue: O(len · log len) per document,
-  * INDEPENDENT of vocabulary size (the r11 verdict's asked-for bound; the
-  * closure-baked literal fold this replaces was O(len · V)). The rule
-  * table broadcasts once per job (≤ 17k rules ≈ 300 KB); the encode pass
-  * itself is map-only — no join, no shuffle, embarrassingly parallel at
-  * 100 TB. Heap order (rank, position) reproduces EXACTLY the
-  * rank-sequential replace-all semantics the DuckDB oracle replays
-  * (BpeHierSpec pins the equivalence property-style), because a merge at
-  * rank r can only create pairs whose rules have rank > r.
+  * INDEPENDENT of vocabulary size. The rule table broadcasts once per
+  * job (≤ 17k rules ≈ 300 KB); the encode pass itself is map-only — no
+  * join, no shuffle, embarrassingly parallel at 100 TB. Heap order
+  * (rank, position) reproduces EXACTLY the rank-sequential replace-all
+  * semantics the DuckDB oracle replays (BpeHierSpec pins the equivalence
+  * property-style), because a merge at rank r can only create pairs
+  * whose rules have rank > r.
   *
   * ORACLE: the training replay is a recursive CTE whose working set is
   * ONE row carrying the sample as a list of encoded strings — pair
@@ -47,14 +58,14 @@ import graft.Tables
   * list_aggregate histogram (no window sort, no LATERAL — measured 10×
   * faster than either). Encode replays per doc as "apply the min-rank
   * rule present, repeat" — depth bounded by the doc's applicable-rule
-  * count, not by the vocabulary. Measured ~2.5 min per oracle run at
-  * H=5000 on sf0.01 — heavy but affordable, and the price of hash-gating
-  * a 5000-step sequential trainer in SQL.
+  * count, not by the vocabulary. Symbol ids ride the same fixed-width
+  * 3-char band as r12 (256 + 17000 < 26³); UTF-8 bytes come from
+  * unicode(c) through the same arithmetic CASE ladder as the Scala side.
   */
 object BpeHier {
 
-  /** Merge rounds (vocabulary size − 28). Ceiling 17000: minted ids
-    * 28+rank must fit the oracle's 3-char token band (26³ = 17576). */
+  /** Merge rounds (vocabulary size − 256). Ceiling 17000: minted ids
+    * 256+rank must fit the oracle's 3-char token band (26³ = 17576). */
   def HierMerges: Int = {
     val m = graft.GraftConfig.int("graft.bpe.hierMerges", 5000)
     require(m >= 1 && m <= 17000,
@@ -69,20 +80,35 @@ object BpeHier {
     n
   }
 
-  /** Base alphabet (TextOps.LmAlphabetSize): ids 0-27; merges mint 28+. */
-  private val Base = TextOps.LmAlphabetSize
-  /** Pair key packing: ids < 28 + 17000 < 2^15. */
+  /** Base alphabet: UTF-8 byte values 0-255; merges mint 256+rank. */
+  private[graft] val Base = 256
+  /** Pair key packing: ids < 256 + 17000 < 2^15. */
   private val KeyShift = 15
 
+  /** UTF-8 bytes of the normalized string, derived from CODEPOINTS by
+    * the standard arithmetic (the same CASE ladder the oracle runs on
+    * unicode(c)) — for valid text this IS String.getBytes(UTF_8), and on
+    * any input both engines stay defined identically. */
   private[graft] def codesOf(sn: String): Array[Int] = {
-    val out = new Array[Int](sn.length)
+    val n = sn.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(n + (n >> 2))
     var i = 0
-    while (i < sn.length) {
-      val c = sn.charAt(i)
-      out(i) = if (c == ' ') 27 else if (c == '0') 26 else c - 'a'
-      i += 1
+    while (i < n) {
+      val cp = sn.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp < 0x80) out += cp
+      else if (cp < 0x800) {
+        out += 0xC0 | (cp >> 6); out += 0x80 | (cp & 0x3F)
+      } else if (cp < 0x10000) {
+        out += 0xE0 | (cp >> 12); out += 0x80 | ((cp >> 6) & 0x3F)
+        out += 0x80 | (cp & 0x3F)
+      } else {
+        out += 0xF0 | (cp >> 18); out += 0x80 | ((cp >> 12) & 0x3F)
+        out += 0x80 | ((cp >> 6) & 0x3F); out += 0x80 | (cp & 0x3F)
+      }
     }
-    out
+    out.result()
   }
 
   /** One rule, all occurrences, leftmost-first non-overlapping (shared
@@ -115,7 +141,7 @@ object BpeHier {
       val (_, h, td) = key
       val sample = Tables.documents(spark, dir)
         .orderBy(col("doc_id").asc).limit(td)
-        .select(TextOps.lmNorm(col("text")))
+        .select(TextOps.normText(col("text")))
         .collect().map(r => codesOf(r.getString(0)))
       train(sample, h)
     })
@@ -208,7 +234,7 @@ object BpeHier {
     out.result()
   }
 
-  /** Full decode: expand minted ids depth-first to base codes. */
+  /** Full decode: expand minted ids depth-first to base byte values. */
   private[graft] def decodeHier(ids: Array[Int],
                               rankPair: Array[(Int, Int)]): Array[Int] = {
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
@@ -243,21 +269,16 @@ object BpeHier {
       .toDF("rank", "left_id", "right_id", "new_id", "n")
   }
 
-  /** D95b: hierarchical encode + ROUND-TRIP integrity gate in one key:
-    * per document, the real token ids (CSV — the embed_quantize lesson),
-    * exact token/char counts, and decode(encode(doc)) == normalized char
-    * stream. Multi-level BPE is still losslessly invertible (every minted
-    * id expands through the rule table to exactly its source codes), so
-    * any false `roundtrip_ok` means the trainer, the encoder, or the
-    * decode expansion drifted. Map-only over the corpus; the rule table
-    * is a broadcast (never a join).
-    */
-  def bpeRoundtripHier(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc byte-level encode frame shared by D95b and the D59 pack
+    * counter: (doc_id, token ids, byte codes). Map-only; the rule table
+    * is a broadcast (never a join). */
+  private def encodedDocs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Int], Array[Int])] = {
     import spark.implicits._
     val merges = trainedMerges(spark, dir)
     val bc = spark.sparkContext.broadcast(merges)
     Tables.spreadIfNarrow(Tables.documents(spark, dir), "doc_id")
-      .select(col("doc_id"), TextOps.lmNorm(col("text")).as("sn"))
+      .select(col("doc_id"), TextOps.normText(col("text")).as("sn"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ms = bc.value
@@ -272,14 +293,46 @@ object BpeHier {
         }
         it.map { case (id, sn) =>
           val codes = codesOf(sn)
-          val ids = encodeHier(codes, rules, rankPair)
+          (id, encodeHier(codes, rules, rankPair), codes)
+        }
+      }
+  }
+
+  /** D95b: byte-level hierarchical encode + ROUND-TRIP integrity gate in
+    * one key: per document, the real token ids (CSV — the embed_quantize
+    * lesson), exact token/byte counts, and decode(encode(doc)) == the
+    * UTF-8 byte stream of the normalized text. Multi-level BPE is still
+    * losslessly invertible (every minted id expands through the rule
+    * table to exactly its source bytes), so any false `roundtrip_ok`
+    * means the trainer, the encoder, or the decode expansion drifted.
+    */
+  def bpeRoundtripHier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = trainedMerges(spark, dir)
+    val bc = spark.sparkContext.broadcast(merges)
+    encodedDocs(spark, dir)
+      .mapPartitions { it =>
+        val ms = bc.value
+        val rankPair = new Array[(Int, Int)](ms.length)
+        var r = 0
+        while (r < ms.length) { rankPair(r) = (ms(r)._1, ms(r)._2); r += 1 }
+        it.map { case (id, ids, codes) =>
           val back = decodeHier(ids, rankPair)
           (id, ids.length.toLong, codes.length.toLong,
             ids.mkString(","),
             java.util.Arrays.equals(back, codes))
         }
       }
-      .toDF("doc_id", "n_tokens", "n_chars", "token_csv", "roundtrip_ok")
+      .toDF("doc_id", "n_tokens", "n_bytes", "token_csv", "roundtrip_ok")
+  }
+
+  /** The D59 pack counter: (doc_id, n_tokens) in REAL tokenizer tokens —
+    * the byte-level hierarchical encode's length per document. */
+  def encodedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    encodedDocs(spark, dir)
+      .map { case (id, ids, _) => (id, ids.length.toLong) }
+      .toDF("doc_id", "n_tokens")
   }
 
   // ---------------------------------------------------------------------
@@ -297,8 +350,23 @@ object BpeHier {
       s"(ascii(substr($s, 2, 1)) - 97) * 26 + " +
       s"ascii(substr($s, 3, 1)) - 97)"
 
-  private val codeOf =
-    "CASE WHEN c = ' ' THEN 27 WHEN c = '0' THEN 26 ELSE ascii(c) - 97 END"
+  /** UTF-8 byte values of one char `c` — the same arithmetic CASE ladder
+    * codesOf runs on codePoints (u = unicode(c)). */
+  private val bytesOfChar =
+    "CASE WHEN unicode(c) < 128 THEN [unicode(c)] " +
+      "WHEN unicode(c) < 2048 THEN " +
+      "[192 + unicode(c) // 64, 128 + unicode(c) % 64] " +
+      "WHEN unicode(c) < 65536 THEN " +
+      "[224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64, " +
+      "128 + unicode(c) % 64] " +
+      "ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, " +
+      "128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END"
+
+  /** The UTF-8 byte-value list of a string expression. */
+  private def byteList(snExpr: String): String =
+    s"flatten(list_transform(" +
+      s"list_filter(string_split($snExpr, ''), c -> len(c) = 1), " +
+      s"c -> $bytesOfChar))"
 
   /** All adjacent token pairs of a 3-char-token string via TWO
     * non-overlapping 6-char regexp chunkings (even + odd alignments) —
@@ -309,13 +377,12 @@ object BpeHier {
 
   private def encStr(snExpr: String): String =
     "coalesce(array_to_string(list_transform(" +
-      s"list_transform(list_filter(string_split($snExpr, ''), c -> len(c) = 1), " +
-      s"c -> $codeOf), k -> ${enc3("k")}), ''), '')"
+      s"${byteList(snExpr)}, k -> ${enc3("k")}), ''), '')"
 
   /** Training-replay CTE chain ending in `merges` = (rank, pat, n). */
   private def trainCtes: String =
     s"""samp AS (
-      SELECT doc_id AS wid, ${TextOps.lmNormSql} AS sn FROM documents
+      SELECT doc_id AS wid, ${TextOps.normTextSql} AS sn FROM documents
       ORDER BY doc_id ASC LIMIT $TrainDocs),
     enc0 AS (SELECT wid, ${encStr("sn")} AS s FROM samp),
     tr AS (
@@ -323,7 +390,7 @@ object BpeHier {
              CAST(NULL AS VARCHAR) AS chosen, CAST(NULL AS BIGINT) AS chosen_n
       UNION ALL
       SELECT iter + 1,
-             list_transform(state, st -> replace(st, best, ${enc3("28 + iter")})),
+             list_transform(state, st -> replace(st, best, ${enc3("256 + iter")})),
              best, m
       FROM (
         SELECT iter, state,
@@ -348,17 +415,17 @@ object BpeHier {
     SELECT rank,
       CAST(${dec3("substr(pat, 1, 3)")} AS INT) AS left_id,
       CAST(${dec3("substr(pat, 4, 3)")} AS INT) AS right_id,
-      CAST(28 + rank AS INT) AS new_id, n
+      CAST(256 + rank AS INT) AS new_id, n
     FROM merges"""
 
-  def bpeRoundtripHierSql: String =
-    s"""WITH RECURSIVE
-    $trainCtes,
-    m AS MATERIALIZED (
-      SELECT rank, pat, ${enc3("28 + rank")} AS repl FROM merges),
+  /** Encode-replay CTE chain (assumes trainCtes precede): per-doc token
+    * id lists in `ids`. */
+  private def encodeCtes: String =
+    s"""m AS MATERIALIZED (
+      SELECT rank, pat, ${enc3("256 + rank")} AS repl FROM merges),
     d0 AS MATERIALIZED (
       SELECT doc_id, ${encStr("sn")} AS s
-      FROM (SELECT doc_id, ${TextOps.lmNormSql} AS sn FROM documents)),
+      FROM (SELECT doc_id, ${TextOps.normTextSql} AS sn FROM documents)),
     e AS (
       SELECT doc_id, s, 0 AS step FROM d0
       UNION ALL
@@ -373,7 +440,12 @@ object BpeHier {
     ids AS MATERIALIZED (
       SELECT doc_id, list_transform(range(CAST(len(s) // 3 AS BIGINT)),
         i -> CAST(${dec3("substr(s, CAST(i * 3 + 1 AS INT), 3)")} AS INT)) AS l
-      FROM fin),
+      FROM fin)"""
+
+  def bpeRoundtripHierSql: String =
+    s"""WITH RECURSIVE
+    $trainCtes,
+    $encodeCtes,
     pl AS MATERIALIZED (
       SELECT list([CAST(${dec3("substr(pat, 1, 3)")} AS INT),
                    CAST(${dec3("substr(pat, 4, 3)")} AS INT)] ORDER BY rank) AS pl
@@ -383,20 +455,26 @@ object BpeHier {
       UNION ALL
       SELECT doc_id,
         flatten(list_transform(dec.l,
-          x -> CASE WHEN x < 28 THEN [x] ELSE pl.pl[x - 27] END)),
+          x -> CASE WHEN x < 256 THEN [x] ELSE pl.pl[x - 255] END)),
         step + 1
       FROM dec, pl
-      WHERE len(list_filter(dec.l, x -> x >= 28)) > 0),
+      WHERE len(list_filter(dec.l, x -> x >= 256)) > 0),
     dfin AS (SELECT doc_id, arg_max(l, step) AS l FROM dec GROUP BY doc_id),
     base AS (
-      SELECT doc_id,
-        list_transform(list_filter(string_split(sn, ''), c -> len(c) = 1),
-          c -> CAST($codeOf AS INT)) AS cl
-      FROM (SELECT doc_id, ${TextOps.lmNormSql} AS sn FROM documents))
+      SELECT doc_id, list_transform(${byteList("sn")}, x -> CAST(x AS INT)) AS cl
+      FROM (SELECT doc_id, ${TextOps.normTextSql} AS sn FROM documents))
     SELECT b.doc_id,
       CAST(len(i.l) AS BIGINT) AS n_tokens,
-      CAST(len(b.cl) AS BIGINT) AS n_chars,
+      CAST(len(b.cl) AS BIGINT) AS n_bytes,
       coalesce(array_to_string(i.l, ','), '') AS token_csv,
       coalesce(d.l, []) = b.cl AS roundtrip_ok
     FROM base b JOIN ids i USING (doc_id) JOIN dfin d USING (doc_id)"""
+
+  /** D59 counter oracle: (doc_id, n_tokens) from the same train+encode
+    * replay — the pack statement embeds this as a derived table. */
+  def encodedCountsSql: String =
+    s"""WITH RECURSIVE
+    $trainCtes,
+    $encodeCtes
+    SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM ids"""
 }

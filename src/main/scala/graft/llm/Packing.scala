@@ -31,19 +31,20 @@ object Packing {
             .cast("bigint").as("n_tokens")))
 
   /** D59: BPE-budget-exact packing — the same concat-then-chunk layout
-    * driven by the ACTUAL tokenizer's counts (D54's encode) instead of the
-    * whitespace proxy. A model's context budget is denominated in
-    * TOKENIZER tokens; the proxy mis-counts per doc by a content-dependent
-    * factor (here char-base BPE ids exceed word counts; merged pairs then
-    * shrink compressible text unevenly), so proxy-packed boundaries drift
-    * from the budget the trainer actually enforces — a batch assembler
-    * packs on the counts the trainer will see. Scale shape unchanged: the
-    * encode is map-side (merge table is a code-time literal fold), packing
-    * is the same single shard-clustered window exchange.
+    * driven by the ACTUAL tokenizer's counts instead of the whitespace
+    * proxy. A model's context budget is denominated in TOKENIZER tokens;
+    * the proxy mis-counts per doc by a content-dependent factor, so
+    * proxy-packed boundaries drift from the budget the trainer actually
+    * enforces — a batch assembler packs on the counts the trainer will
+    * see. r13: the counter is the production tokenizer — the BYTE-LEVEL
+    * hierarchical encode (BpeHier) — so the budget is honest on any
+    * script, not just the ASCII band (the r12 D54 char-level counter
+    * cannot see non-ASCII text at all). Scale shape unchanged: the
+    * encode is map-side (merge table broadcasts once), packing is the
+    * same single shard-clustered window exchange.
     */
   def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
-    packOfCounts(TextOps.textBpeEncode(spark, dir)
-      .select(col("doc_id"), col("n_tokens")))
+    packOfCounts(BpeHier.encodedCounts(spark, dir))
 
   /** Core over any (doc_id, n_tokens) frame. */
   private[graft] def packOfCounts(counts: DataFrame): DataFrame = {
@@ -134,9 +135,10 @@ object Packing {
                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
         FROM documents))"""
 
-  /** D59 oracle: the identical pack window over the BPE encode's counts
-    * (D54's full statement nests as a subquery — DuckDB allows WITH
-    * RECURSIVE inside a derived table).
+  /** D59 oracle: the identical pack window over the byte-level
+    * hierarchical encode's counts (BpeHier's full train+encode replay
+    * nests as a subquery — DuckDB allows WITH RECURSIVE inside a derived
+    * table).
     */
   def packSequencesBpeSql: String =
     s"""SELECT doc_id, shard, n_tokens,
@@ -151,7 +153,7 @@ object Packing {
                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 6)
                     AS BIGINT) % $PackShards AS shard,
                n_tokens
-        FROM (${TextOps.textBpeEncodeSql}) enc))"""
+        FROM (${BpeHier.encodedCountsSql}) enc))"""
 
   /** D72: packing-efficiency QC — per (counter, shard), the accounting a
     * batch assembler reads before committing a packed corpus: doc/token

@@ -14,13 +14,13 @@ class BpeHierSpec extends SparkSpecBase {
   test("trainer reaches the full default width (>= 5000 rules) at sf0.001") {
     val merges = BpeHier.trainedMerges(spark, sfDir)
     assert(merges.length == BpeHier.HierMerges, s"got ${merges.length}")
-    // ranks mint ids 28+r in order; pair ids only reference earlier symbols
+    // ranks mint ids 256+r in order; pair ids only reference earlier symbols
     merges.zipWithIndex.foreach { case ((a, b, x, n), r) =>
-      assert(x == 28 + r && a < x && b < x && n >= 1)
+      assert(x == 256 + r && a < x && b < x && n >= 1)
     }
     // true HIERARCHY: later merges consume minted ids (the capability the
     // single-level family lacks)
-    assert(merges.exists { case (a, b, _, _) => a >= 28 || b >= 28 })
+    assert(merges.exists { case (a, b, _, _) => a >= 256 || b >= 256 })
   }
 
   test("toy trainer: most-frequent pair wins, ties break (left,right) asc") {
@@ -29,8 +29,8 @@ class BpeHierSpec extends SparkSpecBase {
     // "XXX" -> (X,X):2 wins next
     def c(s: String) = BpeHier.codesOf(s)
     val merges = BpeHier.train(Array(c("ababab"), c("abac")), 2)
-    assert(merges(0) == ((0, 1, 28, 4L)))
-    assert(merges(1) == ((28, 28, 29, 2L)))
+    assert(merges(0) == ((97, 98, 256, 4L)))
+    assert(merges(1) == ((256, 256, 257, 2L)))
   }
 
   test("heap encoder == rank-sequential replace-all on random docs") {
@@ -60,25 +60,60 @@ class BpeHierSpec extends SparkSpecBase {
     val docs = Tables.documents(spark, sfDir).count()
     assert(rt.count() == docs)
     // compression: hierarchical merges must beat chars substantially
-    val sums = rt.agg(sum("n_tokens"), sum("n_chars")).head()
+    val sums = rt.agg(sum("n_tokens"), sum("n_bytes")).head()
     assert(sums.getLong(0) * 2 < sums.getLong(1),
-      s"tokens ${sums.getLong(0)} vs chars ${sums.getLong(1)}")
+      s"tokens ${sums.getLong(0)} vs bytes ${sums.getLong(1)}")
   }
 
   test("training is deterministic (fresh run == cached table)") {
     val cached = BpeHier.trainedMerges(spark, sfDir)
     val sample = Tables.documents(spark, sfDir)
       .orderBy(col("doc_id").asc).limit(BpeHier.TrainDocs)
-      .select(graft.llm.TextOps.lmNorm(col("text")))
+      .select(graft.llm.TextOps.normText(col("text")))
       .collect().map(r => BpeHier.codesOf(r.getString(0)))
     val fresh = BpeHier.train(sample, BpeHier.HierMerges)
     assert(cached.sameElements(fresh))
   }
 
+  test("byte level: non-ASCII text encodes to real UTF-8 byte counts and round-trips") {
+    val docs = Array("深層学習の訓練データ", "привет мир", "hello 😀 world",
+      "ไทยผสม ascii", "مرحبا بالعالم")
+    // codesOf ≡ String.getBytes(UTF_8) on valid text (the arithmetic
+    // ladder IS the UTF-8 encoding), and every id is a byte value
+    docs.foreach { d =>
+      val c = BpeHier.codesOf(d)
+      assert(c.forall(x => x >= 0 && x <= 255))
+      assert(c.toSeq ==
+        d.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(_ & 0xff).toSeq)
+    }
+    assert(BpeHier.codesOf("深").toSeq == Seq(0xE6, 0xB7, 0xB1)) // U+6DF1
+    assert(BpeHier.codesOf("п").length == 2)
+    assert(BpeHier.codesOf("😀").length == 4) // emoji: 4 bytes
+    // train a small table over the multilingual sample; encode+decode
+    // must round-trip every doc, and merges must compress multi-byte text
+    val merges = BpeHier.train(docs.map(BpeHier.codesOf), 60)
+    val rules = scala.collection.mutable.LongMap.empty[Int]
+    val rankPair = new Array[(Int, Int)](merges.length)
+    merges.zipWithIndex.foreach { case ((a, b, _, _), r) =>
+      rules.update((a.toLong << 15) | b, r); rankPair(r) = (a, b)
+    }
+    docs.foreach { d =>
+      val codes = BpeHier.codesOf(d)
+      val ids = BpeHier.encodeHier(codes, rules, rankPair)
+      assert(ids.length < codes.length, s"no compression on '$d'")
+      assert(java.util.Arrays.equals(BpeHier.decodeHier(ids, rankPair), codes))
+      // bytes→string lossless: rebuild the string from decoded bytes
+      val back = new String(
+        BpeHier.decodeHier(ids, rankPair).map(_.toByte),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(back == d)
+    }
+  }
+
   test("decode expands nested merges to base codes") {
-    // rules: 28=(a,b), 29=(28,c) -> decode [29, 3] == [a,b,c,d]
-    val rankPair = Array((0, 1), (28, 2))
-    val out = BpeHier.decodeHier(Array(29, 3), rankPair)
+    // rules: 256=(0,1), 257=(256,2) -> decode [257, 3] == [0,1,2,3]
+    val rankPair = Array((0, 1), (256, 2))
+    val out = BpeHier.decodeHier(Array(257, 3), rankPair)
     assert(out.toSeq == Seq(0, 1, 2, 3))
   }
 }
