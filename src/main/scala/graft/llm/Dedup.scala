@@ -1041,35 +1041,75 @@ object Dedup {
     */
   val SpanWidths: Seq[Int] = Seq(8, 12, 16, 24, 32)
 
-  /** D26c (r12): MULTI-WIDTH span dedup — the variable-length
-    * exact-substring capability (the r11 verdict's item 3: D26's fixed
-    * 12-token window approximates Lee et al.'s any-length suffix-array
-    * form; the width ladder recovers the length dimension). All five
-    * widths share ONE tokenize scan and ONE explode: each doc emits its
-    * windows for every width in a single flattened array (the
-    * dedup_rate_curve convention — one candidate pass serving the whole
-    * sweep), so the incremental cost over single-width D26 is window
-    * volume only, never extra scans. ONE partial-agg shuffle keyed
-    * (width, span_hash) — bounded by distinct windows per width; a hot
-    * boilerplate span costs one aggregate row per rung. Output: one row
-    * per (width, cross-doc span group).
+  /** Per-doc SEGMENT hashes for the span family (r13 — the r12 verdict's
+    * item 5): one md5 per 4-token window, from which every rung's window
+    * hash is COMPOSED (width w = md5 of the w/4 segment hashes at offsets
+    * 0,4,…,w−4 — contiguous disjoint cover of the window, so equal
+    * composed hashes ⟺ equal token windows at md5 confidence, same
+    * guarantee class as hashing the window text directly). The r12 form
+    * emitted every width's token windows per position — 92·len tokens of
+    * string building per doc (the catalog's worst ladder exponent,
+    * +0.46); composition builds len 4-token strings once and then only
+    * concatenates fixed-width hex segments (23 array lookups per position
+    * across the five rungs instead of 92), independent of how many wide
+    * rungs ride on top. Fence, not cp: the base array feeds each rung's
+    * transform in ONE projection — the barrier stops CollapseProject
+    * from re-inlining the md5 transform into every rung lambda.
+    */
+  private[graft] def spanBase(toks: DataFrame): DataFrame =
+    graft.plans.Fence(toks.select(col("doc_id"),
+      when(size(col("toks")) < 4, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("toks")) - 3), i =>
+          md5(concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3)).cast("binary"))))
+        .as("base")))
+
+  private def spanBaseSql: String =
+    s"""b AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+          i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS base
+      FROM t)"""
+
+  /** Composed width-w window hash at position `i` over the `base` column
+    * (w/4 fixed-width hex segments, binary-cast concat → md5). */
+  private def composedHash(w: Int): Column => Column = { i =>
+    md5(concat((0 until w / 4).map(s => element_at(col("base"), i + s * 4)): _*)
+      .cast("binary"))
+  }
+  private def composedHashSql(w: Int): String =
+    "md5(" + (0 until w / 4).map(s => s"base[i + ${s * 4}]").mkString(" || ") + ")"
+
+  /** D26c (r12; r13 composed-hash form): MULTI-WIDTH span dedup — the
+    * variable-length exact-substring capability (D26's fixed 12-token
+    * window approximates Lee et al.'s any-length suffix-array form; the
+    * width ladder recovers the length dimension). All five widths share
+    * ONE tokenize scan, ONE segment-hash pass (spanBase), and ONE
+    * explode; each rung's hashes are composed from the shared segment
+    * hashes, so the incremental cost of a wider rung is a few fixed-width
+    * concats per position — never another pass over the token text. ONE
+    * partial-agg shuffle keyed (width, span_hash) — bounded by distinct
+    * windows per width; a hot boilerplate span costs one aggregate row
+    * per rung. Output: one row per (width, cross-doc span group). The
+    * span_hash is the composed md5 (r13) — group structure is identical
+    * to hashing the window text (DedupSpec pins the partition-equality
+    * against the r12 text-hash form).
     */
   def dedupSpansMulti(spark: SparkSession, dir: String): DataFrame =
     dedupSpansMultiOn(docsWithToks(spark, dir))
 
   private[graft] def dedupSpansMultiOn(toks: DataFrame): DataFrame = {
     val winArrays = SpanWidths.map { w =>
-      when(size(col("toks")) < w,
+      when(size(col("base")) < w - 3,
         array().cast("array<struct<width:int,w:string>>"))
-        .otherwise(transform(sequence(lit(1), size(col("toks")) - (w - 1)), i =>
-          struct(lit(w).as("width"),
-            concat_ws(" ", (0 until w).map(o => element_at(col("toks"), i + o)): _*)
-              .as("w"))))
+        .otherwise(transform(sequence(lit(1), size(col("base")) - (w - 4)), i =>
+          struct(lit(w).as("width"), composedHash(w)(i).as("w"))))
     }
-    toks.select(col("doc_id"),
+    spanBase(toks).select(col("doc_id"),
         explode(concat(winArrays: _*)).as("pw"))
       .select(col("doc_id"), col("pw.width").as("width"),
-        md5(col("pw.w").cast("binary")).as("span_hash"))
+        col("pw.w").as("span_hash"))
       .groupBy(col("width"), col("span_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
@@ -1079,17 +1119,17 @@ object Dedup {
 
   def dedupSpansMultiSql: String = {
     val unions = SpanWidths.map { w =>
-      val terms = (0 until w).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
       s"""SELECT doc_id, $w AS width,
-           unnest(list_transform(range(1, greatest(len(toks) - ${w - 1}, 0) + 1),
-             i -> $terms)) AS w
-         FROM t"""
+           unnest(list_transform(range(1, greatest(len(base) - ${w - 4}, 0) + 1),
+             i -> ${composedHashSql(w)})) AS w
+         FROM b"""
     }.mkString("\n      UNION ALL\n      ")
     s"""WITH t AS MATERIALIZED (
       SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents),
+    ${spanBaseSql},
     wins AS (
       $unions)
-    SELECT CAST(width AS INT) AS width, md5(w) AS span_hash,
+    SELECT CAST(width AS INT) AS width, w AS span_hash,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            count(*) AS n_occurrences, min(doc_id) AS first_doc
     FROM wins
@@ -1097,46 +1137,165 @@ object Dedup {
     HAVING count(DISTINCT doc_id) >= 2"""
   }
 
-  /** D26b: span-removal rewrite — the step AFTER D26's census: emit each
+  /** D26d (r13 — the r12 verdict's item 4): MAXIMAL cross-doc repeated
+    * span INTERVALS — the longest-match reading of Lee et al. 2022 the
+    * rung census approximates: one row per maximal contiguous token
+    * interval [span_start, span_end) of a document in which every
+    * position lies inside some ≥8-token window repeated in another
+    * document. Adjacent-rung subsumption is structural: a repeated
+    * width-24 window's coverage IS the union of its repeated width-8
+    * sub-windows (each sub-window repeats wherever the wide window
+    * does), so islands built from the width-8 rung's coverage absorb
+    * every wider rung's windows; the wider rungs then annotate each
+    * island with `widest_rung` (the longest single rung observed inside
+    * it) and `n_windows` (repeated rung-window instances it absorbed).
+    *
+    * Shape: the positioned rung windows are ONE explode over the shared
+    * segment hashes (spanBase); repeated-hash filtering is the same
+    * (width, hash) partial agg as the census; islands are the classic
+    * gaps-and-islands double window — both windows partition by doc_id
+    * (state bounded by one doc's repeated positions, never cross-doc);
+    * the rung→island assignment is an EQUI-join on (doc_id, p) — every
+    * repeated rung window starts at a repeated width-8 position (its
+    * 8-prefix repeats wherever it does), so no range join is needed.
+    */
+  def dedupSpansMaximal(spark: SparkSession, dir: String): DataFrame =
+    dedupSpansMaximalOn(docsWithToks(spark, dir))
+
+  private[graft] def dedupSpansMaximalOn(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winArrays = SpanWidths.map { w =>
+      when(size(col("base")) < w - 3,
+        array().cast("array<struct<width:int,p:int,h:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("base")) - (w - 4)), i =>
+          struct(lit(w).as("width"), i.cast("int").as("p"),
+            composedHash(w)(i).as("h"))))
+    }
+    val wins = graft.Checkpoints.cp(
+      spanBase(toks).select(col("doc_id"),
+          explode(concat(winArrays: _*)).as("pw"))
+        .select(col("doc_id"), col("pw.width").as("width"),
+          col("pw.p").as("p"), col("pw.h").as("h")))
+    val rep = wins.groupBy(col("width"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("width"), col("h"))
+    val repWins = graft.Checkpoints.cp(
+      wins.join(rep, Seq("width", "h"))
+        .select(col("doc_id"), col("width"), col("p")))
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val isl = repWins.filter(col("width") === SpanWidths.min)
+      .withColumn("max_end",
+        max(col("p") + SpanWidths.min)
+          .over(ordered.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("max_end").isNull || col("p") > col("max_end"), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island"))
+          .over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("p"), col("island"))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + SpanWidths.min).as("span_end"))
+    repWins.join(isl, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(max(col("width")).as("widest_rung"), count(lit(1)).as("n_windows"))
+      .join(spans, Seq("doc_id", "island"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("widest_rung"), col("n_windows"))
+  }
+
+  def dedupSpansMaximalSql: String = {
+    val mw = SpanWidths.min
+    val unions = SpanWidths.map { w =>
+      s"""SELECT doc_id, $w AS width, i AS p, ${composedHashSql(w)} AS h
+         FROM (SELECT doc_id, base,
+                 unnest(range(1, greatest(len(base) - ${w - 4}, 0) + 1)) AS i
+               FROM b)"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH t AS MATERIALIZED (
+      SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents),
+    ${spanBaseSql},
+    wins AS MATERIALIZED (
+      $unions),
+    rep AS (SELECT width, h FROM wins GROUP BY width, h
+            HAVING count(DISTINCT doc_id) >= 2),
+    rw AS MATERIALIZED (
+      SELECT wins.doc_id, wins.width, wins.p FROM wins JOIN rep USING (width, h)),
+    isl AS MATERIALIZED (
+      SELECT doc_id, p,
+        sum(CASE WHEN max_end IS NULL OR p > max_end THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (
+        SELECT doc_id, p,
+          max(p + $mw) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+        FROM rw WHERE width = $mw)),
+    spans AS (
+      SELECT doc_id, island, min(p) AS span_start, max(p) + $mw AS span_end
+      FROM isl GROUP BY doc_id, island),
+    agg AS (
+      SELECT rw.doc_id, isl.island,
+             max(rw.width) AS widest_rung, count(*) AS n_windows
+      FROM rw JOIN isl ON rw.doc_id = isl.doc_id AND rw.p = isl.p
+      GROUP BY rw.doc_id, isl.island)
+    SELECT a.doc_id,
+      CAST(s.span_start AS INT) AS span_start,
+      CAST(s.span_end AS INT) AS span_end,
+      CAST(s.span_end - s.span_start AS INT) AS span_len,
+      CAST(a.widest_rung AS INT) AS widest_rung,
+      CAST(a.n_windows AS BIGINT) AS n_windows
+    FROM agg a JOIN spans s ON a.doc_id = s.doc_id AND a.island = s.island"""
+  }
+
+  /** D26b: span-removal rewrite — the step AFTER the census: emit each
     * document's text with every token covered by a cross-doc repeated
     * span removed (the "deduplicating training data" rewrite of Lee et
     * al. 2022, which showed models memorize exactly these substrings).
-    * D26 reports what repeats; this produces the corpus a trainer
+    * The census reports what repeats; this produces the corpus a trainer
     * actually consumes.
     *
+    * r13: driven by the MAXIMAL-span family (D26d) — the removal set is
+    * the union of the maximal repeated intervals, which equals the
+    * coverage of the minimum rung's (8-token) repeated windows (every
+    * wider repeated window is the union of its repeated 8-sub-windows),
+    * so the plan needs only the width-8 composed hashes, and what is
+    * removed is exactly what dedup_spans_maximal reports as intervals
+    * (DedupSpec pins removed-positions ≡ interval coverage).
+    *
     * Shape: the positioned window table (doc, start, span-hash) is ONE
-    * explode of the checkpointed token arrays, reused (checkpointed) by
-    * both the repeated-hash aggregate and the match join; the match join
-    * is bounded by duplicated-span occurrences (no hint — AQE broadcasts
-    * the repeated-hash set when it fits, same policy as D22); coverage
-    * explodes matched starts into ≤ SpanWindow positions each; the
-    * rewrite is a per-doc anti-join on (doc, pos) plus an order-restoring
-    * in-group sort bounded by DOC LENGTH (collect_list + array_sort —
-    * never a cross-doc sort). Docs shorter than the window, or with
-    * nothing repeated, pass through byte-identical; a fully-covered doc
-    * degrades to empty text, never a null.
+    * transform over the shared segment hashes (spanBase), reused
+    * (checkpointed) by both the repeated-hash aggregate and the match
+    * join; the match join is bounded by duplicated-span occurrences (no
+    * hint — AQE broadcasts the repeated-hash set when it fits, same
+    * policy as D22); coverage explodes matched starts into ≤ 8 positions
+    * each; the rewrite is a per-doc anti-join on (doc, pos) plus an
+    * order-restoring in-group sort bounded by DOC LENGTH (collect_list +
+    * array_sort — never a cross-doc sort). Docs shorter than the window,
+    * or with nothing repeated, pass through byte-identical; a
+    * fully-covered doc degrades to empty text, never a null.
     */
   def dedupRewrite(spark: SparkSession, dir: String): DataFrame =
     dedupRewriteOn(docsWithToks(spark, dir))
 
   private[graft] def dedupRewriteOn(toks: DataFrame): DataFrame = {
+    val mw = SpanWidths.min
     val wins = graft.Checkpoints.cp(
-      toks.select(col("doc_id"), explode(
-        when(size(col("toks")) < SpanWindow,
+      spanBase(toks).select(col("doc_id"), explode(
+        when(size(col("base")) < mw - 3,
           array().cast("array<struct<p:int,w:string>>"))
-          .otherwise(transform(sequence(lit(1), size(col("toks")) - (SpanWindow - 1)), i =>
-            struct(i.cast("int").as("p"),
-              concat_ws(" ", (0 until SpanWindow).map(o =>
-                element_at(col("toks"), i + o)): _*).as("w")))))
+          .otherwise(transform(sequence(lit(1), size(col("base")) - (mw - 4)), i =>
+            struct(i.cast("int").as("p"), composedHash(mw)(i).as("w")))))
         .as("pw"))
         .select(col("doc_id"), col("pw.p").as("p"),
-          md5(col("pw.w").cast("binary")).as("span_hash")))
+          col("pw.w").as("span_hash")))
     val repeated = wins.groupBy(col("span_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("span_hash"))
     val covered = wins.join(repeated, Seq("span_hash"))
       .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (SpanWindow - 1))).as("pos"))
+        explode(sequence(col("p"), col("p") + (mw - 1))).as("pos"))
       .distinct()
     val pos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
@@ -1153,18 +1312,19 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
   def dedupRewriteSql: String = {
-    val terms = (0 until SpanWindow).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    val mw = SpanWidths.min
     s"""WITH t AS MATERIALIZED (
       SELECT doc_id, ${TextOps.toksSql} AS toks FROM documents),
+    ${spanBaseSql},
     w AS MATERIALIZED (
-      SELECT doc_id, i AS p, md5($terms) AS h
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - ${SpanWindow - 1}, 0) + 1)) AS i
-            FROM t)),
+      SELECT doc_id, i AS p, ${composedHashSql(mw)} AS h
+      FROM (SELECT doc_id, base,
+              unnest(range(1, greatest(len(base) - ${mw - 4}, 0) + 1)) AS i
+            FROM b)),
     rep AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
     cov AS (
       SELECT DISTINCT doc_id, pos FROM (
-        SELECT doc_id, unnest(generate_series(p, p + ${SpanWindow - 1})) AS pos
+        SELECT doc_id, unnest(generate_series(p, p + ${mw - 1})) AS pos
         FROM w JOIN rep USING (h))),
     pt AS (
       SELECT doc_id, pos, tok FROM (

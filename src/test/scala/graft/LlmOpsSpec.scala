@@ -8,12 +8,15 @@ class LlmOpsSpec extends SparkSpecBase {
 
   test("dedup_spans_multi: width-12 rung == dedup_spans; rungs read as a repeat-length histogram") {
     import spark.implicits._
-    // multi's width-12 slice must equal the single-width D26 census
+    // multi's width-12 slice must equal the single-width D26 census in
+    // GROUP STRUCTURE (r13: multi's span_hash is the composed segment
+    // hash, dedup_spans' the text md5 — the groups must partition the
+    // windows identically, so the per-group stat tuples coincide)
     val multi12 = Dedup.dedupSpansMulti(spark, sfDir)
       .filter(col("width") === Dedup.SpanWindow)
-      .select("span_hash", "n_docs", "n_occurrences", "first_doc")
+      .select("n_docs", "n_occurrences", "first_doc")
     val single = Dedup.dedupSpans(spark, sfDir)
-      .select("span_hash", "n_docs", "n_occurrences", "first_doc")
+      .select("n_docs", "n_occurrences", "first_doc")
     assert(multi12.exceptAll(single).count() == 0 &&
       single.exceptAll(multi12).count() == 0)
     // a known 16-token repeat surfaces at rungs 8/12/16 and NOT at 24/32
@@ -27,6 +30,138 @@ class LlmOpsSpec extends SparkSpecBase {
     val rungs = Dedup.dedupSpansMultiOn(docs)
       .select("width").distinct().collect().map(_.getInt(0)).toSet
     assert(rungs == Set(8, 12, 16))
+  }
+
+  test("composed span hashes partition windows exactly like text hashes") {
+    import spark.implicits._
+    // r13 (the composed-hash lift's correctness contract): for every
+    // width, the (n_docs, n_occurrences, first_doc) multiset of the
+    // composed-hash groups must equal the brute-force TEXT-window
+    // grouping — a collision would merge text groups and disturb some
+    // tuple. Randomized corpus with planted shared runs so many
+    // cross-doc groups exist at every rung.
+    val rng = new scala.util.Random(1317L)
+    val shared = (0 until 3).map(k => (0 until 40).map(i => s"s${k}x$i"))
+    val docs = (0 until 30).map { d =>
+      val runs = (0 until 2).map { _ =>
+        val s = shared(rng.nextInt(3))
+        val off = rng.nextInt(8); val len = 8 + rng.nextInt(32)
+        s.slice(off, math.min(off + len, s.length))
+      }
+      val noise = (0 until 10).map(i => s"n${d}w$i")
+      (d.toLong, (noise.take(5) ++ runs(0) ++ noise.drop(5) ++ runs(1)).mkString(" "))
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.TextOps.toks(col("text")).as("toks"))
+    val got = Dedup.dedupSpansMultiOn(docs)
+      .collect()
+      .map(r => (r.getAs[Int]("width"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("first_doc")))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sorted.toSeq).toMap
+    val toksOf = docs.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    Dedup.SpanWidths.foreach { w =>
+      val groups = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      toksOf.foreach { case (id, ts) =>
+        ts.sliding(w).filter(_.length == w).foreach { win =>
+          groups.getOrElseUpdate(win.mkString(" "),
+            scala.collection.mutable.ArrayBuffer.empty) += id
+        }
+      }
+      val want = groups.values.filter(_.distinct.size >= 2)
+        .map(ds => (ds.distinct.size.toLong, ds.size.toLong, ds.min)).toSeq.sorted
+      assert(got.getOrElse(w, Seq.empty) == want,
+        s"width $w group structure diverged")
+    }
+    Checkpoints.releaseAll()
+  }
+
+  test("dedup_spans_maximal: intervals match driver-side brute-force maximal repeats") {
+    import spark.implicits._
+    val s16 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val s9 = (1 to 9).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: both runs, separated by noise -> two islands
+      (1L, s"pre1 pre2 $s16 mid1 mid2 mid3 $s9 post1"),
+      (2L, s"$s16 tailx taily"),
+      (3L, s"lead $s9 trail1 trail2"),
+      (4L, "nothing shared here at all with anyone else in this corpus"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.TextOps.toks(col("text")).as("toks"))
+    val got = Dedup.dedupSpansMaximalOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_len"),
+        r.getAs[Int]("widest_rung"), r.getAs[Long]("n_windows")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    Checkpoints.releaseAll()
+    // brute force: coverage = union of repeated 8-windows; islands =
+    // maximal runs of covered positions; widest_rung/n_windows from the
+    // repeated rung windows inside each island
+    val toksOf = docs.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def repeatedSet(w: Int): Set[String] = {
+      val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+      toksOf.foreach { case (id, ts) =>
+        ts.sliding(w).filter(_.length == w).foreach { win =>
+          m.getOrElseUpdate(win.mkString(" "), scala.collection.mutable.Set.empty) += id
+        }
+      }
+      m.collect { case (str, ds) if ds.size >= 2 => str }.toSet
+    }
+    val repByW = Dedup.SpanWidths.map(w => w -> repeatedSet(w)).toMap
+    val want = toksOf.toSeq.flatMap { case (id, ts) =>
+      val covered = scala.collection.mutable.Set.empty[Int]
+      ts.sliding(8).zipWithIndex.foreach { case (win, i) =>
+        if (win.length == 8 && repByW(8)(win.mkString(" "))) covered ++= (i until i + 8)
+      }
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < ts.length) {
+        if (covered(i)) {
+          var j = i
+          while (j < ts.length && covered(j)) j += 1
+          runs += ((i, j)); i = j
+        } else i += 1
+      }
+      runs.map { case (s0, e0) =>
+        val inIsland = Dedup.SpanWidths.flatMap { w =>
+          ts.sliding(w).zipWithIndex.collect {
+            case (win, p) if win.length == w && repByW(w)(win.mkString(" ")) &&
+              p >= s0 && p + w <= e0 => w
+          }
+        }
+        (id, s0 + 1, e0 + 1, e0 - s0, inIsland.max, inIsland.size.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want, s"got ${got.mkString(";")} want ${want.mkString(";")}")
+    // sanity on the fixed corpus: doc 1 has two islands (len 16 and 9),
+    // widest rungs 16 and 8
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.length == 2 && d1.map(_._4) == Seq(16, 9) &&
+      d1.map(_._5) == Seq(16, 8))
+  }
+
+  test("dedup_rewrite removes exactly the maximal-span interval coverage") {
+    import spark.implicits._
+    val s16 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 $s16 post1 post2"),
+      (2L, s"$s16 tailx taily"),
+      (3L, "totally distinct words in every position here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.TextOps.toks(col("text")).as("toks"))
+    val spans = Dedup.dedupSpansMaximalOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end")))
+    Checkpoints.releaseAll()
+    val rw = Dedup.dedupRewriteOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    Checkpoints.releaseAll()
+    val toksOf = docs.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    toksOf.foreach { case (id, ts) =>
+      val cov = spans.filter(_._1 == id).flatMap(s => s._2 until s._3).toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i + 1) => t }
+      assert(rw(id)._1 == cov.size.toLong, s"doc $id n_removed")
+      assert(rw(id)._2 == kept.mkString(" "), s"doc $id clean_text")
+    }
   }
 
   test("mm_frames_real: real GIF frames decode exactly; corrupt bytes fail open") {
@@ -655,9 +790,9 @@ class LlmOpsSpec extends SparkSpecBase {
 
   test("dedup_rewrite: hand-built removals + full brute force on testdata") {
     import spark.implicits._
-    val W = Dedup.SpanWindow
+    val W = Dedup.SpanWidths.min // r13: the rewrite removes >=8-token repeats
     val run = (1 to W).map(i => s"tok$i").mkString(" ")
-    // doc 10/20 share the 12-token run (removed from BOTH, context kept);
+    // doc 10/20 share the W-token run (removed from BOTH, context kept);
     // doc 30 untouched; doc 40 too short to ever match
     val docs = Seq(
       (10L, s"alpha $run omega"), (20L, s"$run tail"),

@@ -79,6 +79,9 @@ class PlanBudgetSpec extends SparkSpecBase {
     // r12 five-width span sweep: one explode + one (width, hash) partial
     // agg; countDistinct expands two-stage (observed 3)
     "dedup_spans_multi" -> B(5, 0),
+    // r13 maximal repeated intervals: explode + (width,hash) partial agg +
+    // repeated join + two doc-partitioned windows (observed 4)
+    "dedup_spans_maximal" -> B(6, 0),
     // r12 real GIF frame round trip: map-only encode+decode (observed 1)
     "mm_frames_real" -> B(3, 0),
     // r12 incremental flagship: ceiling covers the COLD path (state table
