@@ -1164,28 +1164,57 @@ object Dedup {
 
   private[graft] def dedupSpansMaximalOn(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val winArrays = SpanWidths.map { w =>
-      when(size(col("base")) < w - 3,
-        array().cast("array<struct<width:int,p:int,h:string>>"))
-        .otherwise(transform(sequence(lit(1), size(col("base")) - (w - 4)), i =>
-          struct(lit(w).as("width"), i.cast("int").as("p"),
-            composedHash(w)(i).as("h"))))
+    val mw = SpanWidths.min
+    // Stage 1 — the minimum rung carries ALL the bulk: its repeated
+    // windows alone determine coverage (subsumption), so only its
+    // windows are emitted corpus-wide (≈ len rows/doc, exactly
+    // dedup_rewrite's volume; not 5·len).
+    val base = spanBase(toks)
+    def wins8 = base.select(col("doc_id"),
+      explode(when(size(col("base")) < mw - 3,
+        array().cast("array<struct<p:int,h:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("base")) - (mw - 4)), i =>
+          struct(i.cast("int").as("p"), composedHash(mw)(i).as("h"))))).as("pw"))
+      .select(col("doc_id"), col("pw.p").as("p"), col("pw.h").as("h"))
+    // cross-doc ⟺ min(doc) ≠ max(doc): one plain partial agg, no
+    // count-distinct expand (the filter needs existence, not the count);
+    // the repeated set is small after the agg, so AQE broadcasts it and
+    // the bulk stream never shuffles for the join
+    val rep8 = wins8.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("h"))
+    val rw8 = graft.Checkpoints.cp(
+      wins8.join(rep8, Seq("h")).select(col("doc_id"), col("p")))
+    // Stage 2 — wider rungs are evaluated ONLY at repeated min-rung
+    // starts (a cross-doc width-w window's every occurrence starts at a
+    // repeated-mw position — its mw-prefix repeats wherever it does — so
+    // restricting emission to those starts loses no repeated group and
+    // emits a boilerplate-density-bounded fraction of the corpus).
+    // Output is therefore IDENTICAL to full emission; the DuckDB oracle
+    // keeps the full-emission spelling.
+    val starts = rw8.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+    val widerArrays = SpanWidths.filter(_ > mw).map { w =>
+      transform(
+        filter(col("ps"), p => p + (w - 4) <= size(col("base"))),
+        p => struct(lit(w).as("width"), p.cast("int").as("p"),
+          composedHash(w)(p).as("h")))
     }
-    val wins = graft.Checkpoints.cp(
-      spanBase(toks).select(col("doc_id"),
-          explode(concat(winArrays: _*)).as("pw"))
-        .select(col("doc_id"), col("pw.width").as("width"),
-          col("pw.p").as("p"), col("pw.h").as("h")))
-    val rep = wins.groupBy(col("width"), col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2).select(col("width"), col("h"))
+    def winsWide = base.join(starts, Seq("doc_id"))
+      .select(col("doc_id"), explode(concat(widerArrays: _*)).as("pw"))
+      .select(col("doc_id"), col("pw.width").as("width"),
+        col("pw.p").as("p"), col("pw.h").as("h"))
+    val repWide = winsWide.groupBy(col("width"), col("h"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("width"), col("h"))
     val repWins = graft.Checkpoints.cp(
-      wins.join(rep, Seq("width", "h"))
-        .select(col("doc_id"), col("width"), col("p")))
+      winsWide.join(repWide, Seq("width", "h"))
+        .select(col("doc_id"), col("width"), col("p"))
+        .unionByName(rw8.select(col("doc_id"), lit(mw).as("width"), col("p"))))
     val ordered = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val isl = repWins.filter(col("width") === SpanWidths.min)
+    val isl = rw8
       .withColumn("max_end",
-        max(col("p") + SpanWidths.min)
+        max(col("p") + mw)
           .over(ordered.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",
         when(col("max_end").isNull || col("p") > col("max_end"), 1).otherwise(0))
@@ -1193,13 +1222,17 @@ object Dedup {
         sum(col("new_island"))
           .over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("doc_id"), col("p"), col("island"))
-    val spans = isl.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("p")).as("span_start"),
-        (max(col("p")) + SpanWidths.min).as("span_end"))
+    // one aggregate serves interval bounds AND rung annotations: every
+    // rung row's start is a min-rung covered start (join on (doc, p)),
+    // min(p) is achieved by a min-rung row, and max(p) too (a width-w row
+    // has p ≤ end-w ≤ end-mw = the last min-rung start), so
+    // span_end = max(p) + mw is exact over the joined frame
     repWins.join(isl, Seq("doc_id", "p"))
       .groupBy(col("doc_id"), col("island"))
-      .agg(max(col("width")).as("widest_rung"), count(lit(1)).as("n_windows"))
-      .join(spans, Seq("doc_id", "island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + mw).as("span_end"),
+        max(col("width")).as("widest_rung"),
+        count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"),
         col("widest_rung"), col("n_windows"))
@@ -1219,7 +1252,7 @@ object Dedup {
     wins AS MATERIALIZED (
       $unions),
     rep AS (SELECT width, h FROM wins GROUP BY width, h
-            HAVING count(DISTINCT doc_id) >= 2),
+            HAVING min(doc_id) != max(doc_id)),
     rw AS MATERIALIZED (
       SELECT wins.doc_id, wins.width, wins.p FROM wins JOIN rep USING (width, h)),
     isl AS MATERIALIZED (
@@ -1231,22 +1264,15 @@ object Dedup {
         SELECT doc_id, p,
           max(p + $mw) OVER (PARTITION BY doc_id ORDER BY p
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
-        FROM rw WHERE width = $mw)),
-    spans AS (
-      SELECT doc_id, island, min(p) AS span_start, max(p) + $mw AS span_end
-      FROM isl GROUP BY doc_id, island),
-    agg AS (
-      SELECT rw.doc_id, isl.island,
-             max(rw.width) AS widest_rung, count(*) AS n_windows
-      FROM rw JOIN isl ON rw.doc_id = isl.doc_id AND rw.p = isl.p
-      GROUP BY rw.doc_id, isl.island)
-    SELECT a.doc_id,
-      CAST(s.span_start AS INT) AS span_start,
-      CAST(s.span_end AS INT) AS span_end,
-      CAST(s.span_end - s.span_start AS INT) AS span_len,
-      CAST(a.widest_rung AS INT) AS widest_rung,
-      CAST(a.n_windows AS BIGINT) AS n_windows
-    FROM agg a JOIN spans s ON a.doc_id = s.doc_id AND a.island = s.island"""
+        FROM rw WHERE width = $mw))
+    SELECT rw.doc_id,
+      CAST(min(rw.p) AS INT) AS span_start,
+      CAST(max(rw.p) + $mw AS INT) AS span_end,
+      CAST(max(rw.p) + $mw - min(rw.p) AS INT) AS span_len,
+      CAST(max(rw.width) AS INT) AS widest_rung,
+      CAST(count(*) AS BIGINT) AS n_windows
+    FROM rw JOIN isl ON rw.doc_id = isl.doc_id AND rw.p = isl.p
+    GROUP BY rw.doc_id, isl.island"""
   }
 
   /** D26b: span-removal rewrite — the step AFTER the census: emit each
@@ -1291,8 +1317,8 @@ object Dedup {
         .select(col("doc_id"), col("pw.p").as("p"),
           col("pw.w").as("span_hash")))
     val repeated = wins.groupBy(col("span_hash"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2).select(col("span_hash"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("span_hash"))
     val covered = wins.join(repeated, Seq("span_hash"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (mw - 1))).as("pos"))
@@ -1321,7 +1347,7 @@ object Dedup {
       FROM (SELECT doc_id, base,
               unnest(range(1, greatest(len(base) - ${mw - 4}, 0) + 1)) AS i
             FROM b)),
-    rep AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    rep AS (SELECT h FROM w GROUP BY h HAVING min(doc_id) != max(doc_id)),
     cov AS (
       SELECT DISTINCT doc_id, pos FROM (
         SELECT doc_id, unnest(generate_series(p, p + ${mw - 1})) AS pos
