@@ -34,6 +34,7 @@ package graft
   *  - graft.doremi.etaE2        (llm.Sampling.DoremiEtaE2,   default 100)
   *  - graft.doremi.iters        (llm.Sampling.DoremiIters,   default 1)
   *  - graft.bpe.topMerges       (llm.TextOps.BpeTopMerges,   default 20)
+  *  - graft.inc.batchMod        (llm.Dedup.IncrementalBatchMod, default 5)
   *  - graft.lex.phraseK         (llm.Lexical.PhraseK,        default 3)
   *  - graft.lex.slop            (llm.Lexical.PhraseSlop,     default 2)
   */

@@ -1405,4 +1405,136 @@ object Ann {
              = max(CAST(embedding[t.p + 1] AS DOUBLE)) AS degenerate
     FROM embeddings, range(0, $Dim) t(p)
     GROUP BY t.p"""
+
+  /** K-NN graph degree (r13): neighbors kept per vector per round. */
+  def GraphK: Int = {
+    val k = graft.GraftConfig.int("graft.ann.graphK", 5)
+    require(k >= 1 && k <= 64, s"graft.ann.graphK must be in [1, 64], got $k")
+    k
+  }
+  /** NN-descent expansion rounds (fixed, unrolled in the oracle). */
+  val GraphRounds = 3
+  /** Refinement breadth multiple: rounds carry top-(B·K) candidate lists
+    * (search breadth), the final graph keeps top-K (output degree) — the
+    * standard NN-descent ef/K split; breadth is what escapes the weak
+    * neighbor-of-neighbor correlation of near-uniform vector sets. */
+  val GraphBreadth = 2
+
+  /** D-: ann_knn_graph — corpus-wide K-NN GRAPH via IVF seeding + two
+    * rounds of NN-descent neighbor-of-neighbor expansion (Dong et al.
+    * 2011, made deterministic): the graph-refinement serving structure
+    * the r12 verdict's item 6 asked this engine to either build or rule
+    * out. Round 0 seeds each vector's neighbor list from its IVF probe
+    * candidates (the same NProbe-cell members ann_ivf scans — no fresh
+    * machinery, the stored-index layout already serves this); each
+    * refinement round proposes every neighbor-of-neighbor (v→n1→n2 ⇒
+    * candidate v→n2), rescores candidates with the EXACT cosine kernel,
+    * and keeps top-K per vector (ties → lowest nb_id, the family
+    * convention). Two rounds reach ≥2 hops past the cell boundary —
+    * exactly the edges IVF pruning cannot see (members of unprobed cells
+    * reachable through a shared neighbor).
+    *
+    * Determinism: candidate sets are id-DISTINCT before scoring (dup
+    * pairs from multiple shared cells/paths would duplicate ranks), the
+    * score is the same codegen'd dot both engines fold in index order,
+    * and every selection is (cos DESC, nb_id ASC) — so the DuckDB replay
+    * hash-matches, which is what makes a GRAPH build auditable: recall
+    * improvements per round are measured, not vibes (AnnIndexSpec pins
+    * monotone non-degrading exact-top-K recall g0 → g2).
+    *
+    * Scale shape: per-round candidate volume is ≤ K² per vertex (the
+    * n-of-n join is graph-degree-bounded, never corpus²); rescoring
+    * joins candidates to embeddings by id (shuffle bounded by candidate
+    * count × Dim floats); top-K is one per-vertex window. At 100 TB the
+    * rounds are a fixed number of bounded self-joins — the standard
+    * distributed NN-descent layout.
+    */
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphAt(spark, dir, GraphRounds)
+
+  /** Rounds-parametric core (the spec measures recall at 0 vs GraphRounds
+    * rounds to pin that refinement monotonically helps). */
+  private[graft] def knnGraphAt(spark: SparkSession, dir: String,
+                                nRounds: Int): DataFrame = {
+    val v = vecs(spark, dir)
+    val k = GraphK
+    val ranked = ivfRanked(spark, dir).transform(graft.Checkpoints.cp)
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("nb_id"), col("cell"))
+    val cand0 = ranked.select(col("vec_id").as("q_id"), col("cell"))
+      .join(members, Seq("cell"))
+      .filter(col("q_id") =!= col("nb_id"))
+      .select(col("q_id"), col("nb_id")).distinct()
+    def topK(cands: DataFrame, depth: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+      cands
+        .join(v.select(col("vec_id").as("q_id"), col("embedding").as("qv")), Seq("q_id"))
+        .join(v.select(col("vec_id").as("nb_id"), col("embedding").as("nv")), Seq("nb_id"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= depth)
+        .select(col("q_id"), col("nb_id"), col("rank"), col("cos"))
+        .transform(graft.Checkpoints.cp)
+    }
+    var g = topK(cand0, k * GraphBreadth)
+    for (_ <- 1 to nRounds) {
+      // NN-descent local join over the UNDIRECTED graph: u = g ∪ gᵀ, then
+      // every 2-path a→mid→b proposes (a, b) — reverse edges matter
+      // (b being near a's neighbor is evidence even when a never ranked
+      // in b's list), and they are what makes two rounds converge
+      val u = g.select(col("q_id"), col("nb_id"))
+        .unionByName(g.select(col("nb_id").as("q_id"), col("q_id").as("nb_id")))
+      val nn = u.select(col("q_id"), col("nb_id").as("mid"))
+        .join(u.select(col("q_id").as("mid"), col("nb_id").as("nb2")), Seq("mid"))
+        .filter(col("q_id") =!= col("nb2"))
+        .select(col("q_id"), col("nb2").as("nb_id"))
+      g = topK(g.select(col("q_id"), col("nb_id")).unionByName(nn).distinct(),
+        k * GraphBreadth)
+    }
+    g.filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("nb_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Oracle: the identical seeding + two unrolled refinement rounds. */
+  def annKnnGraphSql: String = {
+    val k = GraphK
+    val kw = GraphK * GraphBreadth
+    val cos = s"${dotSql("qe.embedding", "ne.embedding")}" +
+      s" / (${normSql("qe.embedding")} * ${normSql("ne.embedding")})"
+    def topK(name: String, cands: String): String =
+      s"""$name AS MATERIALIZED (
+      SELECT q_id, nb_id, rank, cos FROM (
+        SELECT c.q_id, c.nb_id, $cos AS cos,
+               row_number() OVER (PARTITION BY c.q_id
+                 ORDER BY $cos DESC, c.nb_id ASC) AS rank
+        FROM $cands c
+        JOIN embeddings qe ON qe.vec_id = c.q_id
+        JOIN embeddings ne ON ne.vec_id = c.nb_id)
+      WHERE rank <= $kw)"""
+    def expand(prev: String, name: String): String =
+      s"""u_$name AS (
+      SELECT q_id, nb_id FROM $prev
+      UNION ALL SELECT nb_id AS q_id, q_id AS nb_id FROM $prev),
+    $name AS (
+      SELECT DISTINCT q_id, nb_id FROM (
+        SELECT a.q_id, b.nb_id
+        FROM u_$name a JOIN u_$name b ON a.nb_id = b.q_id
+        WHERE a.q_id != b.nb_id
+        UNION ALL SELECT q_id, nb_id FROM $prev))"""
+    val rounds = (1 to GraphRounds).map { r =>
+      s"${expand(s"g${r - 1}", s"c$r")},\n    ${topK(s"g$r", s"c$r")}"
+    }.mkString(",\n    ")
+    s"""WITH $ivfRankedCtes,
+    cand0 AS (
+      SELECT DISTINCT p.vec_id AS q_id, m.vec_id AS nb_id
+      FROM ranked p JOIN (SELECT vec_id, cell FROM ranked WHERE rn = 1) m
+        USING (cell)
+      WHERE p.vec_id != m.vec_id),
+    ${topK("g0", "cand0")},
+    $rounds
+    SELECT q_id AS vec_id, nb_id, rank, round(cos, 4) AS cos_sim
+    FROM g$GraphRounds WHERE rank <= $k"""
+  }
 }

@@ -222,7 +222,7 @@ object Corpus {
     val S = graft.sources.BucketedSink
     val fp = S.contentFingerprint(Seq(s"$dir/documents.parquet"))
     val table = "corpus_state_" +
-      S.nameHash(s"$dir\n$fp\nbpe=${TextOps.BpeTopMerges}")
+      S.nameHash(s"$dir\n$fp\nbpe=${TextOps.BpeTopMerges}\nM=${Dedup.IncrementalBatchMod}")
     if (!spark.catalog.tableExists(table)) {
       Seq(table, table + "_bench", S.tombTableOf(table))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
@@ -249,7 +249,8 @@ object Corpus {
   private[graft] def ensureIncSignatureIndex(spark: SparkSession, dir: String): String = {
     val S = graft.sources.BucketedSink
     val fp = S.contentFingerprint(Seq(s"$dir/documents.parquet"))
-    val table = "sig_idx_inc_" + S.nameHash(s"$dir\n$fp")
+    val table = "sig_idx_inc_" +
+      S.nameHash(s"$dir\n$fp\nM=${Dedup.IncrementalBatchMod}")
     S.ensureTable(spark, table) {
       graft.sources.IndexSink.writeSignatureIndex(spark, dir, table, StateBuckets)
     }

@@ -920,11 +920,21 @@ object Dedup {
            CAST(n_members AS BIGINT) AS n_members
     FROM ranked WHERE rk = 1"""
 
-  /** Modular batch split for the incremental-dedup demonstration: every 5th
+  /** Modular batch split for the incremental-dedup demonstration: every Mth
     * doc plays "today's crawl", the rest the already-ingested corpus whose
-    * signature index a production deployment would have persisted.
+    * signature index a production deployment would have persisted. r13: a
+    * GraftConfig knob (`graft.inc.batchMod`, default 5 = 20% batch) so the
+    * incremental-vs-full crossover can be measured at realistic batch
+    * fractions (1/M). Read at plan-construction time by both engines'
+    * generators; the persisted corpus-state and batch-slice-index names
+    * fold M in, so changing it builds fresh state instead of silently
+    * probing a stale split.
     */
-  val IncrementalBatchMod = 5
+  def IncrementalBatchMod: Int = {
+    val m = graft.GraftConfig.int("graft.inc.batchMod", 5)
+    require(m >= 2, s"graft.inc.batchMod must be >= 2, got $m")
+    m
+  }
 
   /** D22: incremental near-dedup — probe a NEW BATCH of documents against
     * the EXISTING corpus signature index instead of re-deduplicating the

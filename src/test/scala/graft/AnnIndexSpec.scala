@@ -189,4 +189,51 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(t1 != t2, "two datasets shared one index table")
     assert(spark.catalog.tableExists(t1) && spark.catalog.tableExists(t2))
   }
+
+  test("ann_knn_graph: valid degree/ranks, refinement monotonically lifts exact recall") {
+    // exact top-K graph by driver-side brute force (500 vectors at sf0.001)
+    val k = Ann.GraphK
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.map { case (q, qv) =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(k).map(_._1).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = exact.toSeq.map { case (q, ex) =>
+        ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ex.size
+      }
+      hits.sum / hits.size
+    }
+    val g0 = Ann.knnGraphAt(spark, sfDir, 0)
+    val r0 = recall(g0.withColumnRenamed("vec_id", "q_id"))
+    Checkpoints.releaseAll()
+    val g2full = Ann.annKnnGraph(spark, sfDir)
+    // structural contract: no self edges, <= K neighbors, contiguous ranks
+    val byQ = g2full.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("nb_id"), r.getAs[Int]("rank")))
+    assert(byQ.forall { case (q, n, _) => q != n })
+    byQ.groupBy(_._1).foreach { case (q, rowsQ) =>
+      assert(rowsQ.length <= k && rowsQ.map(_._3).sorted.toSeq == (1 to rowsQ.length),
+        s"vec $q rank structure")
+    }
+    val r2 = recall(g2full.withColumnRenamed("vec_id", "q_id"))
+    Checkpoints.releaseAll()
+    assert(r2 >= r0, s"refinement degraded recall: $r0 -> $r2")
+    assert(r2 > 0.8, s"graph recall too low: $r2 (seed $r0)")
+    // and the refinement must genuinely add edges IVF probing cannot see
+    assert(r2 > r0 + 0.01, s"expansion added nothing: $r0 -> $r2")
+  }
 }

@@ -33,27 +33,16 @@ import graft.Tables
   *
   * Run: sbt 'Test/runMain graft.tools.ScalingXL [amp] [query...]'
   */
-object ScalingXL {
-  val DefaultQueries: Seq[String] = Seq(
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix", "dedup_edit_distance", "dedup_containment",
-    "dedup_components", "corpus_clean", "corpus_pipeline")
-
-  def main(args: Array[String]): Unit = {
-    val amp = args.headOption.map(_.toInt).getOrElse(10)
-    // the rotation alphabet has 26 states: rot(·, 26) == rot(·, 0), so an
-    // amp past 26 would plant byte-identical replicas — exactly the
-    // quadratic duplicate structure this tool exists to avoid. Extending
-    // past 26 needs a second rotation axis (digits, or a word-prefix
-    // scheme), not a silent wraparound.
+/** Shared amplified-corpus builder (ScalingXL's rotation design — see its
+  * scaladoc) so every amplified-decade tool measures the SAME corpus
+  * construction: documents replicated amp× with per-replica character
+  * rotation, embeddings with per-replica coordinate rotation, other
+  * tables copied. Returns the temp dir holding the amplified tables.
+  */
+object AmpData {
+  def build(spark: org.apache.spark.sql.SparkSession, sfDir: String, amp: Int): String = {
     require(amp >= 1 && amp <= 26,
       s"amplification must be in [1, 26] (26-letter rotation alphabet), got $amp")
-    val only: Seq[String] =
-      if (args.length > 1) args.drop(1).toSeq else DefaultQueries
-    val sfDir = "/root/testdata/sf0.1"
-    val spark = graft.GraftSession.create(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = java.nio.file.Files.createTempDirectory("graft-sfxl").toString
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
@@ -70,17 +59,6 @@ object ScalingXL {
               col("lang"), col("source"), col("n_chars"))
           }.reduce(_.unionAll(_))
         else if (t == "embeddings")
-          // the serving/linear-algebra tier's amplification (r10): replica
-          // k CYCLICALLY ROTATES each vector's coordinates by k — the
-          // character-rotation idea in embedding space. Rotation preserves
-          // norms, per-replica pairwise distances, and every dimension-
-          // marginal statistic the covariance family measures, but makes
-          // replicas distinct vectors — so a 10× corpus looks like 10×
-          // fresh data, not a field of planted exact duplicates the ANN
-          // shortlists would trivially re-find. vec_ids shift like
-          // doc_ids, so the query set (vec_id < 10) and IVF/codebook
-          // seeds stay the originals and candidate volume per query
-          // genuinely grows 10×.
           (0 until amp).map { k =>
             val d = graft.llm.Ann.Dim
             val rotated =
@@ -94,6 +72,25 @@ object ScalingXL {
         else df
       out.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
     }
+    tmp
+  }
+}
+
+object ScalingXL {
+  val DefaultQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix", "dedup_edit_distance", "dedup_containment",
+    "dedup_components", "corpus_clean", "corpus_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val amp = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Seq[String] =
+      if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = graft.GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = AmpData.build(spark, sfDir, amp)
     def runOnce(name: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
