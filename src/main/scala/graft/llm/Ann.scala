@@ -1413,7 +1413,7 @@ object Ann {
     k
   }
   /** NN-descent expansion rounds (fixed, unrolled in the oracle). */
-  val GraphRounds = 3
+  val GraphRounds = 4
   /** Refinement breadth multiple: rounds carry top-(B·K) candidate lists
     * (search breadth), the final graph keeps top-K (output degree) — the
     * standard NN-descent ef/K split; breadth is what escapes the weak
@@ -1454,17 +1454,41 @@ object Ann {
 
   /** Rounds-parametric core (the spec measures recall at 0 vs GraphRounds
     * rounds to pin that refinement monotonically helps). */
+  /** Seed-ring width: each vector seeds against the ±SeedW rows adjacent
+    * to it in every probed cell's (centroid-cosine, id) ordering — a
+    * 1-D locality sketch that bounds seed volume at 2·SeedW·NProbe per
+    * vector (LINEAR in the corpus; joining every probed cell's full
+    * member list is n²·NProbe/cells and was measured at 54 s for a 20k
+    * corpus before this bound). */
+  val SeedW = 10
+
   private[graft] def knnGraphAt(spark: SparkSession, dir: String,
                                 nRounds: Int): DataFrame = {
     val v = vecs(spark, dir)
     val k = GraphK
     val ranked = ivfRanked(spark, dir).transform(graft.Checkpoints.cp)
-    val members = ranked.filter(col("rn") === 1)
-      .select(col("vec_id").as("nb_id"), col("cell"))
-    val cand0 = ranked.select(col("vec_id").as("q_id"), col("cell"))
-      .join(members, Seq("cell"))
-      .filter(col("q_id") =!= col("nb_id"))
-      .select(col("q_id"), col("nb_id")).distinct()
+    // ring-ordered linear seeding: per cell, order every probe row
+    // (rn ≤ NProbe, members included at rn = 1) by (ccos desc, vec_id)
+    // and pair each row with the next 1..SeedW rows — undirected, so
+    // each vector sees ±SeedW neighbors per probed cell
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id").asc)
+    val o = ranked
+      .withColumn("pos", row_number().over(wOrd))
+      .select(col("cell"), col("vec_id"), col("pos"))
+      .transform(graft.Checkpoints.cp)
+    val ahead = o
+      .withColumn("step", explode(lit((1 to SeedW).toArray)))
+      .withColumn("pos2", col("pos") + col("step"))
+    val ringPairs = ahead
+      .join(o.select(col("cell"), col("vec_id").as("nb_id"),
+        col("pos").as("pos2")), Seq("cell", "pos2"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id").as("q_id"), col("nb_id"))
+    val cand0 = ringPairs
+      .unionByName(ringPairs.select(col("nb_id").as("q_id"),
+        col("q_id").as("nb_id")))
+      .distinct()
     def topK(cands: DataFrame, depth: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
@@ -1527,11 +1551,21 @@ object Ann {
       s"${expand(s"g${r - 1}", s"c$r")},\n    ${topK(s"g$r", s"c$r")}"
     }.mkString(",\n    ")
     s"""WITH $ivfRankedCtes,
+    o AS MATERIALIZED (
+      SELECT cell, vec_id,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY ccos DESC, vec_id ASC) AS pos
+      FROM ranked),
+    ring AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id
+      FROM (SELECT cell, vec_id, pos + st.step AS pos2
+            FROM o, range(1, $SeedW + 1) st(step)) a
+      JOIN o b ON a.cell = b.cell AND a.pos2 = b.pos
+      WHERE a.vec_id != b.vec_id),
     cand0 AS (
-      SELECT DISTINCT p.vec_id AS q_id, m.vec_id AS nb_id
-      FROM ranked p JOIN (SELECT vec_id, cell FROM ranked WHERE rn = 1) m
-        USING (cell)
-      WHERE p.vec_id != m.vec_id),
+      SELECT DISTINCT q_id, nb_id FROM (
+        SELECT q_id, nb_id FROM ring
+        UNION ALL SELECT nb_id AS q_id, q_id AS nb_id FROM ring)),
     ${topK("g0", "cand0")},
     $rounds
     SELECT q_id AS vec_id, nb_id, rank, round(cos, 4) AS cos_sim

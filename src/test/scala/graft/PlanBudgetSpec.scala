@@ -79,10 +79,10 @@ class PlanBudgetSpec extends SparkSpecBase {
     // r12 five-width span sweep: one explode + one (width, hash) partial
     // agg; countDistinct expands two-stage (observed 3)
     "dedup_spans_multi" -> B(5, 0),
-    // r13 NN-descent graph build: 4 scored top-K passes (seed + 3
-    // refinement rounds), each a 2-join + window chain (observed 20);
+    // r13 NN-descent graph build: 5 scored top-K passes (ring seed + 4
+    // refinement rounds), each a 2-join + window chain (observed 25);
     // offline index-build operator, pay-at-build like the PQ codebooks
-    "ann_knn_graph" -> B(22, 0),
+    "ann_knn_graph" -> B(28, 0),
     // r13 maximal repeated intervals: explode + (width,hash) partial agg +
     // repeated join + two doc-partitioned windows (observed 4)
     "dedup_spans_maximal" -> B(6, 0),
