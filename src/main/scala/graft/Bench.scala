@@ -111,7 +111,11 @@ object Bench {
     // tracked number is the batch-sized recurring cost vs
     // corpus_pipeline's full recompute)
     "bpe_roundtrip_hier", "dedup_spans_multi", "mm_frames_real",
-    "corpus_pipeline_incremental")
+    "corpus_pipeline_incremental",
+    // r13 additions: maximal repeated-span interval assembly (the span
+    // family's heaviest composition) and the NN-descent K-NN graph build
+    // (pay-at-build serving structure — 5 scored top-K passes)
+    "dedup_spans_maximal", "ann_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
