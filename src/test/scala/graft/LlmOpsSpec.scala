@@ -1439,7 +1439,8 @@ class LlmOpsSpec extends SparkSpecBase {
     val out = graft.llm.Packing.packSequencesBpe(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     Checkpoints.releaseAll()
-    val counts = TextOps.textBpeEncode(spark, sfDir).collect()
+    // r13: the counter is the byte-level hierarchical tokenizer (BpeHier)
+    val counts = graft.llm.BpeHier.encodedCounts(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
     Checkpoints.releaseAll()
     assert(out.keySet === counts.keySet)
