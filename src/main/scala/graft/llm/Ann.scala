@@ -30,7 +30,11 @@ object Ann {
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // spread the single-file scan before the family's CPU-bound per-row
+    // work (dot folds, argmins) — no-op on a multi-split cluster scan
+    Tables.spreadIfNarrow(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id")
 
   /** Banded random-hyperplane LSH for the near-dup candidate join: EmbBands
     * bands of EmbPlanesPerBand hyperplanes each (same md5-derived ±1 family
@@ -847,7 +851,7 @@ object Ann {
     * vectors — at 100 TB the exchange is bounded by |labels|·Dim·cores.
     */
   def embedCentroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.spreadIfNarrow(Tables.embeddings(spark, dir), "vec_id")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -1282,7 +1286,8 @@ object Ann {
     * label) rows.
     */
   def embedKnnClassify(spark: SparkSession, dir: String): DataFrame =
-    embedKnnClassifyOf(Tables.embeddings(spark, dir))
+    embedKnnClassifyOf(
+      Tables.spreadIfNarrow(Tables.embeddings(spark, dir), "vec_id"))
 
   /** Core over any (vec_id, embedding, label) frame (spec harnesses feed
     * synthetic labeled corpora).
@@ -1388,7 +1393,7 @@ object Ann {
     * the whole frame is engine-exact.
     */
   def embedDimStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.spreadIfNarrow(Tables.embeddings(spark, dir), "vec_id")
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(count(col("v")).as("n_vecs"),

@@ -56,8 +56,10 @@ object Classify {
   }
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("label"))
+    graft.Tables.spreadIfNarrow(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label")),
+      "vec_id")
 
   /** Binary target: label < 5 (the "high-quality half" stand-in; a real
     * deployment feeds its own label column). Features = [1.0, embedding]

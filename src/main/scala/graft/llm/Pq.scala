@@ -76,7 +76,14 @@ object Pq {
   private val TopK = 5
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // single-file local testdata reads as ONE scan partition; the family's
+    // per-row expression work (covariance pairs, subvector argmins, ADC)
+    // is CPU-bound, so spread it across cores first (no-op on a
+    // multi-split cluster scan; r13 measured: ann_opq_ivfadc's covariance
+    // stage 4.1 s on one task -> ~0.2 s wide)
+    Tables.spreadIfNarrow(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id")
 
   /** Exact left-to-right double fold of the squared L2 distance between two
     * float-array columns of length `len` — the ANN-family arithmetic
