@@ -201,8 +201,13 @@ object CapexDerive {
     // re-executes the scan+joins+category chain; (b) the barrier halves the
     // size of each whole-stage-codegen'd stage, whose Janino+JIT cost —
     // not row compute — dominates this build.
-    val withCats = cp(mapped
-      .withColumn("acat_recode", acatRecode)
+    // Fence after acat_recode (r13): CollapseProject would inline the
+    // recode tree (two rlikes + the typo caseMap + the allowed-items
+    // contains chain) into EVERY branch of the NormalizeMap caseMap that
+    // consumes it — CASE WHEN branches are CSE-exempt, so the regexes ran
+    // ~10x per row (ablated: the cats projection alone cost ~1.0 s wall /
+    // ~32 s CPU at sf0.1). The fence binds acat_recode once per row.
+    val withCats = cp(graft.plans.Fence(mapped.withColumn("acat_recode", acatRecode))
       .withColumn("acat_norm", norm(col("acat_recode")))
       .withColumn("acat_norm_raw", norm(acatRaw))
       .withColumn("acat_split",
@@ -290,7 +295,12 @@ object CapexDerive {
         when(col("rm_r18"), r18).otherwise(lit(null).cast("string"))) {
         case (entry, acc) => when(col(entry._1), pick(entry)).otherwise(acc)
       }
-    val labeled = withRules
+    val labeled = graft.plans.Fence(withRules)
+      // fenced (r13): the four attribution chains below each fold over the
+      // rm_* flags; without the barrier CollapseProject substitutes every
+      // flag's keyword-contains tree into every chain's branches (rm_r18
+      // alone is ~10 keywords x 3 columns), re-evaluating them up to 4x
+      // per row. The fence makes them bound booleans.
       .withColumn("excluded_by", attrib(e => lit(e._2), r18Label))
       .withColumn("survives", col("excluded_by").isNull)
       .withColumn("trigger_column", attrib(e => lit(e._3), lit("AssetItemName")))
