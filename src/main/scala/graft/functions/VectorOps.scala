@@ -149,9 +149,76 @@ case class IntVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Left-to-right double dot product over two double-array columns — the
+  * logreg z = w·x kernel (r13). The explicit 129-term `element_at` chain
+  * this replaces was a ~900-node expression tree: evaluation was fine,
+  * but the DRIVER re-paid 1-2 s of analysis/optimization per GD step
+  * (measured on quality_logreg_text, 3 steps = ~4.5 s of inter-job gaps).
+  * One expression node plans in microseconds and fuses into codegen.
+  * Fold order and null semantics are identical to the chain, so every
+  * logreg oracle stays bit-for-bit.
+  */
+case class DoubleVecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_vec_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   val DotName = "graft_fdot"
   val IntDotName = "graft_idot"
+  val DDotName = "graft_ddot"
 
   /** The single registration entry shared by the extensions hook and the
     * per-session registry path — one source of truth for identifier, info,
@@ -167,11 +234,18 @@ object VectorOps {
     new ExpressionInfo(classOf[IntVecDot].getName, IntDotName),
     (args: Seq[Expression]) => IntVecDot(args(0), args(1)))
 
+  val DDotEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(DDotName),
+    new ExpressionInfo(classOf[DoubleVecDot].getName, DDotName),
+    (args: Seq[Expression]) => DoubleVecDot(args(0), args(1)))
+
   private def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       DotEntry._1, DotEntry._2, DotEntry._3)
     spark.sessionState.functionRegistry.registerFunction(
       IntDotEntry._1, IntDotEntry._2, IntDotEntry._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      DDotEntry._1, DDotEntry._2, DDotEntry._3)
   }
 
   /** Idempotent per-session registration (for sessions built without the
@@ -179,7 +253,7 @@ object VectorOps {
     */
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.sessionState.functionRegistry
-          .functionExists(FunctionIdentifier(IntDotName))) register(spark)
+          .functionExists(FunctionIdentifier(DDotName))) register(spark)
 
   /** Left-to-right double dot product of two float-array columns.
     * Registers in the active session on first use (sessions created through
@@ -195,6 +269,12 @@ object VectorOps {
     ensureRegistered(SparkSession.active)
     call_function(IntDotName, a, b)
   }
+
+  /** Left-to-right double dot product of two double-array columns. */
+  def ddot(a: Column, b: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function(DDotName, a, b)
+  }
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
@@ -205,6 +285,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorOps.DotEntry)
     ext.injectFunction(VectorOps.IntDotEntry)
+    ext.injectFunction(VectorOps.DDotEntry)
     ext.injectFunction(TextTokens.TokensEntry)
     ext.injectFunction(TextTokens.BpeSegsEntry)
     ext.injectFunction(TextTokens.PunctCountEntry)

@@ -73,10 +73,18 @@ object Classify {
         .as("x"))
 
   /** z = w · x, left-to-right over the nFeat terms (w arrives as a 1-row
-    * broadcast array column) — the dotSql fold order.
+    * broadcast array column) — the dotSql fold order. r13: the native
+    * codegen'd kernel (graft_ddot, VectorOps) replaces the explicit
+    * element_at chain — at nFeat = 129 that chain was a ~900-node
+    * expression tree and the driver re-paid 1-2 s of plan optimization
+    * per GD step; the kernel is one node with the identical fold order,
+    * so every logreg oracle stays bit-for-bit. Both arrays are built with
+    * exactly nFeat elements (featurized/featurizedText/trainedWeights),
+    * which the kernel's length check enforces at runtime instead of the
+    * chain silently reading nulls.
     */
   private def zOf(w: Column, x: Column, nFeat: Int = NFeat): Column =
-    (0 until nFeat).map(j => element_at(w, j + 1) * element_at(x, j + 1)).reduce(_ + _)
+    graft.functions.VectorOps.ddot(w, x)
 
   /** Rational sigmoid — correctly-rounded IEEE ops only (see scaladoc). */
   private def sig(z: Column): Column =

@@ -111,4 +111,29 @@ class VectorOpsSpec extends SparkSpecBase {
     val e = builder(Seq(arr, arr))
     assert(e.isInstanceOf[graft.functions.FloatVecDot])
   }
+
+  test("DoubleVecDot matches the explicit element_at chain bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 129
+    val rows = Seq.fill(200)(
+      (Array.fill(n)(rnd.nextDouble() * 2 - 1), Array.fill(n)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val chain = (0 until n)
+      .map(j => element_at(col("a"), j + 1) * element_at(col("b"), j + 1))
+      .reduce(_ + _)
+    val out = df.select(
+      VectorOps.ddot(col("a"), col("b")).as("native"), chain.as("chain")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // null element and length mismatch -> NULL (the chain's semantics)
+    val edge = Seq(
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)),
+      (Array[java.lang.Double](1.0), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(VectorOps.ddot(col("a"), col("b")).as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.scheduler._
   */
 object JobProfile {
 
-  private case class JobRow(id: Int, site: String, ms: Long, stages: Int, tasks: Int)
+  private case class JobRow(id: Int, site: String, ms: Long, stages: Int, tasks: Int,
+    start: Long = 0L, end: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -52,7 +53,7 @@ object JobProfile {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
         starts.remove(je.jobId).foreach { case (t0, site, nstages) =>
-          jobs += JobRow(je.jobId, site, je.time - t0, nstages, -1)
+          jobs += JobRow(je.jobId, site, je.time - t0, nstages, -1, t0, je.time)
         }
       }
     }
@@ -76,8 +77,11 @@ object JobProfile {
       once(s"measured$i", record = true)
       val total = jobs.map(_.ms).sum
       println(f"[$name] jobs=${jobs.size} sum(job ms)=$total")
+      var prevEnd = 0L
       jobs.sortBy(_.id).foreach { j =>
-        println(f"  job ${j.id}%4d ${j.ms}%6d ms  stages=${j.stages}%3d  ${j.site.take(80)}")
+        val gap = if (prevEnd == 0) 0 else j.start - prevEnd
+        prevEnd = math.max(prevEnd, j.end)
+        println(f"  job ${j.id}%4d ${j.ms}%6d ms  gap=$gap%5d  stages=${j.stages}%3d  ${j.site.take(70)}")
       }
       stages.foreach(println)
     }
