@@ -56,6 +56,18 @@ object GraftSession {
       // follows data size, which is exactly the behavior a 100 TB edge
       // cache wants (big cache ⇒ full width; node-sized ⇒ few tasks).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE's coalesce floor is byte-based (default 1m), but several of the
+      // engine's shuffles are byte-LIGHT and CPU-DENSE — candidate pairs
+      // fanning out into full-Dim vector scoring (ann_knn_graph's NN-descent
+      // rounds), narrow key sets feeding heavy projections. At the default
+      // floor a 2-3 MB exchange coalesces to 2 tasks and the scoring stage
+      // runs 400+ ms of CPU on 2 of 32 cores (JobProfile, r13). 128k keeps
+      // such stages wide while still bounding scheduler overhead; shuffles
+      // big enough for the floor never to bind (≥ parallelism × 1 MB) are
+      // planned identically, so cluster-scale exchanges are untouched.
+      // Measured: ann_knn_graph 4.7 → 3.2 s at sf0.1 local[32]; full-bench
+      // sweep in OPTIMIZATION_r13.md confirms no per-query regression.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       // reliable-mode barriers (graft.barrier=reliable) write checkpoint
       // files; without this they accumulate for the session's lifetime
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

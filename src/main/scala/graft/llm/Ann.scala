@@ -1469,7 +1469,19 @@ object Ann {
 
   private[graft] def knnGraphAt(spark: SparkSession, dir: String,
                                 nRounds: Int): DataFrame = {
-    val v = vecs(spark, dir)
+    // (vec_id, embedding, nrm) materialized ONCE: the five topK passes
+    // (seed + nRounds) each join this frame twice, so without the barrier
+    // the embeddings parquet is re-scanned/re-spread 2·(nRounds+1) times
+    // and — worse — norm() is re-evaluated PER CANDIDATE PAIR after
+    // CollapseProject inlines it into the cos projection (3 full-Dim dot
+    // folds per scored pair instead of 1). nrm here is the identical
+    // sqrt∘dot fold over the identical array, so cos = dot/(qn·nn) is
+    // bit-for-bit the inline form and the oracle is unchanged. cpLazy
+    // (persist), NOT cp: an InMemoryRelation keeps size stats, so AQE can
+    // still broadcast this side of the per-round scoring joins — an RDD
+    // barrier here forced every round onto SMJ (the partPagerank lesson).
+    val v = graft.Checkpoints.cpLazy(
+      vecs(spark, dir).withColumn("nrm", norm(col("embedding"))))
     val k = GraphK
     val ranked = ivfRanked(spark, dir).transform(graft.Checkpoints.cp)
     // ring-ordered linear seeding: per cell, order every probe row
@@ -1498,9 +1510,11 @@ object Ann {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
       cands
-        .join(v.select(col("vec_id").as("q_id"), col("embedding").as("qv")), Seq("q_id"))
-        .join(v.select(col("vec_id").as("nb_id"), col("embedding").as("nv")), Seq("nb_id"))
-        .withColumn("cos", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+        .join(v.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("nrm").as("qn")), Seq("q_id"))
+        .join(v.select(col("vec_id").as("nb_id"), col("embedding").as("nv"),
+          col("nrm").as("nn")), Seq("nb_id"))
+        .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= depth)
         .select(col("q_id"), col("nb_id"), col("rank"), col("cos"))
