@@ -735,6 +735,13 @@ object Dedup {
     */
   val MaxCcIters = 8
 
+  /** Eager lineage-cut cadence for ccLabelsOf's label loop (the
+    * Graph.PrCpEvery twin): lazy-persisted rounds double the analyzed plan
+    * (labels referenced twice per round), an eager localCheckpoint every
+    * CcCpEvery rounds re-bounds it; between cuts the round's change-count
+    * agg fills the lazy cache, one action per round. */
+  val CcCpEvery = 2
+
   /** True iff the most recent ccLabelsOf call on this thread stopped at
     * the iteration cap WITHOUT reaching the fixed point — the
     * cap-observability contract (labels are then k-hop-ball minima, not
@@ -807,13 +814,18 @@ object Dedup {
     *    join key, so InMemoryRelation keeps partitioning + stats — AQE
     *    sizes each round's join at runtime and the edges never reshuffle
     *    after their one exchange (the pagerank lesson);
-    *  - the per-round LABEL frame is a localCheckpoint, NOT a persist:
-    *    every round references the previous labels TWICE (the neighbor
-    *    join and the refresh), so a lineage-keeping barrier doubles the
-    *    logical plan per round — 2^MaxCcIters copies of the upstream edge
-    *    build, which is analysis-time death on a derived edge list
-    *    (measured: 645 s / driver OOM on the co-order graph vs 2 s with
-    *    the lineage cut). Node-sized frames checkpoint in milliseconds;
+    *  - the per-round LABEL frame alternates lazy persist / eager
+    *    localCheckpoint on the CcCpEvery cadence (r13; previously eager
+    *    every round): every round references the previous labels TWICE
+    *    (the neighbor join and the refresh), so a lineage-keeping barrier
+    *    doubles the logical plan per round — 2^MaxCcIters copies of the
+    *    upstream edge build, which is analysis-time death on a derived
+    *    edge list (measured: 645 s / driver OOM on the co-order graph vs
+    *    2 s with the lineage cut). The periodic eager cut bounds that at
+    *    2x per segment while the lazy rounds fold the barrier fill into
+    *    the change-count action — one job chain per round instead of
+    *    materialize + re-read (measured: the eager-every-round loop spent
+    *    more wall in driver gaps than in jobs);
     *  - EARLY EXIT at the exact fixed point: each round's frame carries a
     *    `chg` flag and a cheap scalar aggregate over the checkpointed RDD
     *    counts changed labels — min-label propagation is monotone, so a
@@ -832,12 +844,19 @@ object Dedup {
     while (round <= MaxCcIters && !done) {
       val nb = edges.join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("v2")).agg(min(col("lbl")).as("nb"))
-      val next = graft.Checkpoints.cp(
-        labels.join(nb, col("v") === col("v2"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
-            (col("nb").isNotNull && col("nb") < col("lbl"))
-              .cast("long").as("chg")))
+      val next0 = labels.join(nb, col("v") === col("v2"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
+          (col("nb").isNotNull && col("nb") < col("lbl"))
+            .cast("long").as("chg"))
+      // pagerank's one-action-per-round cadence (r13): the change-count agg
+      // FILLS a lazy cache, so a round costs one job chain instead of
+      // eager-materialize + re-read; an eager cut every CcCpEvery rounds
+      // still bounds the doubled-per-lazy-round analyzed plan (the 2^rounds
+      // blowup the eager-every-round form guarded against) at 2x per cut.
+      val next =
+        if (round % CcCpEvery == 0) graft.Checkpoints.cp(next0)
+        else graft.Checkpoints.cpLazy(next0)
       val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
         .first().getLong(0)
       labels = next

@@ -42,8 +42,14 @@ object Graph {
     * once per PrCpEvery rounds; stats loss on the checkpointed frame is
     * harmless because AQE sizes the contrib join from runtime stage sizes,
     * and the stationary edge cache keeps its partitioning either way.
+    * Cadence 2, not 4 (r13): the un-barriered plan doubles per round, and
+    * the DRIVER re-analyzes it at every round's movement action — measured
+    * 1.7 s of inter-job gaps at cadence 4 (JobProfile: 412/228 ms gaps at
+    * the round-4 cut) vs best 2.24 s total at cadence 2 against 2.71 s at
+    * cadence 4. Cadence 1 measured the same as 2 but pays one more eager
+    * job per loop; 2 bounds analysis growth at 2x per cut for free.
     */
-  val PrCpEvery = 4
+  val PrCpEvery = 2
   /** Rank mass scale: 1e12 micro-units spread over the node set keeps
     * per-node ranks ≫ rounding loss at any realistic catalog size while
     * (rank · 85) stays far inside a long.
